@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** The reference's GREL string-function surface
+  * (/root/reference .../GRELFunctions.java, ~690 LoC of null-safe wrappers
+  * over io.fno.grel.StringFunctions) as Spark `Column` functions. Spark's
+  * builtins are already null-in → null-out, so the wrappers collapse to the
+  * codegen'd functions themselves; only the handful with no builtin
+  * equivalent get expression compositions.
+  */
+object Grel {
+  def strLength(c: Column): Column = length(c)                    // :42-48
+  def toStringCol(c: Column): Column = c.cast("string")           // :54-60
+  def startsWithCol(c: Column, p: String): Column = c.startsWith(p) // :70-82
+  def endsWithCol(c: Column, p: String): Column = c.endsWith(p)   // :84-96
+  def containsCol(c: Column, p: String): Column = c.contains(p)   // :98-112
+  def toLowercase(c: Column): Column = lower(c)                   // :120-131
+  def toUppercase(c: Column): Column = upper(c)                   // :133-143
+  def toTitlecase(c: Column): Column = initcap(c)                 // :145-155
+  def trimCol(c: Column): Column = trim(c)                        // :165-176
+
+  /** chomp — :192-204: strip one trailing occurrence of `sep`. */
+  def chomp(c: Column, sep: String): Column =
+    regexp_replace(c, java.util.regex.Pattern.quote(sep) + "$", "")
+
+  /** substring/slice — :216-290 (GREL is 0-based; Spark substring 1-based). */
+  def slice(c: Column, from: Int, until: Int): Column =
+    substring(c, from + 1, math.max(0, until - from))
+
+  /** get — :292-314: single char at 0-based index. */
+  def getChar(c: Column, idx: Int): Column = substring(c, idx + 1, 1)
+
+  /** indexOf / lastIndexOf — :323-347 (0-based; -1 when absent). */
+  def indexOfCol(c: Column, sub: String): Column = instr(c, sub) - 1
+  def lastIndexOfCol(c: Column, sub: String): Column =
+    when(instr(c, sub) === 0, lit(-1))
+      .otherwise(length(c) - length(substring_index(c, sub, -1)) - lit(sub.length))
+
+  def replaceCol(c: Column, find: String, repl: String): Column =  // :358-377
+    regexp_replace(c, java.util.regex.Pattern.quote(find),
+      java.util.regex.Matcher.quoteReplacement(repl))
+  def replaceChars(c: Column, from: String, to: String): Column =  // :379-391
+    translate(c, from, to)
+
+  /** match — :401-408: regex capture groups as array. */
+  def matchCol(c: Column, pattern: String): Column = regexp_extract_all(c, lit(pattern))
+
+  /** toNumber — :415-421. */
+  def toNumber(c: Column): Column = c.try_cast(DoubleType)
+
+  def splitCol(c: Column, sep: String): Column =                   // :434-446
+    split(c, java.util.regex.Pattern.quote(sep))
+
+  /** partition — :511-546: (before, sep, after) around the FIRST occurrence;
+    * (whole, null, null) when absent.
+    */
+  def partitionParts(c: Column, sep: String): (Column, Column, Column) = {
+    val pos = instr(c, sep)
+    val before = when(pos === 0, c).otherwise(substring(c, lit(1), pos - 1))
+    val sepC = when(pos === 0, lit(null).cast("string")).otherwise(lit(sep))
+    val after = when(pos === 0, lit(null).cast("string"))
+      .otherwise(substring(c, pos + sep.length, lit(Int.MaxValue)))
+    (before, sepC, after)
+  }
+
+  def md5Col(c: Column): Column = md5(c)                           // :631-640
+  def sha1Col(c: Column): Column = sha1(c)                         // :642-651
+}

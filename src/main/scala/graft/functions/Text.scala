@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale training-data curation, all pure
+  * `Column` expressions (whole-stage codegen, no UDFs): token counting,
+  * quality scoring, n-gram language-ID heuristic, shingling, fingerprinting.
+  */
+object Text {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count estimate: word-boundary pieces + digit runs +
+    * punctuation, the usual ~chars/4 regex proxy for tokenizer load.
+    */
+  def tokenCountBpeish(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]{1,6}|\\d{1,3}|[^\\sA-Za-z\\d]"), lit(0)))
+
+  /** Punctuation ratio ∈ [0,1]. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Alphabetic-character ratio ∈ [0,1]. */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  private val Stopwords = Seq("the", "a", "an", "of", "to", "in", "and", "is",
+    "it", "that", "for", "on", "with", "as", "at", "by", "or", "be")
+
+  /** Fraction of tokens that are common English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val sw = array(Stopwords.map(lit(_)): _*)
+    size(filter(toks, t => array_contains(sw, t)))
+      .cast("double") / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Composite quality score ∈ [0,1]: favors mid-length docs with sane
+    * punctuation, some stopwords, mostly-alpha text (C4/Gopher-rule style
+    * length+punct+stopword heuristics).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(64.0), lit(1.0))
+    val punctOk = when(punctRatio(text) < 0.25, lit(1.0)).otherwise(lit(0.5))
+    val stopOk = when(stopwordRatio(text) > 0.05, lit(1.0)).otherwise(lit(0.6))
+    round(lenScore * lit(0.5) + punctOk * lit(0.25) + stopOk * lit(0.25), 6)
+  }
+
+  /** n-gram heuristic language ID over a tiny built-in profile: scores a few
+    * high-frequency function words / character patterns per language; returns
+    * the argmax label. Deterministic, expression-only.
+    */
+  def langIdHeuristic(text: Column): Column = {
+    val t = concat(lit(" "), lower(text), lit(" "))
+    def hits(words: Seq[String]): Column =
+      words.map(w => when(t.contains(s" $w "), 1).otherwise(0))
+        .reduce(_ + _)
+    val en = hits(Seq("the", "and", "of", "is", "with"))
+    val es = hits(Seq("el", "la", "los", "que", "con"))
+    val fr = hits(Seq("le", "les", "des", "est", "avec"))
+    val de = hits(Seq("der", "die", "und", "ist", "mit"))
+    // CJK: any Han codepoint dominates.
+    val zh = when(t.rlike("[\\u4e00-\\u9fff]"), lit(10)).otherwise(lit(0))
+    val scores = map(
+      lit("en"), en, lit("es"), es, lit("fr"), fr, lit("de"), de, lit("zh"), zh)
+    // argmax by (score, label) — deterministic tie-break on label.
+    val entries = map_entries(scores)
+    val best = array_max(transform(entries, e => struct(e.getField("value").as("s"),
+      e.getField("key").as("l"))))
+    best.getField("l")
+  }
+
+  /** Character shingles (overlapping n-grams) of the normalized text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    when(length(norm) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(norm) - (n - 1)),
+        i => substring(norm, i, lit(n))))
+  }
+
+  /** Word shingles (n-token windows joined by space). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** Rolling-hash document fingerprint: min-of-md5 over word 3-shingles —
+    * a deterministic 1-permutation MinHash usable as a near-dup bucket key.
+    */
+  def fingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(wordShingles(text, n), s => md5(s)))
+}
