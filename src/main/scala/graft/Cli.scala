@@ -1,0 +1,84 @@
+package graft
+
+import graft.changelog.Generator
+import graft.operators.MergeApplier
+import graft.streaming.CdcStream
+import graft.table.LakeTable
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry point — mirrors the reference's workflow mode switch
+  * (/root/reference assets/incremental-updates/lambda/etl-start.py:74-88:
+  * cold-start | incremental-updates) plus local utilities.
+  *
+  * Usage:
+  * {{{
+  *   graft.Cli gen        <dir> <nEvents> <nConvs> <turns> <nFiles> [seed] [evolveAt]
+  *   graft.Cli cold-start <changelogDir> <tableDir> [numBuckets]
+  *   graft.Cli tail       <changelogDir> <tableDir> <checkpointDir> [maxFilesPerTrigger]
+  *   graft.Cli compact    <tableDir> <watermark 'yyyy-MM-dd HH:mm:ss'>
+  *   graft.Cli show       <tableDir>
+  * }}}
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.toList) finally spark.stop()
+  }
+
+  private def run(spark: SparkSession, args: List[String]): Unit = args match {
+    case "gen" :: dir :: n :: convs :: turns :: files :: rest =>
+      val seed = rest.headOption.map(_.toLong).getOrElse(42L)
+      val evolveAt = rest.drop(1).headOption.map(_.toLong).getOrElse(-1L)
+      Generator.writeChangelog(spark, dir, n.toLong, convs.toInt, turns.toInt,
+        files.toInt, seed, evolveAt)
+      println(s"""{"gen":"$dir","events":$n,"files":$files}""")
+
+    case "cold-start" :: src :: tableDir :: rest =>
+      val buckets = rest.headOption.map(_.toInt).getOrElse(32)
+      val table = new LakeTable(tableDir, buckets)
+      val changelog = spark.read
+        .schema(graft.model.Model.changeEventSchema).parquet(src)
+      val t0 = System.nanoTime()
+      val r = MergeApplier.replayFull(spark, table, changelog)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val inputEvents = changelog.count() // parquet footer metadata, cheap
+      println(f"""{"mode":"cold-start","inputEvents":$inputEvents,"tableRows":${r.batchRows},"buckets":${r.touchedBuckets},"sec":$sec%.3f,"eventsPerSec":${(inputEvents / sec).toLong}}""")
+
+    case "tail" :: src :: tableDir :: ckpt :: rest =>
+      val mft = rest.headOption.map(_.toInt).getOrElse(4)
+      val table = new LakeTable(tableDir, 32)
+      val t0 = System.nanoTime()
+      CdcStream.runAvailableNow(spark, src, table, ckpt, maxFilesPerTrigger = mft)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val s = table.currentSnapshot()
+      println(f"""{"mode":"tail","version":${s.map(_.version).getOrElse(0L)},"tableRows":${s.map(_.totalRows).getOrElse(0L)},"sec":$sec%.3f}""")
+
+    case "compact" :: tableDir :: wm :: Nil =>
+      val table = new LakeTable(tableDir, 32)
+      val kept = MergeApplier.compact(spark, table, java.sql.Timestamp.valueOf(wm))
+      println(s"""{"mode":"compact","keptRows":$kept}""")
+
+    case "show" :: tableDir :: Nil =>
+      val table = new LakeTable(tableDir, 32)
+      table.currentSnapshot() match {
+        case None => println("""{"error":"no snapshot"}""")
+        case Some(s) =>
+          println(s"""{"version":${s.version},"rows":${s.totalRows},"buckets":${s.files.size},"files":${s.allFiles.size},"committed":${s.committed.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")},"metrics":${s.metrics.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")}}""")
+          table.read(spark).show(5, truncate = false)
+      }
+
+    case other =>
+      System.err.println(s"unknown command: $other — see Scaladoc for usage")
+      sys.exit(2)
+  }
+}

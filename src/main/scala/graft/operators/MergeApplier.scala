@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.model.Model
+import graft.table.{LakeTable, Snapshot}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The engine core: apply one micro-batch of change events to a LakeTable as
+  * an exactly-once, key-partitioned MERGE.
+  *
+  * This fuses the reference's two separate mechanisms —
+  *   - the Redis max-version LWW dance (/root/reference SpecialCases.java:212-253)
+  *   - the EC2 delete-then-import apply loop
+  *     (incremental-updates-ingestion.py:29-63)
+  * — into one distributed plan per batch:
+  *
+  * {{{
+  *   batch ─ LWW within batch (partial-agg, skew-safe) ─┐
+  *                                                      ├─ union ─ LWW ─ write touched buckets ─ atomic commit(batchId)
+  *   target (ONLY touched buckets, file-pruned) ────────┘
+  * }}}
+  *
+  * Correctness properties (tested in MergeSpec/StreamSpec):
+  *   - idempotent: a replayed batchId is a no-op (ledger check before work)
+  *   - cross-batch LWW: a later batch carrying an OLDER (ts, seq) for a key
+  *     loses against the table row — including tombstones, so a stale insert
+  *     cannot resurrect a deleted turn (the reference sidesteps this only by
+  *     whole-folder ordering; we handle true out-of-order)
+  *   - additive schema evolution: new columns widen the table schema; old
+  *     files read back with nulls
+  *
+  * Scale notes (10^10 rows, 1000 executors):
+  *   - within-batch dedup is `max_by` hash agg → map-side partial combine, so
+  *     hot conversations collapse before the shuffle (no salting needed here)
+  *   - the merge union re-shuffles only touched buckets' rows; write
+  *     amplification is bounded by (touched buckets / total buckets)
+  *   - tombstones are retained for LWW and dropped by [[compact]] once below
+  *     an event-time watermark
+  */
+object MergeApplier {
+
+  final case class ApplyResult(
+      skipped: Boolean,
+      version: Long,
+      batchRows: Long,
+      touchedBuckets: Int,
+      upserts: Long,
+      deletes: Long)
+
+  /** Normalize an incoming changelog batch to the merged (evolved) schema. */
+  private def evolve(table: LakeTable, batch: DataFrame): (DataFrame, StructType) = {
+    val current = table.currentSnapshot().map(_.schema)
+      .getOrElse(StructType(Seq.empty))
+    val merged = if (current.isEmpty) batch.schema
+      else Model.mergeSchemas(current, batch.schema)
+    (Model.alignToSchema(batch, merged), merged)
+  }
+
+  def applyBatch(spark: SparkSession, table: LakeTable, batch: DataFrame,
+      writerId: String, batchId: Long): ApplyResult = {
+    val t0 = System.nanoTime()
+    val snap = table.currentSnapshot()
+    val ledger = snap.map(_.maxBatchId(writerId)).getOrElse(-1L)
+    if (batchId <= ledger) {
+      // Exactly-once: this batch already landed in a published snapshot
+      // (the streaming checkpoint replayed it after a crash). No-op.
+      return ApplyResult(skipped = true, snap.map(_.version).getOrElse(0L), 0, 0, 0, 0)
+    }
+
+    val (aligned, mergedSchema) = evolve(table, batch)
+    val withBucket = aligned.withColumn("__bucket", table.bucketCol)
+
+    // Within-batch LWW dedup first: shrinks the merge input and the touched-
+    // bucket set before anything heavy runs. Persisted: it feeds the
+    // touched-bucket probe, the merge, and the stats agg.
+    val deduped = Lww.latestByKeyAgg(withBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // ≤ numBuckets ints + batch stats in one driver-safe action.
+    val probe = deduped.groupBy("__bucket")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("op") === Model.OpDelete, 1)).as("d"))
+      .collect()
+    val touched: Set[Int] = probe.map(_.getInt(0)).toSet
+    val batchRows = probe.map(_.getLong(1)).sum
+    val nDeletes = probe.map(_.getLong(2)).sum
+    if (touched.isEmpty) {
+      // Empty batch: nothing to make exactly-once — commit nothing (idle
+      // triggers must not churn snapshot versions). A replay of an empty
+      // batch is trivially idempotent.
+      deduped.unpersist()
+      return ApplyResult(skipped = false, snap.map(_.version).getOrElse(0L), 0, 0, 0, 0)
+    }
+
+    // Target side: ONLY the touched buckets' files are read (file pruning).
+    val target = snap match {
+      case Some(_) =>
+        Model.alignToSchema(table.readRaw(spark, Some(touched)), mergedSchema)
+          .withColumn("__bucket", table.bucketCol)
+      case None => deduped.limit(0)
+    }
+
+    // Cross-batch LWW over (existing rows ∪ new events). Tombstones
+    // participate: a delete with newer (ts, seq) wins and is RETAINED as a
+    // tombstone row so later stale inserts lose too.
+    val merged = Lww.latestByKeyAgg(target.unionByName(deduped))
+
+    val version = snap.map(_.version).getOrElse(0L) + 1
+    val outDir = table.commitDir(version, writerId, batchId)
+    merged
+      .withColumn("bucket", col("__bucket")).drop("__bucket")
+      .repartition(col("bucket")) // one shuffle → clustered files per bucket
+      .write.mode("overwrite") // overwrite: self-cleans a crashed attempt's dir
+      .partitionBy("bucket")
+      .parquet(outDir.toString)
+
+    deduped.unpersist()
+    val newBucketFiles = table.listBucketFiles(outDir)
+    val prevFiles = snap.map(_.files).getOrElse(Map.empty)
+    val files = prevFiles ++ newBucketFiles // untouched buckets keep old files
+    val prevRows = snap.map(_.bucketRows).getOrElse(Map.empty)
+    val newRows = newBucketFiles.map { case (b, fs) => b -> table.footerRowCount(fs) }
+    val bucketRows = prevRows ++ newRows
+
+    val s = Snapshot(
+      version = version,
+      schemaJson = mergedSchema.json,
+      numBuckets = table.numBuckets,
+      files = files,
+      committed = snap.map(_.committed).getOrElse(Map.empty) + (writerId -> batchId),
+      bucketRows = bucketRows,
+      metrics = Map(
+        "batchRows" -> batchRows,
+        "upserts" -> (batchRows - nDeletes),
+        "deletes" -> nDeletes,
+        "touchedBuckets" -> touched.size.toLong,
+        "durationMs" -> (System.nanoTime() - t0) / 1000000),
+      parentVersion = snap.map(_.version).getOrElse(0L))
+    table.commit(s)
+    ApplyResult(skipped = false, version, batchRows, touched.size, batchRows - nDeletes, nDeletes)
+  }
+
+  /** Cold start (§3.1): single-pass full replay — read the whole changelog,
+    * one global LWW, write every bucket, one commit. Replaces the reference's
+    * two-pass detect-last-update + convert-winners workflow
+    * (full-etl.asl.json:474-543) with one shuffle.
+    */
+  def replayFull(spark: SparkSession, table: LakeTable, changelog: DataFrame,
+      writerId: String = "replay", batchId: Long = 0L): ApplyResult =
+    applyBatch(spark, table, changelog, writerId, batchId)
+
+  /** Maintenance: drop tombstones older than `watermark` and rewrite all
+    * buckets (compaction). Safe once no in-flight source can still produce
+    * events with ts < watermark.
+    */
+  def compact(spark: SparkSession, table: LakeTable,
+      watermark: java.sql.Timestamp): Long = {
+    val snap = table.currentSnapshot().getOrElse(return 0L)
+    val raw = table.readRaw(spark)
+    val kept = raw.filter(!(col("op") === Model.OpDelete && col("ts") < lit(watermark)))
+      .withColumn("bucket", table.bucketCol)
+    val version = snap.version + 1
+    val outDir = table.commitDir(version, "compact", snap.version)
+    kept.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(outDir.toString)
+    val newFiles = table.listBucketFiles(outDir)
+    val rows = newFiles.map { case (b, fs) => b -> table.footerRowCount(fs) }
+    table.commit(Snapshot(version, snap.schemaJson, table.numBuckets, newFiles,
+      snap.committed, rows,
+      Map("compactedRows" -> rows.values.sum), snap.version))
+    rows.values.sum
+  }
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.model.Model
+import graft.operators.MergeApplier
+import graft.table.LakeTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+
+/** Structured Streaming change-event tail: file source → foreachBatch MERGE.
+  *
+  * Replaces the reference's scheduled incremental workflow
+  * (/root/reference docs/Architecture.md:71-85: find new source folders,
+  * convert, delete-then-import per folder, marker files) with:
+  *   - source offsets/WAL: the Structured Streaming checkpoint (folder
+  *     discovery + "skip already converted", etl-start.py:104-106, for free)
+  *   - apply: [[MergeApplier.applyBatch]] (the delete-then-insert pair
+  *     becomes one atomic snapshot commit)
+  *   - exactly-once: checkpoint replay × the table's batchId ledger
+  *   - backpressure: maxFilesPerTrigger (the reference's manifest batching,
+  *     etl-start.py:115-133)
+  */
+object CdcStream {
+
+  /** Per-query throughput metrics (the reference's ConversionStats,
+    * ConversionStats.java:6-105, via StreamingQueryListener).
+    */
+  final class Metrics extends StreamingQueryListener {
+    val batches = new AtomicLong(0)
+    val rows = new AtomicLong(0)
+    val lastProgress = new AtomicReference[String]("")
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      batches.incrementAndGet()
+      rows.addAndGet(e.progress.numInputRows)
+      lastProgress.set(e.progress.prettyJson)
+    }
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  }
+
+  def source(spark: SparkSession, dir: String,
+      schema: StructType = Model.changeEventSchema,
+      maxFilesPerTrigger: Int = 4): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Start the tail. Resuming with the same checkpointDir after a kill
+    * continues from the committed offsets; a replayed micro-batch is detected
+    * by the table ledger and skipped — no duplicates, no gaps.
+    */
+  def start(spark: SparkSession, sourceDir: String, table: LakeTable,
+      checkpointDir: String, writerId: String = "stream",
+      maxFilesPerTrigger: Int = 4,
+      schema: StructType = Model.changeEventSchema,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    source(spark, sourceDir, schema, maxFilesPerTrigger)
+      .writeStream
+      .queryName(s"cdc-tail-$writerId")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        MergeApplier.applyBatch(spark, table, batch, writerId, batchId): Unit
+      }
+      .start()
+  }
+
+  /** Run the tail to exhaustion of currently-available input and stop. */
+  def runAvailableNow(spark: SparkSession, sourceDir: String, table: LakeTable,
+      checkpointDir: String, writerId: String = "stream",
+      maxFilesPerTrigger: Int = 4,
+      schema: StructType = Model.changeEventSchema): Unit = {
+    val q = start(spark, sourceDir, table, checkpointDir, writerId,
+      maxFilesPerTrigger, schema)
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+}

@@ -1,0 +1,178 @@
+package graft.table
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.model.Model
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Snapshot metadata of one table version (Iceberg-style, from scratch —
+  * no Iceberg/Delta runtime exists in this environment).
+  *
+  * Mirrors the reference's folder-level marker files and manifest bookkeeping
+  * (/root/reference assets/.../commons.py:28-30 `.ingesting/ingested` markers;
+  * manifest scheduled→processed move full-etl.asl.json:604-614) as a single
+  * atomic, versioned commit log:
+  *   - `files`: per-bucket data-file lists (the manifest)
+  *   - `committed`: writerId → max committed batchId (the idempotence ledger;
+  *     Structured Streaming batchIds are strictly increasing, so one Long per
+  *     writer suffices at any scale — O(1) state, not a growing set)
+  *   - `lineage`: per-bucket row counts + per-commit metrics (events applied,
+  *     upserts/deletes, duration) — the reference's ConversionStats analog.
+  */
+final case class Snapshot(
+    version: Long,
+    schemaJson: String,
+    numBuckets: Int,
+    files: Map[Int, Seq[String]],
+    committed: Map[String, Long],
+    bucketRows: Map[Int, Long],
+    metrics: Map[String, Long],
+    parentVersion: Long) {
+  def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  def maxBatchId(writerId: String): Long = committed.getOrElse(writerId, -1L)
+  def totalRows: Long = bucketRows.values.sum
+  def allFiles: Seq[String] = files.values.flatten.toSeq
+}
+
+/** A bucketed copy-on-write lake table on a filesystem.
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/c<version>-<writerId>-<batchId>/bucket=<b>/part-*.parquet
+  *   <root>/meta/snap-<%012d version>.json     (atomic rename commit)
+  * }}}
+  *
+  * Readers resolve the highest snapshot version; data files not referenced by
+  * it are invisible (a crashed writer's half-written commit directory is
+  * simply never published; a retried batch overwrites the same directory
+  * deterministically because its name derives from (version, writerId,
+  * batchId)).
+  *
+  * Buckets: rows are hash-bucketed by pmod(hash(conv_id, turn_idx), N). A
+  * micro-batch rewrites ONLY its touched buckets (copy-on-write), bounding
+  * write amplification; at 10^10 rows N scales with the cluster while the
+  * per-batch touched-bucket set stays proportional to batch key coverage.
+  *
+  * Concurrency: single writer per table (the streaming driver), like the
+  * reference's single ingestion EC2 host. Atomicity comes from
+  * Files.move(ATOMIC_MOVE) of the snapshot JSON on a local/posix or HDFS-like
+  * filesystem; on S3 this layer would swap to a catalog CAS — isolated behind
+  * [[commit]].
+  */
+final class LakeTable(val root: String, val numBuckets: Int) {
+  private val mapper = new ObjectMapper()
+  private val metaDir = Paths.get(root, "meta")
+  private val dataDir = Paths.get(root, "data")
+
+  def bucketCol = pmod(hash(col("conv_id"), col("turn_idx")), lit(numBuckets))
+
+  // --- snapshot log -------------------------------------------------------
+
+  def currentSnapshot(): Option[Snapshot] = {
+    if (!Files.isDirectory(metaDir)) return None
+    val snaps = Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
+      .toSeq.sorted
+    snaps.lastOption.map(n => readSnapshot(metaDir.resolve(n)))
+  }
+
+  private def readSnapshot(p: Path): Snapshot = {
+    val m = mapper.readValue(p.toFile, classOf[java.util.Map[String, Object]])
+    def longMap[K](key: String, k: String => K): Map[K, Long] =
+      m.get(key).asInstanceOf[java.util.Map[String, Object]].asScala
+        .map { case (a, b) => k(a) -> b.toString.toLong }.toMap
+    Snapshot(
+      version = m.get("version").toString.toLong,
+      schemaJson = m.get("schemaJson").toString,
+      numBuckets = m.get("numBuckets").toString.toInt,
+      files = m.get("files").asInstanceOf[java.util.Map[String, Object]].asScala
+        .map { case (b, fs) =>
+          b.toInt -> fs.asInstanceOf[java.util.List[String]].asScala.toSeq }.toMap,
+      committed = longMap[String]("committed", identity),
+      bucketRows = longMap[Int]("bucketRows", _.toInt),
+      metrics = longMap[String]("metrics", identity),
+      parentVersion = m.get("parentVersion").toString.toLong)
+  }
+
+  /** Atomically publish a snapshot; refuses to overwrite an existing version
+    * (single-writer invariant check).
+    */
+  def commit(s: Snapshot): Unit = {
+    Files.createDirectories(metaDir)
+    val target = metaDir.resolve(f"snap-${s.version}%012d.json")
+    require(!Files.exists(target), s"snapshot v${s.version} already committed")
+    val j = new java.util.LinkedHashMap[String, Object]()
+    j.put("version", java.lang.Long.valueOf(s.version))
+    j.put("schemaJson", s.schemaJson)
+    j.put("numBuckets", Integer.valueOf(s.numBuckets))
+    j.put("files", s.files.map { case (b, fs) => b.toString -> fs.asJava }.asJava)
+    j.put("committed", s.committed.map { case (k, v) => k -> java.lang.Long.valueOf(v) }.asJava)
+    j.put("bucketRows", s.bucketRows.map { case (b, n) => b.toString -> java.lang.Long.valueOf(n) }.asJava)
+    j.put("metrics", s.metrics.map { case (k, v) => k -> java.lang.Long.valueOf(v) }.asJava)
+    j.put("parentVersion", java.lang.Long.valueOf(s.parentVersion))
+    val tmp = metaDir.resolve(s".tmp-snap-${s.version}-${System.nanoTime()}.json")
+    mapper.writerWithDefaultPrettyPrinter().writeValue(tmp.toFile, j)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // --- data ---------------------------------------------------------------
+
+  /** Data-file paths for a commit directory, keyed by bucket. */
+  def commitDir(version: Long, writerId: String, batchId: Long): Path =
+    dataDir.resolve(s"c$version-$writerId-$batchId")
+
+  def listBucketFiles(dir: Path): Map[Int, Seq[String]] = {
+    if (!Files.isDirectory(dir)) return Map.empty
+    Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("bucket="))
+      .map { bdir =>
+        val b = bdir.getFileName.toString.stripPrefix("bucket=").toInt
+        val fs = Files.list(bdir).iterator().asScala
+          .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+        b -> fs
+      }.toMap
+  }
+
+  /** Read the table rows (including tombstones) at the current snapshot,
+    * optionally restricted to a set of buckets (file pruning — the physical
+    * partition pruning of the MERGE read path).
+    */
+  def readRaw(spark: SparkSession, buckets: Option[Set[Int]] = None): DataFrame = {
+    currentSnapshot() match {
+      case None => spark.emptyDataFrame
+      case Some(s) =>
+        val wanted = buckets.map(bs => s.files.view.filterKeys(bs).toMap).getOrElse(s.files)
+        val paths = wanted.values.flatten.toSeq
+        if (paths.isEmpty) {
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+        } else {
+          // Explicit schema: old files lack late-added columns; parquet reader
+          // fills them with nulls (additive evolution).
+          spark.read.schema(s.schema).parquet(paths: _*)
+        }
+    }
+  }
+
+  /** Live rows only (tombstones filtered, bookkeeping dropped). */
+  def read(spark: SparkSession): DataFrame =
+    readRaw(spark).filter(col("op") =!= Model.OpDelete).drop("op")
+
+  /** Sum parquet footer row counts — no Spark job, no data read. */
+  def footerRowCount(files: Seq[String]): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = new Configuration()
+    files.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(f), conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+}

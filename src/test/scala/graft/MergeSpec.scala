@@ -1,0 +1,146 @@
+package graft
+
+import graft.changelog.Generator
+import graft.model.{ChangeEvent, Model}
+import graft.operators.MergeApplier
+import graft.table.LakeTable
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class MergeSpec extends SparkSpecBase {
+  import Model.changeEventEncoder
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ev(conv: String, turn: Int, text: String, t: String, op: String,
+      seq: Long, tool: Option[String] = None) =
+    ChangeEvent(conv, turn, "user", text, tool, ts(t), op, seq)
+
+  private def finalState(table: LakeTable): Map[(String, Int), (String, Long)] =
+    table.read(spark).collect()
+      .map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx")) ->
+        ((r.getAs[String]("text"), r.getAs[Long]("seq")))).toMap
+
+  test("golden: batched replay equals the independent in-memory oracle fold") {
+    val all = Generator.events(spark, 8000, numConvs = 30, turnsPerConv = 8, seed = 11)
+      .as[ChangeEvent].collect().toSeq
+    val oracle = Generator.oracleFold(all)
+      .map { case (k, e) => k -> ((e.text, e.seq)) }
+
+    val table = new LakeTable(tmpDir("merge-golden"), numBuckets = 8)
+    // apply in 5 arrival-order batches
+    val sorted = all.sortBy(_.seq)
+    sorted.grouped(1600).zipWithIndex.foreach { case (chunk, i) =>
+      val df = spark.createDataset(chunk).toDF()
+      MergeApplier.applyBatch(spark, table, df, "t", i.toLong)
+    }
+    assert(finalState(table) == oracle)
+  }
+
+  test("golden: out-of-order batch split converges to the same state") {
+    val all = Generator.events(spark, 6000, numConvs = 25, turnsPerConv = 6, seed = 23)
+      .as[ChangeEvent].collect().toSeq
+    val oracle = Generator.oracleFold(all).map { case (k, e) => k -> ((e.text, e.seq)) }
+
+    val table = new LakeTable(tmpDir("merge-ooo"), numBuckets = 8)
+    // pathological order: batches sliced by ts DESC — every batch is "late"
+    val sorted = all.sortBy(e => (-e.ts.getTime, -e.seq))
+    sorted.grouped(1500).zipWithIndex.foreach { case (chunk, i) =>
+      MergeApplier.applyBatch(spark, table, spark.createDataset(chunk).toDF(), "t", i.toLong)
+    }
+    assert(finalState(table) == oracle)
+  }
+
+  test("idempotence: re-applying a committed batchId is a no-op") {
+    val table = new LakeTable(tmpDir("merge-idem"), numBuckets = 4)
+    val b = spark.createDataset(Seq(
+      ev("c1", 0, "hello", "2025-01-01 00:00:00", "insert", 1),
+      ev("c1", 1, "world", "2025-01-01 00:00:01", "insert", 2))).toDF()
+    val r1 = MergeApplier.applyBatch(spark, table, b, "w", 0L)
+    assert(!r1.skipped && r1.batchRows == 2)
+    val v1 = table.currentSnapshot().get.version
+    val r2 = MergeApplier.applyBatch(spark, table, b, "w", 0L)
+    assert(r2.skipped)
+    assert(table.currentSnapshot().get.version == v1)
+    assert(table.read(spark).count() == 2)
+    // a different writer with the same batchId is NOT deduped (per-writer ledger)
+    val r3 = MergeApplier.applyBatch(spark, table, b, "w2", 0L)
+    assert(!r3.skipped)
+    assert(table.read(spark).count() == 2) // same keys, LWW keeps one copy
+  }
+
+  test("tombstone: stale insert after delete does not resurrect the turn") {
+    val table = new LakeTable(tmpDir("merge-tomb"), numBuckets = 4)
+    val b0 = spark.createDataset(Seq(
+      ev("c1", 0, "v1", "2025-01-01 00:00:00", "insert", 1))).toDF()
+    MergeApplier.applyBatch(spark, table, b0, "w", 0L)
+    val b1 = spark.createDataset(Seq(
+      ev("c1", 0, null, "2025-01-01 00:00:10", "delete", 2))).toDF()
+    MergeApplier.applyBatch(spark, table, b1, "w", 1L)
+    assert(table.read(spark).count() == 0)
+    // late batch carries an OLDER insert for the same key
+    val b2 = spark.createDataset(Seq(
+      ev("c1", 0, "stale", "2025-01-01 00:00:05", "insert", 3))).toDF()
+    MergeApplier.applyBatch(spark, table, b2, "w", 2L)
+    assert(table.read(spark).count() == 0, "stale insert must not resurrect")
+    // a genuinely NEWER insert does revive the key
+    val b3 = spark.createDataset(Seq(
+      ev("c1", 0, "fresh", "2025-01-01 00:00:20", "insert", 4))).toDF()
+    MergeApplier.applyBatch(spark, table, b3, "w", 3L)
+    assert(finalState(table) == Map(("c1", 0) -> (("fresh", 4L))))
+  }
+
+  test("compaction drops old tombstones, preserves live rows") {
+    val table = new LakeTable(tmpDir("merge-compact"), numBuckets = 4)
+    val b = spark.createDataset(Seq(
+      ev("c1", 0, "keep", "2025-01-01 00:00:00", "insert", 1),
+      ev("c1", 1, null, "2025-01-01 00:00:00", "delete", 2))).toDF()
+    MergeApplier.applyBatch(spark, table, b, "w", 0L)
+    assert(table.readRaw(spark).count() == 2) // live + tombstone
+    MergeApplier.compact(spark, table, ts("2025-06-01 00:00:00"))
+    assert(table.readRaw(spark).count() == 1)
+    assert(finalState(table) == Map(("c1", 0) -> (("keep", 1L))))
+  }
+
+  test("additive schema evolution: v1 events (no tool) then v2 events widen the table") {
+    val table = new LakeTable(tmpDir("merge-evolve"), numBuckets = 4)
+    val v1 = spark.createDataset(Seq(
+      ev("c1", 0, "old", "2025-01-01 00:00:00", "insert", 1))).toDF().drop("tool")
+    MergeApplier.applyBatch(spark, table, v1, "w", 0L)
+    assert(!table.currentSnapshot().get.schema.fieldNames.contains("tool"))
+
+    val v2 = spark.createDataset(Seq(
+      ev("c2", 0, "new", "2025-01-01 00:00:01", "insert", 2, tool = Some("search")),
+      ev("c2", 1, "new2", "2025-01-01 00:00:02", "insert", 3))).toDF()
+    MergeApplier.applyBatch(spark, table, v2, "w", 1L)
+    val out = table.read(spark)
+    assert(out.schema.fieldNames.contains("tool"))
+    val rows = out.collect().map(r =>
+      (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx")) -> r.getAs[String]("tool")).toMap
+    // old rows read back with null tool; new rows carry it
+    assert(rows(("c1", 0)) == null)
+    assert(rows(("c2", 0)) == "search")
+    assert(rows(("c2", 1)) == null)
+    // non-additive change (type flip) is rejected
+    intercept[IllegalArgumentException] {
+      Model.mergeSchemas(table.currentSnapshot().get.schema,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("turn_idx",
+            org.apache.spark.sql.types.StringType))))
+    }
+  }
+
+  test("lineage: snapshot records per-bucket rows, metrics, and ledger") {
+    val table = new LakeTable(tmpDir("merge-lineage"), numBuckets = 4)
+    val b = spark.createDataset((0 until 100).map(i =>
+      ev(s"c${i % 7}", i % 5, s"t$i", f"2025-01-01 00:${i % 60}%02d:00", "insert", i.toLong))).toDF()
+    MergeApplier.applyBatch(spark, table, b, "w", 0L)
+    val s = table.currentSnapshot().get
+    assert(s.committed == Map("w" -> 0L))
+    assert(s.totalRows == table.read(spark).count() + 0) // no tombstones here
+    assert(s.bucketRows.values.sum == s.totalRows)
+    assert(s.metrics("deletes") == 0L)
+    assert(s.metrics("batchRows") > 0L)
+  }
+}
