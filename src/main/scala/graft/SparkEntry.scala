@@ -1,7 +1,9 @@
 package graft
 
 import graft.changelog.Changelog
-import graft.operators.Lww
+import graft.functions.{Grel, Rml, Text}
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Lww, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -118,7 +120,110 @@ object SparkEntry {
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
-    }))
+    }),
+
+    // U1/U2: set operations (union-distinct + except).
+    "q_set_ops" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      def users(t: String) = ev.filter(col("event_type") === t).select("user_id")
+      users("click").union(users("signup")).distinct()
+        .except(users("error"))
+    }),
+
+    // U1 schema evolution: v1 slice (no tool) ∪ v2 slice via unionByName.
+    "q_union_evolution" -> ((s, dir) => {
+      val cl = changelog(s, dir)
+      val v1 = cl.filter(col("seq") % 2 === 0).drop("tool")
+      val v2 = cl.filter(col("seq") % 2 === 1)
+      v1.unionByName(v2, allowMissingColumns = true)
+    }),
+
+    // §2.8 scalar surface: RML/GREL functions over orders.
+    "q_scalar_fns" -> ((s, dir) =>
+      table(s, dir, "orders").select(
+        col("o_orderkey"),
+        Rml.generateHashedIri("urn:order:",
+          col("o_orderkey").cast("string"), col("o_orderstatus")).as("iri"),
+        Rml.normalizeDate(date_format(col("o_orderdate"), "yyyy")).as("year_norm"),
+        Grel.toUppercase(col("o_orderpriority")).as("pri_upper"),
+        Grel.slice(col("o_orderpriority"), 0, 1).as("pri_first"),
+        Grel.strLength(col("o_orderpriority")).cast("long").as("pri_len"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        Grel.md5Col(col("o_orderpriority")).as("pri_md5"),
+        Grel.containsCol(col("o_orderpriority"), "URGENT").as("is_urgent"))),
+
+    // N4-style JSON extraction + cast-with-placeholder validation mode.
+    "cdc_props_extract" -> ((s, dir) =>
+      table(s, dir, "events").select(
+        col("event_id"),
+        Rml.castWithPlaceholder(get_json_object(col("props"), "$.k"),
+          org.apache.spark.sql.types.IntegerType, 0).as("k_val"))),
+
+    // --- training-data curation ops (documents / embeddings tables) ------
+
+    "dedup_exact" -> ((s, dir) => Dedup.exact(table(s, dir, "documents"))),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3,
+        minJaccard = 0.8, maxDocFreq = 1000000)),
+
+    // rows-only (approximate recall by construction; precision exact):
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(table(s, dir, "documents"), n = 3,
+        numHashes = 64, bands = 16, minJaccard = 0.7)),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(table(s, dir, "documents"), maxHamming = 3)),
+
+    "text_stats" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(Text.meanTokenLen(col("text")), 4).as("mean_token_len"),
+        round(Text.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(Text.alphaRatio(col("text")), 6).as("alpha_ratio"))),
+
+    "text_langid" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"), Text.langIdHeuristic(col("text")).as("lang_pred"))),
+
+    "text_quality" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"), Text.qualityScore(col("text")).as("quality"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"), Text.fingerprint(col("text"), 3).as("fingerprint"))),
+
+    "embed_label_stats" -> ((s, dir) =>
+      table(s, dir, "embeddings")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg(element_at(col("embedding"), 1).cast("double")), 5).as("avg_dim0"))),
+
+    // ANN: brute-force cosine top-5 for the 8 lowest vec_ids as queries.
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      Similarity.bruteForceTopK(emb, queries, k = 5)
+    }),
+    // rows-only scale path:
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+    }),
+    // threshold 0.35: the synthetic embeddings are near-orthogonal (max
+    // pairwise cosine ≈0.46), so a realistic 0.95 cutoff would be vacuous;
+    // 0.35 exercises the band-join + verify path non-trivially.
+    "embed_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairs(table(s, dir, "embeddings"),
+        minCos = 0.35, bands = 16, bitsPerBand = 6)),
+
+    // multimodal plumbing: binary payload + typed metadata through the
+    // partition-local (stubbed) codec; hash-free columns oracle-checked.
+    "mm_features_meta" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.syntheticCorpus(s, dir))
+        .toDF().select("media_id", "kind", "n_bytes", "checksum")))
 
   private val C = Changelog.DuckDbCte
 
@@ -188,5 +293,143 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         |  FROM orders) t
-        |WHERE rk <= 3""".stripMargin)
+        |WHERE rk <= 3""".stripMargin,
+
+    "q_set_ops" ->
+      """(SELECT user_id FROM events WHERE event_type = 'click'
+        | UNION SELECT user_id FROM events WHERE event_type = 'signup')
+        |EXCEPT SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "q_union_evolution" ->
+      s"""$C SELECT conv_id, turn_idx, role, text, CAST(NULL AS VARCHAR) AS tool,
+         |  ts, op, seq FROM changelog WHERE seq % 2 = 0
+         |UNION ALL
+         |SELECT conv_id, turn_idx, role, text, tool, ts, op, seq
+         |FROM changelog WHERE seq % 2 = 1""".stripMargin,
+
+    "q_scalar_fns" ->
+      """SELECT o_orderkey,
+        |  'urn:order:' || sha256(CAST(o_orderkey AS VARCHAR) || '_' || o_orderstatus) AS iri,
+        |  strftime(o_orderdate, '%Y') || '-01-01' AS year_norm,
+        |  UPPER(o_orderpriority) AS pri_upper,
+        |  SUBSTRING(o_orderpriority, 1, 1) AS pri_first,
+        |  LENGTH(o_orderpriority) AS pri_len,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  md5(o_orderpriority) AS pri_md5,
+        |  contains(o_orderpriority, 'URGENT') AS is_urgent
+        |FROM orders""".stripMargin,
+
+    "cdc_props_extract" ->
+      """SELECT event_id,
+        |  COALESCE(TRY_CAST(props->>'$.k' AS INT), 0) AS k_val
+        |FROM events""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |  FROM words WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle FROM idx),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b,
+        |  ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.8""".stripMargin,
+
+    "text_stats" ->
+      """SELECT doc_id,
+        |  LENGTH(text) AS n_chars_calc,
+        |  CASE WHEN LENGTH(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  ROUND(CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+        |    GREATEST(CASE WHEN LENGTH(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1), 4) AS mean_token_len,
+        |  ROUND(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) /
+        |    GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
+        |  ROUND(CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
+        |    GREATEST(LENGTH(text), 1), 6) AS alpha_ratio
+        |FROM documents""".stripMargin,
+
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),
+        |sc AS (SELECT doc_id,
+        |  (CASE WHEN contains(s, ' the ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(s, ' and ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(s, ' of ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(s, ' is ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(s, ' with ') THEN 1 ELSE 0 END) AS en,
+        |  (CASE WHEN contains(s, ' el ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(s, ' la ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(s, ' los ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(s, ' que ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(s, ' con ') THEN 1 ELSE 0 END) AS es,
+        |  (CASE WHEN contains(s, ' le ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(s, ' les ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(s, ' des ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(s, ' est ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(s, ' avec ') THEN 1 ELSE 0 END) AS fr,
+        |  (CASE WHEN contains(s, ' der ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(s, ' die ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(s, ' und ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(s, ' ist ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(s, ' mit ') THEN 1 ELSE 0 END) AS de,
+        |  CASE WHEN regexp_matches(s, '[\x{4e00}-\x{9fff}]') THEN 10 ELSE 0 END AS zh
+        |FROM t)
+        |SELECT doc_id, CASE
+        |  WHEN zh >= en AND zh >= es AND zh >= fr AND zh >= de THEN 'zh'
+        |  WHEN fr >= en AND fr >= es AND fr >= de AND fr >= zh THEN 'fr'
+        |  WHEN es >= en AND es >= fr AND es >= de AND es >= zh THEN 'es'
+        |  WHEN en >= es AND en >= fr AND en >= de AND en >= zh THEN 'en'
+        |  ELSE 'de' END AS lang_pred
+        |FROM sc""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |  FROM words WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS shingle FROM idx),
+        |f AS (SELECT doc_id, MIN(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id)
+        |SELECT d.doc_id, f.fingerprint FROM documents d
+        |LEFT JOIN f ON d.doc_id = f.doc_id""".stripMargin,
+
+    "embed_label_stats" ->
+      """SELECT label, COUNT(*) AS n,
+        |  ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 5) AS avg_dim0
+        |FROM embeddings GROUP BY label""".stripMargin,
+
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, ROUND(cos, 4) AS cosine, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, vec_id ASC) AS rank FROM scored) t
+        |WHERE rank <= 5""".stripMargin,
+
+    "mm_features_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS kind,
+        |  strlen(text) AS n_bytes,
+        |  md5(text) AS checksum
+        |FROM documents""".stripMargin)
 }

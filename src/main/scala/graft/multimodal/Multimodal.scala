@@ -1,0 +1,78 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as opaque
+  * `binary` columns with a typed metadata struct, and run decode /
+  * feature-extract / frame-sample stages as partition-local batch transforms.
+  *
+  * The actual codec step is STUBBED ([[FakeCodec]] — image/audio libraries
+  * are not available in this environment); everything Spark-cares-about is
+  * real and tested: schema, binary column handling, partition-local batched
+  * execution (`mapPartitions` over a typed Dataset — the Scala analog of
+  * `mapInPandas` batches), deterministic partitioning by content hash, and
+  * pushdown-friendly metadata columns kept OUTSIDE the blob so scans that
+  * only need width/height/duration never touch bytes.
+  */
+object Multimodal {
+
+  final case class MediaMeta(kind: String, width: Int, height: Int,
+      durationMs: Long, codec: String)
+  final case class MediaRow(media_id: Long, meta: MediaMeta, payload: Array[Byte])
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+      checksum: String, histogram: Array[Long], frames_sampled: Int)
+
+  /** Deterministic synthetic media corpus derived from the documents table:
+    * payload = utf-8 bytes of the text (a stand-in blob), metadata derived
+    * from stable hashes. Real pipelines replace this source with
+    * `spark.read.format("binaryFile")` — the downstream stages are unchanged.
+    */
+  def syntheticCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.select(
+      col("doc_id").as("media_id"),
+      struct(
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+        (pmod(xxhash64(col("doc_id"), lit(1)), lit(1920)) + 64).cast("int").as("width"),
+        (pmod(xxhash64(col("doc_id"), lit(2)), lit(1080)) + 64).cast("int").as("height"),
+        (pmod(xxhash64(col("doc_id"), lit(3)), lit(600000)) + 1000).as("durationMs"),
+        lit("fake/v1").as("codec")).as("meta"),
+      encode(col("text"), "UTF-8").as("payload"))
+  }
+
+  /** The stubbed codec: a real implementation would decode `payload` with an
+    * image/audio library here. The fake is DETERMINISTIC (byte histogram +
+    * md5) so tests can assert exact outputs; the partition-batch shape —
+    * iterate a partition, reuse buffers, emit one row per blob — is exactly
+    * what a libjpeg/ffmpeg binding would use.
+    */
+  object FakeCodec {
+    def extract(r: MediaRow, frameEveryMs: Long): MediaFeatures = {
+      val hist = new Array[Long](16)
+      var i = 0
+      while (i < r.payload.length) { hist((r.payload(i) & 0xFF) % 16) += 1; i += 1 }
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.payload).map("%02x".format(_)).mkString
+      val frames = math.max(1L, r.meta.durationMs / frameEveryMs).toInt
+      MediaFeatures(r.media_id, r.meta.kind, r.payload.length.toLong, digest,
+        hist, frames)
+    }
+  }
+
+  /** Decode + feature-extract as a partition-local batch stage. Repartitions
+    * by content hash first so blob sizes spread evenly (skew guard for mixed
+    * small-image / long-video corpora).
+    */
+  def extractFeatures(media: DataFrame, frameEveryMs: Long = 40L,
+      partitions: Int = 0): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val balanced = if (partitions > 0)
+      media.repartition(partitions, xxhash64(col("media_id"))) else media
+    balanced.as[MediaRow].mapPartitions { it =>
+      it.map(r => FakeCodec.extract(r, frameEveryMs))
+    }
+  }
+}

@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data curation.
+  *
+  * Scale design: every variant is a shuffle-bounded DataFrame plan —
+  * no driver loops, no cartesian products.
+  *   - exact: one hash aggregation
+  *   - n-gram Jaccard: inverted-index self-join on shingles (pairs only ever
+  *     materialize for docs sharing a shingle), with a document-frequency cap
+  *     to drop stop-shingles (the classic skew guard at web scale)
+  *   - MinHash+LSH: signatures via expressions, banding join; candidates
+  *     verified with exact Jaccard so precision is 1.0 and only recall
+  *     depends on banding
+  *   - SimHash: 64-bit expression-only signature, near-dup = equal band keys
+  *     with Hamming-distance verification
+  */
+object Dedup {
+
+  /** Exact dedup: canonical (min id) representative per distinct text. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-document word shingles, de-duplicated, df-capped.
+    * Returns (id, shingle) pairs — the inverted-index input.
+    */
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      maxDocFreq: Int): DataFrame = {
+    val pairs = docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(Text.wordShingles(col(textCol), n))).as("shingle"))
+    // stop-shingle guard: a shingle in >maxDocFreq docs creates O(df^2) pairs
+    // — drop it (it carries no dedup signal anyway).
+    val df = pairs.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+    pairs.join(broadcast(df.select("shingle")), Seq("shingle"))
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs (similarity ≥ minJaccard),
+    * via inverted-index self-join: |A∩B| from the shingle join, |A|,|B| from
+    * per-doc shingle counts. Emits (id_a < id_b, jaccard).
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, minJaccard: Double = 0.8,
+      maxDocFreq: Int = 1000): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n, maxDocFreq)
+    val sizes = idx.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = idx.as("a").join(idx.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature: k independent permutations approximated by seeded
+    * xxhash64; sig[i] = min over shingles of xxhash64(shingle, i). Pure
+    * expressions — whole-stage codegen, no UDF.
+    */
+  def minhashSignature(text: Column, n: Int = 3, numHashes: Int = 64): Column = {
+    val sh = Text.wordShingles(text, n)
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, s => xxhash64(s, i))))
+  }
+
+  /** MinHash+LSH near-dup pairs: band the signature (bands × rowsPerBand =
+    * numHashes), join docs sharing any band bucket, then VERIFY candidates
+    * with exact Jaccard — output precision is exact; banding only affects
+    * recall (P[candidate] = 1-(1-j^r)^b).
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, minJaccard: Double = 0.7,
+      maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = docs.select(col(idCol).as("id"), col(textCol).as("text"),
+      minhashSignature(col(textCol), n, numHashes).as("sig"))
+    val banded = sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(array_join(
+          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            v => v.cast("string")), "_"), b))).as(Seq("band", "bucket")))
+    // skew guard: drop pathological buckets (near-identical boilerplate floods)
+    val bucketSizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket && col("bsz") > 1)
+    val survivors = banded.join(bucketSizes.select("band", "bucket"), Seq("band", "bucket"))
+    val cand = survivors.as("a").join(survivors.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    // exact verification of candidates
+    val sh = docs.select(col(idCol).as("id"),
+      array_distinct(Text.wordShingles(col(textCol), n)).as("sh"))
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash, expression-only: per token-hash bit, sum ±1 over tokens;
+    * bit b of the signature = sign of the sum.
+    */
+  def simhash64(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, b) => a + when(call_function("getbit", h, b) === 1, 1).otherwise(-1))
+      })
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, b) => when(c > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** SimHash near-dup pairs: block on 4 16-bit bands (any equal band → two
+    * docs within Hamming distance 48 collide in ≥1 band; for distance ≤ 3 a
+    * band match is guaranteed by pigeonhole), verify Hamming ≤ maxHamming.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    val sig = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFF))).as(Seq("band", "key")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.sig").as("sig_a"),
+        col("b.id").as("id_b"), col("b.sig").as("sig_b")).distinct()
+    cand.withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

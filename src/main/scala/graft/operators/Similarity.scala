@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), expression-only (codegen'd — no UDFs).
+  *
+  * Baseline: brute-force cosine top-k against a (small, broadcast) query set
+  * — one pass over the corpus, no shuffle until the per-query top-k.
+  *
+  * Scale path: sign-random-projection LSH (SimHash for vectors): 8×
+  * deterministic pseudo-random hyperplanes per band from seeded xxhash64 →
+  * 8-bit bucket per band; candidates share a (band, bucket); exact cosine
+  * re-ranks candidates. Corpus side is computed once (write it as a bucketed
+  * table at 10^10 scale); query side probes only its buckets.
+  */
+object Similarity {
+
+  /** Exact cosine similarity between two float-array columns, accumulated in
+    * double, sequential order (bit-reproducible across engines).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Brute-force top-k: every corpus row scored against every query (queries
+    * broadcast), per-query window top-k. Deterministic tie-break on id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"),
+        col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 folded to ±1 — a Rademacher projection, which preserves cosine
+    * locality like a Gaussian one.
+    */
+  private def planeSign(plane: Column, dim: Column, seed: Int): Column =
+    when(pmod(xxhash64(plane, dim, lit(seed)), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Sign-random-projection bucket keys: `bands` keys of `bitsPerBand` sign
+    * bits each.
+    */
+  def srpKeys(vec: Column, bands: Int, bitsPerBand: Int, seed: Int = 42): Column =
+    transform(sequence(lit(0), lit(bands - 1)), band =>
+      aggregate(
+        sequence(lit(0), lit(bitsPerBand - 1)),
+        lit(0L),
+        (acc, bit) => {
+          val plane = band * bitsPerBand + bit
+          val proj = aggregate(
+            zip_with(vec, sequence(lit(0), size(vec) - 1),
+              (x, d) => x.cast("double") * planeSign(plane, d, seed)),
+            lit(0.0), (a, v) => a + v)
+          acc.bitwiseOR(when(proj > 0, call_function("shiftleft", lit(1L), bit))
+            .otherwise(lit(0L)))
+        }))
+
+  /** LSH ANN top-k: candidates = corpus rows sharing ≥1 (band, bucket) with
+    * the query, re-ranked by exact cosine. Returns ≤k rows per query (fewer
+    * when recall misses — that's the ANN tradeoff; raise bands to trade
+    * compute for recall).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      bands: Int = 8, bitsPerBand: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def keyed(df: DataFrame, id: String, v: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+          posexplode(srpKeys(col(vecCol), bands, bitsPerBand)).as(Seq("band", "bucket")))
+    val c = keyed(corpus, "vec_id", "cv")
+    val q = keyed(queries, "query_id", "qv")
+    val cand = c.join(q, Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "qv", "vec_id", "cv").distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cand.withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"),
+        col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: all corpus pairs with cosine ≥ minCos,
+    * found via SRP-LSH banding + exact verification (same precision-exact,
+    * recall-approximate contract as Dedup.minhashLshPairs).
+    */
+  def embeddingNearDupPairs(corpus: DataFrame, minCos: Double = 0.95,
+      bands: Int = 8, bitsPerBand: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val keyed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      posexplode(srpKeys(col(vecCol), bands, bitsPerBand)).as(Seq("band", "bucket")))
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.v").as("va"),
+        col("b.id").as("id_b"), col("b.v").as("vb")).distinct()
+    cand.withColumn("cosine", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("cosine") >= minCos)
+      .select("id_a", "id_b", "cosine")
+  }
+}

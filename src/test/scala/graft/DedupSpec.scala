@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 0
+    (2L, "completely different text about spark query engines and shuffles"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 0
+    (4L, "another unrelated document mentioning parquet files and buckets"),
+    (5L, "spark query engines and shuffles are described in different text here")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs).collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(out(0L) == 2) // docs 0 and 3
+    assert(out.values.sum == 6)
+  }
+
+  test("ngram jaccard finds the near-dup pair and not unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5,
+      maxDocFreq = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 3L))) // exact dup: jaccard 1.0
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("minhash LSH candidates ⊇ high-jaccard pairs; verified output matches exact") {
+    val exact = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.7, maxDocFreq = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, n = 3, numHashes = 64, bands = 32,
+      minJaccard = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 32 bands × 2 rows: recall at j≥0.7 is 1-(1-0.49)^32 ≈ 1.0
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs collide; near-dups closer than unrelated docs") {
+    val sig = docs.select($"doc_id", Dedup.simhash64($"text").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) == sig(3L))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+    // long docs: one token changed out of ~60 stays hamming-close (simhash
+    // needs token mass for the per-bit majority vote to be stable)
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok30", "changed")
+    val far = (0 until 60).map(i => s"other$i").mkString(" ")
+    val longDocs = Seq((10L, base), (11L, near), (12L, far)).toDF("doc_id", "text")
+    val s2 = longDocs.select($"doc_id", Dedup.simhash64($"text").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(s2(10L), s2(11L)) < hamming(s2(10L), s2(12L)))
+    assert(hamming(s2(10L), s2(11L)) <= 16)
+  }
+
+  test("simhash is deterministic across evaluations") {
+    val a = docs.select(Dedup.simhash64($"text")).collect().map(_.getLong(0)).toSeq
+    val b = docs.repartition(3).select(Dedup.simhash64($"text")).collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(a.sorted == b)
+  }
+
+  test("stop-shingle df cap drops flooding shingles") {
+    // 20 docs all sharing one boilerplate shingle + unique tails
+    val flood = (0 until 20).map(i =>
+      (i.toLong, s"shared boiler plate unique$i tail$i words$i")).toDF("doc_id", "text")
+    val withCap = Dedup.ngramJaccardPairs(flood, n = 3, minJaccard = 0.1, maxDocFreq = 5)
+    // 'shared boiler plate' appears in 20 docs > cap 5 → dropped → no pair
+    // reaches jaccard 0.1 from the remaining unique shingles
+    assert(withCap.count() == 0)
+  }
+}

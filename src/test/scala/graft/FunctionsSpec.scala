@@ -1,0 +1,119 @@
+package graft
+
+import graft.functions.{Grel, Rml, Text}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+class FunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    spark.range(1).select(c).collect().head.getAs[T](0)
+
+  test("normalizeDate pads partial ISO dates (RmlFunctions.java:138-161 semantics)") {
+    val df = Seq("2020", "2020-05", "20200517", "2020-05-17", "garbage")
+      .toDF("d").select(Rml.normalizeDate($"d").as("n"))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("2020-01-01", "2020-05-01", "2020-05-17", "2020-05-17", "garbage"))
+  }
+
+  test("normalizeUnixDate: days since epoch") {
+    val got = Seq(0, 19000).toDF("d")
+      .select(Rml.normalizeUnixDate($"d").cast("string")).collect()
+      .map(_.getString(0)).toSeq
+    assert(got == Seq("1970-01-01", "2022-01-08"))
+  }
+
+  test("epochTimeToDateTime: epoch millis and literal formats") {
+    val got = Seq("1577836800000", "2020-01-01T00:00:00", "2020-01-01", "nope")
+      .toDF("v").select(Rml.epochTimeToDateTime($"v").cast("string")).collect()
+      .map(_.getString(0)).toSeq
+    assert(got(0) == "2020-01-01 00:00:00")
+    assert(got(1) == "2020-01-01 00:00:00")
+    assert(got(2) == "2020-01-01 00:00:00")
+    assert(got(3) == null)
+  }
+
+  test("generateHashedIri: sha256 of joined params, null-safe") {
+    val df = Seq(("a", "b")).toDF("x", "y")
+    val iri = df.select(Rml.generateHashedIri("urn:x:", $"x", $"y")).collect().head.getString(0)
+    val expected = "urn:x:" + java.security.MessageDigest.getInstance("SHA-256")
+      .digest("a_b".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(iri == expected)
+  }
+
+  test("generateIRIWithSplit flattens, trims, prefixes") {
+    val df = Seq(Seq("a; b", "c")).toDF("arr")
+    val got = df.select(Rml.generateIriWithSplit($"arr", ";", "urn:")).collect()
+      .head.getSeq[String](0)
+    assert(got == Seq("urn:a", "urn:b", "urn:c"))
+  }
+
+  test("cast validation modes (ValidatingValueFactory semantics)") {
+    val df = Seq("42", "bad").toDF("v")
+    val ph = df.select(Rml.castWithPlaceholder($"v", IntegerType, 0)).collect()
+      .map(_.getInt(0)).toSeq
+    assert(ph == Seq(42, 0)) // invalid int → placeholder "0"
+    val fb = df.select(Rml.castWithStringFallback($"v", IntegerType)).collect()
+      .map(_.getString(0)).toSeq
+    assert(fb == Seq("42", "bad")) // fallback-to-string keeps raw
+  }
+
+  test("GREL string functions") {
+    val df = Seq("Hello World").toDF("s")
+    val got = df.select(
+      Grel.slice($"s", 0, 5), Grel.getChar($"s", 6), Grel.indexOfCol($"s", "World"),
+      Grel.chomp($"s", "World"), Grel.replaceChars($"s", "lo", "01")).collect().head
+    assert(got.getString(0) == "Hello")
+    assert(got.getString(1) == "W")
+    assert(got.getInt(2) == 6)
+    assert(got.getString(3) == "Hello ")
+    assert(got.getString(4) == "He001 W1r0d") // translate: l→0, o→1
+  }
+
+  test("GREL partition parts") {
+    val df = Seq("key=value=more", "nosep").toDF("s")
+    val (b, sep, a) = Grel.partitionParts($"s", "=")
+    val rows = df.select(b, sep, a).collect()
+    assert((rows(0).getString(0), rows(0).getString(1), rows(0).getString(2)) ==
+      (("key", "=", "value=more")))
+    assert((rows(1).getString(0), rows(1).getString(1), rows(1).getString(2)) ==
+      (("nosep", null, null)))
+  }
+
+  test("text token counts and shingles") {
+    val df = Seq("the quick  brown fox", "", "ab").toDF("t")
+    val toks = df.select(Text.tokenCount($"t")).collect().map(_.getInt(0)).toSeq
+    assert(toks == Seq(4, 0, 1))
+    val sh = df.select(Text.wordShingles($"t", 2)).collect().head.getSeq[String](0)
+    assert(sh == Seq("the quick", "quick brown", "brown fox"))
+    val ch = df.select(Text.charShingles($"t", 3)).limit(1).collect().head.getSeq[String](0)
+    assert(ch.head == "the" && ch.forall(_.length == 3))
+  }
+
+  test("langid heuristic picks obvious languages") {
+    val df = Seq(
+      "the cat and the dog is with us",
+      "el gato que vive con los perros",
+      "der hund ist mit der katze und",
+      "这 是 中文 文本").toDF("t")
+    val got = df.select(Text.langIdHeuristic($"t")).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("en", "es", "de", "zh"))
+  }
+
+  test("quality score is in [0,1] and favors real text over junk") {
+    val df = Seq(
+      "The quick brown fox jumps over the lazy dog and runs to the river with a friend of the pack.",
+      "!!! ??? ,,, ... ;;; !!!").toDF("t")
+    val got = df.select(Text.qualityScore($"t")).collect().map(_.getDouble(0)).toSeq
+    assert(got.forall(q => q >= 0.0 && q <= 1.0))
+    assert(got(0) > got(1))
+  }
+
+  test("fingerprint: equal texts equal, different texts differ") {
+    val df = Seq("a b c d e", "a b c d e", "x y z w v").toDF("t")
+    val fp = df.select(Text.fingerprint($"t")).collect().map(_.getString(0)).toSeq
+    assert(fp(0) == fp(1))
+    assert(fp(0) != fp(2))
+  }
+}

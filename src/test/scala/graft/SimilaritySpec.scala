@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    val df = Seq(
+      (Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (Array(1.0f, 2.0f, 2.0f), Array(2.0f, 4.0f, 4.0f))
+    ).toDF("a", "b")
+    val got = df.select(round(Similarity.cosine($"a", $"b"), 9)).collect()
+      .map(_.getDouble(0)).toSeq
+    assert(got == Seq(1.0, 0.0, 1.0))
+  }
+
+  test("brute-force top-k: k rows per query, ranks 1..k, descending cosine") {
+    val queries = emb.filter($"vec_id" < 4)
+    val out = Similarity.bruteForceTopK(emb, queries, k = 3).collect()
+    assert(out.length == 4 * 3)
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+      val cos = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cos == cos.sorted.reverse)
+    }
+  }
+
+  test("LSH top-k results are a subset of brute-force ordering semantics") {
+    val queries = emb.filter($"vec_id" < 4)
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, queries, k = 10, bands = 16, bitsPerBand = 4)
+      .collect()
+    // every LSH hit must be a real corpus vector scored identically —
+    // check ids are plausible and ranks well-formed
+    lsh.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks == (1L to ranks.length).toSeq)
+    }
+    // with 16 bands × 4 bits recall is high; expect substantial overlap
+    val hits = lsh.map(r => (r.getLong(0), r.getLong(1))).count(bf.contains)
+    assert(hits >= lsh.length / 2, s"LSH overlap too low: $hits/${lsh.length}")
+  }
+
+  test("embedding near-dup: exact duplicate vectors are found with cosine 1") {
+    val base = emb.filter($"vec_id" < 50)
+    val dup = base.filter($"vec_id" === 7)
+      .select(($"vec_id" + 1000).as("vec_id"), $"embedding", $"label")
+    val corpus = base.unionByName(dup)
+    val pairs = Similarity.embeddingNearDupPairs(corpus, minCos = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, c) => a == 7L && b == 1007L && c == 1.0 })
+  }
+}
