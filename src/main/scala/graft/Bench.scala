@@ -1,24 +1,131 @@
 package graft
+
+import graft.changelog.Generator
+import graft.operators.MergeApplier
+import graft.streaming.CdcStream
+import graft.table.LakeTable
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark. Prints ONE JSON line:
+  * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
+  *  "cdc":{...},"scaling":{...}}
+  *
+  * Three sections:
+  *   - queries: wall-time of every SparkEntry query on SPARK_GRAFT_SF_DIR
+  *   - cdc: the headline BASELINE.json metric — cold-start replay and
+  *     sustained streaming-tail apply throughput (change-events/sec) over a
+  *     synthetic changelog (zipf skew, out-of-order, deletes)
+  *   - scaling: the same replay job at local[8] vs local[4×8], reporting
+  *     throughput at both and efficiency = T8 / (4 × T32-per-core) — the
+  *     sandbox evidence for the N→4N ≥ 0.8 scaling rule (no real cluster
+  *     here; see BENCH.md for method)
+  *
+  * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+  * SPARK_GRAFT_BENCH_EVENTS (default 5,000,000), SPARK_GRAFT_SCALING=0 to
+  * skip the scaling section (used while iterating).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+  private def session(cores: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** The scaling workload: full cold-start replay (scan → LWW shuffle →
+    * bucketed write → commit) of a pre-generated parquet changelog.
+    */
+  private def replayJob(spark: SparkSession, changelogDir: String): Long = {
+    val table = new LakeTable(tmp("bench-table"), numBuckets = 64)
+    val changelog = spark.read
+      .schema(graft.model.Model.changeEventSchema).parquet(changelogDir)
+    MergeApplier.replayFull(spark, table, changelog).batchRows
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "5000000").toLong
+    val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
+    val lowCores = math.max(1, cpus / 4)
+
+    // ---- prepare shared synthetic changelog (excluded from timings) ----
+    val prep = session(cpus)
+    val changelogDir = tmp("bench-changelog")
+    val numConvs = math.max(1000, (benchEvents / 200).toInt)
+    Generator.events(prep, benchEvents, numConvs, turnsPerConv = 25, seed = 1234)
+      .write.mode("overwrite").parquet(changelogDir)
+    val warmupDir = tmp("bench-warmup")
+    Generator.events(prep, benchEvents / 10, numConvs / 10, turnsPerConv = 25, seed = 99)
+      .write.mode("overwrite").parquet(warmupDir)
+    // tail input: 10 chunks in arrival order
+    val tailDir = tmp("bench-tail")
+    Generator.writeChangelog(prep, tailDir, benchEvents / 2, numConvs,
+      turnsPerConv = 25, numFiles = 10, seed = 555)
+    prep.stop()
+
+    // ---- scaling: identical replay at N and 4N cores ----
+    var scalingJson = "null"
+    if (doScaling) {
+      val sLow = session(lowCores)
+      replayJob(sLow, warmupDir) // JIT/codegen warmup
+      val (_, tLow) = timed(replayJob(sLow, changelogDir))
+      sLow.stop()
+      val sHigh = session(cpus)
+      replayJob(sHigh, warmupDir)
+      val (_, tHigh) = timed(replayJob(sHigh, changelogDir))
+      sHigh.stop()
+      val thrLow = benchEvents / tLow
+      val thrHigh = benchEvents / tHigh
+      val eff = thrHigh / (thrLow * (cpus.toDouble / lowCores))
+      scalingJson = f"""{"cores_low":$lowCores,"cores_high":$cpus,"sec_low":$tLow%.2f,"sec_high":$tHigh%.2f,"eventsPerSec_low":${thrLow.toLong},"eventsPerSec_high":${thrHigh.toLong},"efficiency":$eff%.3f}"""
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- main session: CDC throughput + query sweep ----
+    val spark = session(cpus)
+    replayJob(spark, warmupDir) // warmup
+
+    val (replayRows, replaySec) = timed(replayJob(spark, changelogDir))
+    val replayThr = (benchEvents / replaySec).toLong
+
+    val tailTable = new LakeTable(tmp("bench-tail-table"), numBuckets = 64)
+    val (_, tailSec) = timed {
+      CdcStream.runAvailableNow(spark, tailDir, tailTable, tmp("bench-tail-ckpt"),
+        maxFilesPerTrigger = 1)
+    }
+    val tailEvents = benchEvents / 2
+    val tailThr = (tailEvents / tailSec).toLong
+    val cdcJson = f"""{"replayEvents":$benchEvents,"replaySec":$replaySec%.2f,"replayEventsPerSec":$replayThr,"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":10,"tailSec":$tailSec%.2f,"tailEventsPerSec":$tailThr}"""
+
+    // ---- query sweep (one warmup pass, then timed) ----
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => }
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (_, sec) = timed {
+        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      }
+      name -> sec
+    }
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdcJson,"scaling":$scalingJson}""")
     spark.stop()
   }
 }
