@@ -29,6 +29,12 @@ object Cli {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // bypass-merge shuffle writer opens maps*reducers concurrent streams
+      // (2048 at 32 cores / 64 buckets) and collapses into kernel-time
+      // contention on this host; the serialized sort writer keeps one
+      // spill file per map task.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "8")
+      .config("spark.shuffle.file.buffer", "1m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -83,24 +83,34 @@ object Dedup {
       bands: Int = 16, minJaccard: Double = 0.7,
       maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = docs.select(col(idCol).as("id"), col(textCol).as("text"),
-      minhashSignature(col(textCol), n, numHashes).as("sig"))
+    // Materialize (shingles, signature) ONCE: the plan below consumes this
+    // relation from 4 branches (bucket sizing, both sides of the candidate
+    // self-join, exact verification); without truncation Catalyst would
+    // re-evaluate the expensive signature expressions per branch. At cluster
+    // scale this materialization is the natural "signature table" write.
+    val sigRaw = docs.select(col(idCol).as("id"),
+      array_distinct(Text.wordShingles(col(textCol), n)).as("sh"))
+      .withColumn("sig",
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          i => array_min(transform(col("sh"), s => xxhash64(s, i)))))
+    val sig = sigRaw.localCheckpoint(true)
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(array_join(
           transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
             v => v.cast("string")), "_"), b))).as(Seq("band", "bucket")))
+      .localCheckpoint(true)
     // skew guard: drop pathological buckets (near-identical boilerplate floods)
     val bucketSizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket && col("bsz") > 1)
-    val survivors = banded.join(bucketSizes.select("band", "bucket"), Seq("band", "bucket"))
+    val survivors = banded.join(broadcast(bucketSizes.select("band", "bucket")),
+      Seq("band", "bucket"))
     val cand = survivors.as("a").join(survivors.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     // exact verification of candidates
-    val sh = docs.select(col(idCol).as("id"),
-      array_distinct(Text.wordShingles(col(textCol), n)).as("sh"))
+    val sh = sig.select(col("id"), col("sh"))
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")

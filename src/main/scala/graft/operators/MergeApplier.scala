@@ -69,59 +69,79 @@ object MergeApplier {
     }
 
     val (aligned, mergedSchema) = evolve(table, batch)
-    val withBucket = aligned.withColumn("__bucket", table.bucketCol)
-
-    // Within-batch LWW dedup first: shrinks the merge input and the touched-
-    // bucket set before anything heavy runs. Persisted: it feeds the
-    // touched-bucket probe, the merge, and the stats agg.
-    val deduped = Lww.latestByKeyAgg(withBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // ≤ numBuckets ints + batch stats in one driver-safe action.
-    val probe = deduped.groupBy("__bucket")
-      .agg(count(lit(1)).as("n"),
-        count(when(col("op") === Model.OpDelete, 1)).as("d"))
-      .collect()
-    val touched: Set[Int] = probe.map(_.getInt(0)).toSet
-    val batchRows = probe.map(_.getLong(1)).sum
-    val nDeletes = probe.map(_.getLong(2)).sum
-    if (touched.isEmpty) {
-      // Empty batch: nothing to make exactly-once — commit nothing (idle
-      // triggers must not churn snapshot versions). A replay of an empty
-      // batch is trivially idempotent.
-      deduped.unpersist()
-      return ApplyResult(skipped = false, snap.map(_.version).getOrElse(0L), 0, 0, 0, 0)
-    }
-
-    // Target side: ONLY the touched buckets' files are read (file pruning).
-    val target = snap match {
-      case Some(_) =>
-        Model.alignToSchema(table.readRaw(spark, Some(touched)), mergedSchema)
-          .withColumn("__bucket", table.bucketCol)
-      case None => deduped.limit(0)
-    }
-
-    // Cross-batch LWW over (existing rows ∪ new events). Tombstones
-    // participate: a delete with newer (ts, seq) wins and is RETAINED as a
-    // tombstone row so later stale inserts lose too.
-    val merged = Lww.latestByKeyAgg(target.unionByName(deduped))
-
     val version = snap.map(_.version).getOrElse(0L) + 1
     val outDir = table.commitDir(version, writerId, batchId)
-    merged
-      .withColumn("bucket", col("__bucket")).drop("__bucket")
-      .repartition(col("bucket")) // one shuffle → clustered files per bucket
-      .write.mode("overwrite") // overwrite: self-cleans a crashed attempt's dir
-      .partitionBy("bucket")
-      .parquet(outDir.toString)
+    val keyCols = Model.KeyCols.map(col)
 
-    deduped.unpersist()
+    // Shuffle-alignment trick: `bucket = pmod(hash(conv_id, turn_idx), N)`
+    // uses the SAME murmur3 as Spark's hashpartitioning, so an explicit
+    // repartition(N, key) (a) satisfies the LWW groupBy's clustering
+    // requirement -- Catalyst inserts NO second exchange for the agg -- and
+    // (b) leaves every output partition holding exactly one bucket, so the
+    // bucketed write needs no further shuffle. One exchange per pass, total.
+    def lwwByBucket(df: DataFrame): DataFrame =
+      Lww.latestByKeyAgg(df.repartition(table.numBuckets, keyCols: _*))
+
+    var batchRows = 0L
+    var nDeletes = 0L
+    var touchedCount = 0
+
+    snap match {
+      case None =>
+        // Cold start: no target to merge -- single pass, no persist, no probe.
+        lwwByBucket(aligned)
+          .withColumn("bucket", table.bucketCol)
+          .write.mode("overwrite") // overwrite self-cleans a crashed attempt
+          .partitionBy("bucket")
+          .parquet(outDir.toString)
+      case Some(_) =>
+        val withBucket = aligned.withColumn("__bucket", table.bucketCol)
+        // Within-batch LWW first: shrinks the merge input and the touched-
+        // bucket set. Persisted -- it feeds the probe and the merge.
+        val deduped = Lww.latestByKeyAgg(withBucket)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // <= numBuckets ints + batch stats in one driver-safe action.
+        val probe = deduped.groupBy("__bucket")
+          .agg(count(lit(1)).as("n"),
+            count(when(col("op") === Model.OpDelete, 1)).as("d"))
+          .collect()
+        val touched: Set[Int] = probe.map(_.getInt(0)).toSet
+        batchRows = probe.map(_.getLong(1)).sum
+        nDeletes = probe.map(_.getLong(2)).sum
+        touchedCount = touched.size
+        if (touched.isEmpty) {
+          // Empty batch: nothing to make exactly-once -- commit nothing (idle
+          // triggers must not churn snapshots); replay is trivially idempotent.
+          deduped.unpersist()
+          return ApplyResult(skipped = false, snap.map(_.version).getOrElse(0L), 0, 0, 0, 0)
+        }
+        // Target side: ONLY the touched buckets' files are read (file
+        // pruning). Cross-batch LWW over (existing UNION new); tombstones
+        // participate -- a delete with newer (ts, seq) wins and is RETAINED
+        // so later stale inserts lose too.
+        val target = Model.alignToSchema(table.readRaw(spark, Some(touched)), mergedSchema)
+        lwwByBucket(target.unionByName(deduped.drop("__bucket")))
+          .withColumn("bucket", table.bucketCol)
+          .write.mode("overwrite")
+          .partitionBy("bucket")
+          .parquet(outDir.toString)
+        deduped.unpersist()
+    }
+
     val newBucketFiles = table.listBucketFiles(outDir)
     val prevFiles = snap.map(_.files).getOrElse(Map.empty)
     val files = prevFiles ++ newBucketFiles // untouched buckets keep old files
     val prevRows = snap.map(_.bucketRows).getOrElse(Map.empty)
     val newRows = newBucketFiles.map { case (b, fs) => b -> table.footerRowCount(fs) }
     val bucketRows = prevRows ++ newRows
+    if (snap.isEmpty) {
+      // cold-start stats: totals from footers (free); tombstone count via one
+      // column-pruned, filter-pushed scan of the freshly written files
+      batchRows = newRows.values.sum
+      touchedCount = newBucketFiles.size
+      nDeletes = spark.read.parquet(outDir.toString)
+        .filter(col("op") === Model.OpDelete).count()
+    }
 
     val s = Snapshot(
       version = version,
@@ -134,11 +154,11 @@ object MergeApplier {
         "batchRows" -> batchRows,
         "upserts" -> (batchRows - nDeletes),
         "deletes" -> nDeletes,
-        "touchedBuckets" -> touched.size.toLong,
+        "touchedBuckets" -> touchedCount.toLong,
         "durationMs" -> (System.nanoTime() - t0) / 1000000),
       parentVersion = snap.map(_.version).getOrElse(0L))
     table.commit(s)
-    ApplyResult(skipped = false, version, batchRows, touched.size, batchRows - nDeletes, nDeletes)
+    ApplyResult(skipped = false, version, batchRows, touchedCount, batchRows - nDeletes, nDeletes)
   }
 
   /** Cold start (§3.1): single-pass full replay — read the whole changelog,

@@ -163,14 +163,18 @@ final class LakeTable(val root: String, val numBuckets: Int) {
   def read(spark: SparkSession): DataFrame =
     readRaw(spark).filter(col("op") =!= Model.OpDelete).drop("op")
 
-  /** Sum parquet footer row counts — no Spark job, no data read. */
+  /** Sum parquet footer row counts — no Spark job, no data read. Footer
+    * opens are parallelized: they are driver-side serial time otherwise,
+    * which caps strong scaling (Amdahl) once the distributed phases shrink.
+    */
   def footerRowCount(files: Seq[String]): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.hadoop.conf.Configuration
     import org.apache.hadoop.fs.{Path => HPath}
+    import scala.collection.parallel.CollectionConverters._
     val conf = new Configuration()
-    files.map { f =>
+    files.par.map { f =>
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(f), conf))
       try r.getRecordCount finally r.close()
     }.sum
