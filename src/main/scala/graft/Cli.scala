@@ -69,6 +69,11 @@ object Cli {
       val s = table.currentSnapshot()
       println(f"""{"mode":"tail","version":${s.map(_.version).getOrElse(0L)},"tableRows":${s.map(_.totalRows).getOrElse(0L)},"sec":$sec%.3f}""")
 
+    case "vacuum" :: tableDir :: rest =>
+      val keep = rest.headOption.map(_.toInt).getOrElse(1)
+      val deleted = new LakeTable(tableDir, 32).vacuum(keep)
+      println(s"""{"mode":"vacuum","deletedFiles":$deleted,"keptSnapshots":$keep}""")
+
     case "compact" :: tableDir :: wm :: Nil =>
       val table = new LakeTable(tableDir, 32)
       val kept = MergeApplier.compact(spark, table, java.sql.Timestamp.valueOf(wm))

@@ -73,14 +73,26 @@ final class LakeTable(val root: String, val numBuckets: Int) {
 
   // --- snapshot log -------------------------------------------------------
 
-  def currentSnapshot(): Option[Snapshot] = {
-    if (!Files.isDirectory(metaDir)) return None
-    val snaps = Files.list(metaDir).iterator().asScala
+  private def snapshotFiles(): Seq[String] = {
+    if (!Files.isDirectory(metaDir)) return Seq.empty
+    Files.list(metaDir).iterator().asScala
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
       .toSeq.sorted
-    snaps.lastOption.map(n => readSnapshot(metaDir.resolve(n)))
   }
+
+  def currentSnapshot(): Option[Snapshot] =
+    snapshotFiles().lastOption.map(n => readSnapshot(metaDir.resolve(n)))
+
+  /** Time travel: the snapshot at `version` (exact match). */
+  def snapshotAt(version: Long): Option[Snapshot] = {
+    val name = f"snap-$version%012d.json"
+    if (Files.exists(metaDir.resolve(name))) Some(readSnapshot(metaDir.resolve(name)))
+    else None
+  }
+
+  def versions(): Seq[Long] =
+    snapshotFiles().map(_.stripPrefix("snap-").stripSuffix(".json").toLong)
 
   private def readSnapshot(p: Path): Snapshot = {
     val m = mapper.readValue(p.toFile, classOf[java.util.Map[String, Object]])
@@ -143,8 +155,10 @@ final class LakeTable(val root: String, val numBuckets: Int) {
     * optionally restricted to a set of buckets (file pruning — the physical
     * partition pruning of the MERGE read path).
     */
-  def readRaw(spark: SparkSession, buckets: Option[Set[Int]] = None): DataFrame = {
-    currentSnapshot() match {
+  def readRaw(spark: SparkSession, buckets: Option[Set[Int]] = None,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    asOfVersion.map(v => snapshotAt(v).orElse(
+      throw new IllegalArgumentException(s"no snapshot v$v"))).getOrElse(currentSnapshot()) match {
       case None => spark.emptyDataFrame
       case Some(s) =>
         val wanted = buckets.map(bs => s.files.view.filterKeys(bs).toMap).getOrElse(s.files)
@@ -159,9 +173,38 @@ final class LakeTable(val root: String, val numBuckets: Int) {
     }
   }
 
-  /** Live rows only (tombstones filtered, bookkeeping dropped). */
-  def read(spark: SparkSession): DataFrame =
-    readRaw(spark).filter(col("op") =!= Model.OpDelete).drop("op")
+  /** Live rows only (tombstones filtered, bookkeeping dropped); optionally
+    * time-traveled to a past snapshot version.
+    */
+  def read(spark: SparkSession, asOfVersion: Option[Long] = None): DataFrame =
+    readRaw(spark, None, asOfVersion).filter(col("op") =!= Model.OpDelete).drop("op")
+
+  /** Vacuum: delete data files not referenced by the newest `keepLast`
+    * snapshots, then drop the older snapshot JSONs. Returns deleted file
+    * count. Mirrors Iceberg's expire-snapshots + orphan-file cleanup; also
+    * sweeps half-written commit dirs left by crashes (never referenced).
+    */
+  def vacuum(keepLast: Int = 1): Int = {
+    val names = snapshotFiles()
+    if (names.isEmpty) return 0
+    val (expire, keep) = names.splitAt(math.max(0, names.size - keepLast))
+    val referenced: Set[String] = keep
+      .map(n => readSnapshot(metaDir.resolve(n)))
+      .flatMap(_.allFiles).toSet
+    var deleted = 0
+    if (Files.isDirectory(dataDir)) {
+      Files.walk(dataDir).iterator().asScala.toSeq.reverse.foreach { p =>
+        if (Files.isRegularFile(p) && !referenced.contains(p.toString)) {
+          Files.delete(p); deleted += 1
+        } else if (Files.isDirectory(p) && p != dataDir &&
+            !Files.list(p).iterator().hasNext) {
+          Files.delete(p)
+        }
+      }
+    }
+    expire.foreach(n => Files.delete(metaDir.resolve(n)))
+    deleted
+  }
 
   /** Sum parquet footer row counts — no Spark job, no data read. Footer
     * opens are parallelized: they are driver-side serial time otherwise,

@@ -1,0 +1,74 @@
+package graft
+
+import graft.changelog.Generator
+import graft.model.{ChangeEvent, Model}
+import graft.operators.{Lww, MergeApplier}
+import graft.table.LakeTable
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** SURVEY §5 property tests: (a) permutation invariance of LWW, (b) any
+  * batch split of the same event set converges to the same final table,
+  * (c) re-applying any committed batch is a no-op.
+  */
+class LwwPropertySpec extends SparkSpecBase {
+
+  private def check(minSuccessful: Int)(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minSuccessful), p)
+    assert(res.passed, res.status.toString)
+  }
+  import Model.changeEventEncoder
+
+  private def ts(sec: Int) = new java.sql.Timestamp(1735689600000L + sec * 1000L)
+
+  private val eventGen: Gen[ChangeEvent] = for {
+    conv <- Gen.choose(0, 5)
+    turn <- Gen.choose(0, 3)
+    sec <- Gen.choose(0, 50)
+    op <- Gen.frequency(7 -> "insert", 2 -> "update", 1 -> "delete")
+    seq <- Gen.choose(0L, 100000L)
+  } yield ChangeEvent(s"c$conv", turn, "user", s"t$conv-$turn-$sec-$seq",
+    None, ts(sec), op, seq)
+
+  private def fold(events: Seq[ChangeEvent]): Map[(String, Int), (String, Long)] =
+    Generator.oracleFold(events).map { case (k, e) => k -> ((e.text, e.seq)) }
+
+  test("property: LWW winners are invariant under input permutation") {
+    check(8)(Prop.forAll(Gen.listOfN(80, eventGen)) { events =>
+      events.isEmpty || {
+        val distinctSeq = events.zipWithIndex.map { case (e, i) => e.copy(seq = i.toLong) }
+        val winners = Lww.latestByKeyAgg(
+          spark.createDataset(scala.util.Random.shuffle(distinctSeq)).toDF())
+          .collect().map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx")) ->
+            ((r.getAs[String]("text"), r.getAs[Long]("seq")))).toMap
+        val expected = distinctSeq.groupBy(e => (e.conv_id, e.turn_idx))
+          .map { case (k, es) => k -> es.maxBy(e => (e.ts.getTime, e.seq)) }
+          .map { case (k, e) => k -> ((e.text, e.seq)) }
+        winners == expected
+      }
+    })
+  }
+
+  test("property: any batch split replays to the same final table state") {
+    check(5)(Prop.forAll(Gen.listOfN(60, eventGen), Gen.choose(1, 5)) {
+      (events, nBatches) =>
+      events.isEmpty || {
+        val distinctSeq = events.zipWithIndex.map { case (e, i) => e.copy(seq = i.toLong) }
+        val table = new LakeTable(tmpDir("prop"), numBuckets = 4)
+        val size = math.max(1, distinctSeq.size / nBatches)
+        distinctSeq.grouped(size).zipWithIndex.foreach { case (chunk, i) =>
+          MergeApplier.applyBatch(spark, table,
+            spark.createDataset(chunk).toDF(), "w", i.toLong)
+        }
+        val got = table.read(spark).collect()
+          .map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx")) ->
+            ((r.getAs[String]("text"), r.getAs[Long]("seq")))).toMap
+        val v = table.currentSnapshot().get.version
+        // (c) re-apply the first batch -> no-op
+        MergeApplier.applyBatch(spark, table,
+          spark.createDataset(distinctSeq.take(size)).toDF(), "w", 0L)
+        got == fold(distinctSeq) && table.currentSnapshot().get.version == v
+      }
+    })
+  }
+}
