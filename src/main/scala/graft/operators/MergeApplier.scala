@@ -96,12 +96,12 @@ object MergeApplier {
           .parquet(outDir.toString)
       case Some(_) =>
         val withBucket = aligned.withColumn("__bucket", table.bucketCol)
-        // Within-batch LWW first: shrinks the merge input and the touched-
-        // bucket set. Persisted -- it feeds the probe and the merge.
-        val deduped = Lww.latestByKeyAgg(withBucket)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // <= numBuckets ints + batch stats in one driver-safe action.
-        val probe = deduped.groupBy("__bucket")
+        // Touched-bucket probe + batch stats: one cheap partial-agg pass over
+        // the RAW batch (<= numBuckets rows to the driver). The batch itself
+        // is NOT pre-deduped: the single LWW over (target UNION batch) below
+        // subsumes within-batch dedup, so the whole apply is probe + one
+        // LWW exchange + write.
+        val probe = withBucket.groupBy("__bucket")
           .agg(count(lit(1)).as("n"),
             count(when(col("op") === Model.OpDelete, 1)).as("d"))
           .collect()
@@ -112,7 +112,6 @@ object MergeApplier {
         if (touched.isEmpty) {
           // Empty batch: nothing to make exactly-once -- commit nothing (idle
           // triggers must not churn snapshots); replay is trivially idempotent.
-          deduped.unpersist()
           return ApplyResult(skipped = false, snap.map(_.version).getOrElse(0L), 0, 0, 0, 0)
         }
         // Target side: ONLY the touched buckets' files are read (file
@@ -120,12 +119,11 @@ object MergeApplier {
         // participate -- a delete with newer (ts, seq) wins and is RETAINED
         // so later stale inserts lose too.
         val target = Model.alignToSchema(table.readRaw(spark, Some(touched)), mergedSchema)
-        lwwByBucket(target.unionByName(deduped.drop("__bucket")))
+        lwwByBucket(target.unionByName(aligned))
           .withColumn("bucket", table.bucketCol)
           .write.mode("overwrite")
           .partitionBy("bucket")
           .parquet(outDir.toString)
-        deduped.unpersist()
     }
 
     val newBucketFiles = table.listBucketFiles(outDir)
