@@ -79,7 +79,37 @@ object SparkEntry {
         .withColumn("prev_role", lag("role", 1).over(w))
     }),
 
+    // F7 at scale: the salted two-level window LWW must produce the SAME
+    // winners — proven against the same oracle as cdc_lww_dedup.
+    "cdc_salted_dedup" -> ((s, dir) =>
+      Lww.latestByKeySalted(changelog(s, dir), salts = 16)),
+
+    // U1+C4: replay over an additively-evolved changelog (first half written
+    // without `tool`) — winners from the v1 half carry null tool.
+    "cdc_evolved_replay" -> ((s, dir) => {
+      val cl = changelog(s, dir)
+      val v1 = cl.filter(col("seq") % 2 === 0).drop("tool")
+      val v2 = cl.filter(col("seq") % 2 === 1)
+      Lww.latestByKeyAgg(v1.unionByName(v2, allowMissingColumns = true))
+        .filter(col("op") =!= "delete")
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "seq")
+    }),
+
     // --- relational surface (SURVEY §2.2/2.3/2.4/2.6) -------------------
+
+    // window beyond row_number: running revenue + previous-ship gap per
+    // supplier (frame spec + lag).
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      table(s, dir, "lineitem")
+        .filter(col("l_suppkey") < 50)
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(sum(col("l_extendedprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).as("running_rev"),
+          lag("l_shipdate", 1).over(w).as("prev_ship"))
+    }),
 
     // A: multi-aggregate scan with pushed filter (TPC-H Q1 shape).
     "q1_agg" -> ((s, dir) =>
@@ -183,6 +213,11 @@ object SparkEntry {
         round(Text.punctRatio(col("text")), 6).as("punct_ratio"),
         round(Text.alphaRatio(col("text")), 6).as("alpha_ratio"))),
 
+    "text_token_bpeish" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        Text.tokenCountBpeish(col("text")).cast("long").as("n_pieces"))),
+
     "text_langid" -> ((s, dir) =>
       table(s, dir, "documents").select(
         col("doc_id"), Text.langIdHeuristic(col("text")).as("lang_pred"))),
@@ -266,6 +301,39 @@ object SparkEntry {
          |SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS turn_rank,
          |  LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
          |FROM final""".stripMargin,
+
+    "cdc_salted_dedup" ->
+      s"""$C SELECT conv_id, turn_idx, role, text, tool, ts, op, seq FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+         |    ORDER BY ts DESC, seq DESC) AS rn FROM changelog) t
+         |WHERE rn = 1""".stripMargin,
+
+    "cdc_evolved_replay" ->
+      s"""$C, evolved AS (
+         |  SELECT conv_id, turn_idx, role, text, CAST(NULL AS VARCHAR) AS tool,
+         |    ts, op, seq FROM changelog WHERE seq % 2 = 0
+         |  UNION ALL
+         |  SELECT conv_id, turn_idx, role, text, tool, ts, op, seq
+         |  FROM changelog WHERE seq % 2 = 1)
+         |SELECT conv_id, turn_idx, role, text, tool, ts, seq FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+         |    ORDER BY ts DESC, seq DESC) AS rn FROM evolved) t
+         |WHERE rn = 1 AND op <> 'delete'""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  ROUND(SUM(l_extendedprice) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev,
+        |  LAG(l_shipdate) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC) AS prev_ship
+        |FROM lineitem WHERE l_suppkey < 50""".stripMargin,
+
+    "text_token_bpeish" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z]{1,6}|\d{1,3}|[^\sA-Za-z\d]')) AS BIGINT) AS n_pieces
+        |FROM documents""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
