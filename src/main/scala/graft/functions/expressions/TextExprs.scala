@@ -1,0 +1,199 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{column => _, _}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the three profiled-hot text/vector
+  * signature computations. The pure-`Column` higher-order-function versions
+  * (Dedup.simhash64Hof, nested transform/aggregate lambdas) evaluate
+  * interpreted, re-materializing arrays per lambda step — profiling at sf0.1
+  * showed 6–30 s per 5000-document pass. These expressions run one tight
+  * JVM loop per row and participate in whole-stage codegen via a static
+  * `compute` call (generated code: `TextExprs.simhash64(input)`), which is
+  * the SURVEY §2.11 "promote to Expression when profiling demands" tier.
+  *
+  * Hashing uses Spark's own XxHash64Function — deterministic, seed-stable,
+  * no external dependency.
+  */
+object TextExprs {
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+
+  private def hashString(s: String, seed: Long): Long =
+    XxHash64Function.hash(UTF8String.fromString(s), StringType, seed)
+
+  private def hashLong(v: Long, seed: Long): Long =
+    XxHash64Function.hash(v, LongType, seed)
+
+  /** Tokenization identical to split(lower(trim(text)), "\\s+"). */
+  def tokens(text: UTF8String): Array[String] = {
+    // SQL trim strips ONLY spaces (not \t), unlike String.trim.
+    var s = text.toString
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    s = s.substring(lo, hi).toLowerCase
+    s.split("\\s+", -1)
+  }
+
+  /** 64-bit SimHash: per-bit ±1 majority over token hashes. */
+  def simhash64(text: UTF8String): Long = {
+    val toks = tokens(text)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = hashString(toks(i), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** k-permutation MinHash over distinct word n-shingles. One pass: for each
+    * shingle, k seeded hashes, running min.
+    */
+  def minhashSig(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val toks = tokens(text)
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (toks.length >= n) {
+      val seen = new java.util.HashSet[String]()
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        val sh = sb.toString
+        if (seen.add(sh)) {
+          var p = 0
+          while (p < k) {
+            val h = hashString(sh, p.toLong)
+            if (h < sig(p)) sig(p) = h
+            p += 1
+          }
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Sign-random-projection LSH keys: `bands` keys of `bits` Rademacher
+    * sign bits each; plane component sign from XXH64(plane, dim, seed).
+    */
+  def srpKeys(vec: ArrayData, bands: Int, bits: Int, seed: Int): ArrayData = {
+    val v = vec.toFloatArray()
+    val keys = new Array[Long](bands)
+    var band = 0
+    while (band < bands) {
+      var key = 0L
+      var bit = 0
+      while (bit < bits) {
+        val plane = band * bits + bit
+        var proj = 0.0
+        var d = 0
+        while (d < v.length) {
+          val h = hashLong((plane.toLong << 32) | (d.toLong & 0xFFFFFFFFL), seed.toLong)
+          val sign = if ((h & 1L) == 0L) 1.0 else -1.0
+          proj += v(d).toDouble * sign
+          d += 1
+        }
+        if (proj > 0) key |= (1L << bit)
+        bit += 1
+      }
+      keys(band) = key
+      band += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  /** Exact cosine similarity, double accumulation in ascending index order —
+    * bit-identical to the sequential SQL formulation the DuckDB oracle runs.
+    */
+  def cosineSim(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toFloatArray()
+    val y = b.toFloatArray()
+    var dot = 0.0
+    var i = 0
+    while (i < x.length) { dot += x(i).toDouble * y(i).toDouble; i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < x.length) { na += x(i).toDouble * x(i).toDouble; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < y.length) { nb += y(i).toDouble * y(i).toDouble; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  // --- Column API ---------------------------------------------------------
+
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  def cosineSimCol(a: Column, b: Column): Column =
+    column(CosineSimExpr(expression(a), expression(b)))
+  def simhash64Col(text: Column): Column = column(SimHash64Expr(expression(text)))
+  def minhashSigCol(text: Column, n: Int, k: Int): Column =
+    column(MinHashSigExpr(expression(text), n, k))
+  def srpKeysCol(vec: Column, bands: Int, bits: Int, seed: Int): Column =
+    column(SrpKeysExpr(expression(vec), bands, bits, seed))
+}
+
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextExprs.cosineSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.TextExprs.cosineSim($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
+    copy(left = l, right = r)
+}
+
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.simhash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.TextExprs.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+case class MinHashSigExpr(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.minhashSig(input.asInstanceOf[UTF8String], n, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.TextExprs.minhashSig($c, $n, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+case class SrpKeysExpr(child: Expression, bands: Int, bits: Int, seed: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.srpKeys(input.asInstanceOf[ArrayData], bands, bits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.TextExprs.srpKeys($c, $bands, $bits, $seed)")
+  override protected def withNewChildInternal(newChild: Expression): SrpKeysExpr =
+    copy(child = newChild)
+}

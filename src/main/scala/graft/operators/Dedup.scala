@@ -64,14 +64,13 @@ object Dedup {
   }
 
   /** MinHash signature: k independent permutations approximated by seeded
-    * xxhash64; sig[i] = min over shingles of xxhash64(shingle, i). Pure
-    * expressions — whole-stage codegen, no UDF.
+    * xxhash64; sig[i] = min over distinct shingles of hash(shingle, seed=i).
+    * Native codegen'd expression (TextExprs) — the higher-order-function
+    * formulation evaluated interpreted and re-built the shingle array per
+    * hash index (profiled 6+ s / 5000 docs at sf0.1).
     */
-  def minhashSignature(text: Column, n: Int = 3, numHashes: Int = 64): Column = {
-    val sh = Text.wordShingles(text, n)
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i))))
-  }
+  def minhashSignature(text: Column, n: Int = 3, numHashes: Int = 64): Column =
+    graft.functions.expressions.TextExprs.minhashSigCol(text, n, numHashes)
 
   /** MinHash+LSH near-dup pairs: band the signature (bands × rowsPerBand =
     * numHashes), join docs sharing any band bucket, then VERIFY candidates
@@ -89,10 +88,8 @@ object Dedup {
     // re-evaluate the expensive signature expressions per branch. At cluster
     // scale this materialization is the natural "signature table" write.
     val sigRaw = docs.select(col(idCol).as("id"),
-      array_distinct(Text.wordShingles(col(textCol), n)).as("sh"))
-      .withColumn("sig",
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          i => array_min(transform(col("sh"), s => xxhash64(s, i)))))
+      array_distinct(Text.wordShingles(col(textCol), n)).as("sh"),
+      minhashSignature(col(textCol), n, numHashes).as("sig"))
     val sig = sigRaw.localCheckpoint(true)
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -121,10 +118,18 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash, expression-only: per token-hash bit, sum ±1 over tokens;
-    * bit b of the signature = sign of the sum.
+  /** 64-bit SimHash: per token-hash bit, sum ±1 over tokens; bit b of the
+    * signature = sign of the sum. Native codegen'd expression.
     */
-  def simhash64(text: Column): Column = {
+  def simhash64(text: Column): Column =
+    graft.functions.expressions.TextExprs.simhash64Col(text)
+
+  /** The pure higher-order-function formulation of [[simhash64]] — kept as
+    * the semantic cross-check for the native expression (DedupSpec asserts
+    * identical bit-distance ORDERING; hash functions differ so raw values
+    * do not compare).
+    */
+  def simhash64Hof(text: Column): Column = {
     val toks = split(lower(trim(text)), "\\s+")
     val counts = aggregate(
       toks,

@@ -19,17 +19,13 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Exact cosine similarity between two float-array columns, accumulated in
-    * double, sequential order (bit-reproducible across engines).
+    * double, ascending index order (bit-reproducible across engines — the
+    * DuckDB oracle computes the identical sequence of double ops). Native
+    * codegen'd expression; the HOF formulation evaluated interpreted and
+    * dominated the LSH verify stage.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.expressions.TextExprs.cosineSimCol(a, b)
 
   /** Brute-force top-k: every corpus row scored against every query (queries
     * broadcast), per-query window top-k. Deterministic tie-break on id.
@@ -48,30 +44,13 @@ object Similarity {
         col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 folded to ±1 — a Rademacher projection, which preserves cosine
-    * locality like a Gaussian one.
-    */
-  private def planeSign(plane: Column, dim: Column, seed: Int): Column =
-    when(pmod(xxhash64(plane, dim, lit(seed)), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
-
-  /** Sign-random-projection bucket keys: `bands` keys of `bitsPerBand` sign
-    * bits each.
+  /** Sign-random-projection bucket keys: `bands` keys of `bitsPerBand`
+    * Rademacher sign bits each (hash-derived ±1 hyperplanes preserve cosine
+    * locality like Gaussian ones). Native codegen'd expression — the nested
+    * higher-order-function formulation profiled 26+ s / 2000 vectors.
     */
   def srpKeys(vec: Column, bands: Int, bitsPerBand: Int, seed: Int = 42): Column =
-    transform(sequence(lit(0), lit(bands - 1)), band =>
-      aggregate(
-        sequence(lit(0), lit(bitsPerBand - 1)),
-        lit(0L),
-        (acc, bit) => {
-          val plane = band * bitsPerBand + bit
-          val proj = aggregate(
-            zip_with(vec, sequence(lit(0), size(vec) - 1),
-              (x, d) => x.cast("double") * planeSign(plane, d, seed)),
-            lit(0.0), (a, v) => a + v)
-          acc.bitwiseOR(when(proj > 0, call_function("shiftleft", lit(1L), bit))
-            .otherwise(lit(0L)))
-        }))
+    graft.functions.expressions.TextExprs.srpKeysCol(vec, bands, bitsPerBand, seed)
 
   /** LSH ANN top-k: candidates = corpus rows sharing ≥1 (band, bucket) with
     * the query, re-ranked by exact cosine. Returns ≤k rows per query (fewer
