@@ -68,4 +68,33 @@ object Grel {
 
   def md5Col(c: Column): Column = md5(c)                           // :631-640
   def sha1Col(c: Column): Column = sha1(c)                         // :642-651
+
+  /** splitByLengths — :448-462: consume the string in fixed-size pieces;
+    * characters past the last length are dropped (GREL semantics).
+    */
+  def splitByLengths(c: Column, lengths: Int*): Column = {
+    val offsets = lengths.scanLeft(0)(_ + _)
+    array(lengths.indices.map(i =>
+      substring(c, offsets(i) + 1, lengths(i))): _*)
+  }
+
+  /** splitByCharType — :482-499: split into runs of letter/digit/space/other. */
+  def splitByCharType(c: Column): Column =
+    regexp_extract_all(c,
+      lit("[A-Za-z]+|[0-9]+|\\s+|[^A-Za-z0-9\\s]+"), lit(0))
+
+  /** diff — :588-593 (string variant): the suffix of `b` from the first
+    * position where it diverges from `a`; null when equal.
+    */
+  def diffCol(a: Column, b: Column): Column = {
+    // common-prefix length via aggregate over char positions
+    val maxLen = greatest(length(a), length(b))
+    val common = aggregate(
+      sequence(lit(1), maxLen),
+      lit(0),
+      (acc, i) => when(acc === i - 1 &&
+        substring(a, i, lit(1)) === substring(b, i, lit(1)), i).otherwise(acc))
+    when(a === b, lit(null).cast("string"))
+      .otherwise(substring(b, common + 1, lit(Int.MaxValue)))
+  }
 }

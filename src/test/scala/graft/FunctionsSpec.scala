@@ -71,6 +71,20 @@ class FunctionsSpec extends SparkSpecBase {
     assert(got.getString(4) == "He001 W1r0d") // translate: l→0, o→1
   }
 
+  test("GREL splitByLengths / splitByCharType / diff") {
+    val df = Seq("internationalization").toDF("s")
+    val parts = df.select(Grel.splitByLengths($"s", 5, 6, 3)).collect()
+      .head.getSeq[String](0)
+    assert(parts == Seq("inter", "nation", "ali"))
+    val runs = Seq("abc123 !?x").toDF("s")
+      .select(Grel.splitByCharType($"s")).collect().head.getSeq[String](0)
+    assert(runs == Seq("abc", "123", " ", "!?", "x"))
+    val d = Seq(("cologne", "cologne cathedral"), ("same", "same"))
+      .toDF("a", "b")
+      .select(Grel.diffCol($"a", $"b")).collect().map(_.getString(0)).toSeq
+    assert(d == Seq(" cathedral", null))
+  }
+
   test("GREL partition parts") {
     val df = Seq("key=value=more", "nosep").toDF("s")
     val (b, sep, a) = Grel.partitionParts($"s", "=")
