@@ -242,6 +242,14 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") < 8)
       Similarity.bruteForceTopK(emb, queries, k = 5)
     }),
+    // IVF at full probe (nProbe == nLists) is exhaustive → shares the
+    // brute-force oracle, putting the whole train/index/search path in the
+    // correctness gate; partial-probe recall is the runtime knob.
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
+        nLists = 8, nProbe = 8)
+    }),
     // rows-only scale path:
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
@@ -482,6 +490,18 @@ object SparkEntry {
         |FROM embeddings GROUP BY label""".stripMargin,
 
     "ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, ROUND(cos, 4) AS cosine, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, vec_id ASC) AS rank FROM scored) t
+        |WHERE rank <= 5""".stripMargin,
+
+    "ann_ivf_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
         |  WHERE vec_id < 8),
         |scored AS (

@@ -30,9 +30,14 @@ object Dedup {
     */
   def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int,
       maxDocFreq: Int): DataFrame = {
+    // Materialized once: the Jaccard plan consumes the index from 3 branches
+    // (df stats, both self-join sides, per-doc sizes) — without truncation
+    // the shingle expressions re-evaluate per branch. At cluster scale this
+    // is the natural "inverted index table" write.
     val pairs = docs
       .select(col(idCol).as("id"),
         explode(array_distinct(Text.wordShingles(col(textCol), n))).as("shingle"))
+      .localCheckpoint(true)
     // stop-shingle guard: a shingle in >maxDocFreq docs creates O(df^2) pairs
     // — drop it (it carries no dedup signal anyway).
     val df = pairs.groupBy("shingle").agg(count(lit(1)).as("df"))

@@ -77,6 +77,72 @@ object Similarity {
         col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: deterministic k-means-lite coarse quantizer.
+    *
+    * Train: seed `nLists` centroids from hash-picked corpus rows, run
+    * `iters` Lloyd iterations as DataFrame aggregations (assign → mean) —
+    * all distributed, centroids collected to the driver only (nLists × dim
+    * doubles, small by construction).
+    * Index: each corpus vector is assigned to its nearest centroid (one
+    * narrow pass — at cluster scale this is the partition/bucket key of the
+    * vector table, so probes prune files exactly like the CDC buckets).
+    * Search: each query probes its `nProbe` nearest centroid lists and
+    * re-ranks candidates by exact cosine.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .localCheckpoint(true) // consumed by every Lloyd iteration + the index
+    // deterministic seeding: rows with the nLists smallest xxhash64(id)
+    var centroids: Array[(Int, Array[Double])] = c
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(nLists)
+      .collect().zipWithIndex
+      .map { case (r, i) =>
+        i -> r.getSeq[Float](r.fieldIndex("cv")).map(_.toDouble).toArray }
+    def assignExpr(cents: Array[(Int, Array[Double])]): Column = {
+      // nearest centroid by cosine: argmax over literal centroid arrays
+      val scored = cents.map { case (cid, v) =>
+        struct(cosine(col("cv"),
+          array(v.map(x => lit(x.toFloat)): _*)).as("s"), lit(cid).as("cid"))
+      }
+      array_max(array(scored: _*)).getField("cid")
+    }
+    (0 until iters).foreach { _ =>
+      val assigned = c.withColumn("list", assignExpr(centroids))
+      val means = assigned
+        .select(col("list"), posexplode(col("cv")).as(Seq("d", "x")))
+        .groupBy("list", "d").agg(avg(col("x")).as("m"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+      centroids = centroids.map { case (cid, old) =>
+        cid -> means.get(cid).map(_.toArray).getOrElse(old) }
+    }
+    val indexed = c.withColumn("list", assignExpr(centroids))
+    // query → its nProbe nearest lists
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("probes", slice(
+        transform(
+          array_sort(array(centroids.map { case (cid, v) =>
+            struct((-cosine(col("qv"), array(v.map(x => lit(x.toFloat)): _*))).as("neg"),
+              lit(cid).as("cid"))
+          }: _*)),
+          s => s.getField("cid")), 1, nProbe))
+      .select(col("query_id"), col("qv"), explode(col("probes")).as("list"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    indexed.join(q, Seq("list"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"),
+        col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: all corpus pairs with cosine ≥ minCos,
     * found via SRP-LSH banding + exact verification (same precision-exact,
     * recall-approximate contract as Dedup.minhashLshPairs).

@@ -50,6 +50,27 @@ class SimilaritySpec extends SparkSpecBase {
     assert(hits >= lsh.length / 2, s"LSH overlap too low: $hits/${lsh.length}")
   }
 
+  test("IVF top-k: well-formed ranks; high overlap with brute force at full probe") {
+    val queries = emb.filter($"vec_id" < 4)
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nProbe == nLists → exhaustive probing → results == brute force
+    val full = Similarity.ivfTopK(emb, queries, k = 5, nLists = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == bf)
+    // partial probe: valid ranks, subset semantics
+    val part = Similarity.ivfTopK(emb, queries, k = 5, nLists = 8, nProbe = 2)
+      .collect()
+    part.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks == (1L to ranks.length).toSeq)
+    }
+    // synthetic embeddings are near-orthogonal (no cluster structure), so
+    // partial-probe recall is inherently low — require plausibility only
+    val partSet = part.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(partSet.nonEmpty && partSet.intersect(bf).nonEmpty)
+  }
+
   test("embedding near-dup: exact duplicate vectors are found with cosine 1") {
     val base = emb.filter($"vec_id" < 50)
     val dup = base.filter($"vec_id" === 7)
