@@ -76,7 +76,9 @@ object Cli {
 
     case "compact" :: tableDir :: wm :: Nil =>
       val table = new LakeTable(tableDir, 32)
-      val kept = MergeApplier.compact(spark, table, java.sql.Timestamp.valueOf(wm))
+      // accept ISO 'T' form — sbt runMain splits on spaces
+      val kept = MergeApplier.compact(spark, table,
+        java.sql.Timestamp.valueOf(wm.replace('T', ' ')))
       println(s"""{"mode":"compact","keptRows":$kept}""")
 
     case "show" :: tableDir :: Nil =>

@@ -68,6 +68,13 @@ object MergeApplier {
       return ApplyResult(skipped = true, snap.map(_.version).getOrElse(0L), 0, 0, 0, 0)
     }
 
+    snap.foreach { s =>
+      // The bucket function is part of the table's physical identity: pruning
+      // and file layout both derive from it. A handle opened with a different
+      // bucket count would silently mis-prune — fail loudly instead.
+      require(s.numBuckets == table.numBuckets,
+        s"table has ${s.numBuckets} buckets; handle opened with ${table.numBuckets}")
+    }
     val (aligned, mergedSchema) = evolve(table, batch)
     val version = snap.map(_.version).getOrElse(0L) + 1
     val outDir = table.commitDir(version, writerId, batchId)

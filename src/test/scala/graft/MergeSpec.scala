@@ -131,6 +131,32 @@ class MergeSpec extends SparkSpecBase {
     }
   }
 
+  test("late v1 batch (missing evolved column) after evolution aligns with nulls") {
+    val table = new LakeTable(tmpDir("merge-late-v1"), numBuckets = 4)
+    val v2 = spark.createDataset(Seq(
+      ev("c1", 0, "new", "2025-01-01 00:00:00", "insert", 1, tool = Some("search")))).toDF()
+    MergeApplier.applyBatch(spark, table, v2, "w", 0L)
+    // a straggler writer still on the v1 schema (no tool column)
+    val v1 = spark.createDataset(Seq(
+      ev("c2", 0, "old", "2025-01-01 00:00:01", "insert", 2))).toDF().drop("tool")
+    MergeApplier.applyBatch(spark, table, v1, "w", 1L)
+    val rows = table.read(spark).collect().map(r =>
+      r.getAs[String]("conv_id") -> r.getAs[String]("tool")).toMap
+    assert(rows == Map("c1" -> "search", "c2" -> null))
+  }
+
+  test("mismatched bucket-count handle is rejected loudly") {
+    val dir = tmpDir("merge-buckets")
+    val t4 = new LakeTable(dir, numBuckets = 4)
+    MergeApplier.applyBatch(spark, t4, spark.createDataset(Seq(
+      ev("c1", 0, "x", "2025-01-01 00:00:00", "insert", 1))).toDF(), "w", 0L)
+    val t8 = new LakeTable(dir, numBuckets = 8)
+    intercept[IllegalArgumentException] {
+      MergeApplier.applyBatch(spark, t8, spark.createDataset(Seq(
+        ev("c1", 1, "y", "2025-01-01 00:00:01", "insert", 2))).toDF(), "w", 1L)
+    }
+  }
+
   test("lineage: snapshot records per-bucket rows, metrics, and ledger") {
     val table = new LakeTable(tmpDir("merge-lineage"), numBuckets = 4)
     val b = spark.createDataset((0 until 100).map(i =>
