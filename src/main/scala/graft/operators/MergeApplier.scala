@@ -93,10 +93,16 @@ object MergeApplier {
     var nDeletes = 0L
     var touchedCount = 0
 
+    val coldObs = new org.apache.spark.sql.Observation("cold-stats")
     snap match {
       case None =>
-        // Cold start: no target to merge -- single pass, no persist, no probe.
+        // Cold start: no target to merge -- single pass, no persist, no
+        // probe; stats piggyback on the write via observe() (zero extra jobs
+        // -- an extra post-write scan was pure serial overhead in the
+        // measured replay).
         lwwByBucket(aligned)
+          .observe(coldObs,
+            count(when(col("op") === Model.OpDelete, 1)).as("dels"))
           .withColumn("bucket", table.bucketCol)
           .write.mode("overwrite") // overwrite self-cleans a crashed attempt
           .partitionBy("bucket")
@@ -140,12 +146,11 @@ object MergeApplier {
     val newRows = newBucketFiles.map { case (b, fs) => b -> table.footerRowCount(fs) }
     val bucketRows = prevRows ++ newRows
     if (snap.isEmpty) {
-      // cold-start stats: totals from footers (free); tombstone count via one
-      // column-pruned, filter-pushed scan of the freshly written files
+      // cold-start stats: totals from footers (free); tombstones from the
+      // observed write metrics
       batchRows = newRows.values.sum
       touchedCount = newBucketFiles.size
-      nDeletes = spark.read.parquet(outDir.toString)
-        .filter(col("op") === Model.OpDelete).count()
+      nDeletes = coldObs.get("dels").asInstanceOf[Long]
     }
 
     val s = Snapshot(
