@@ -15,14 +15,16 @@ import org.apache.spark.sql.SparkSession
   *   - cdc: the headline BASELINE.json metric — cold-start replay and
   *     sustained streaming-tail apply throughput (change-events/sec) over a
   *     synthetic changelog (zipf skew, out-of-order, deletes)
-  *   - scaling: the same replay job at local[8] vs local[4×8], reporting
-  *     throughput at both and efficiency = T8 / (4 × T32-per-core) — the
-  *     sandbox evidence for the N→4N ≥ 0.8 scaling rule (no real cluster
-  *     here; see BENCH.md for method)
+  *   - scaling: the same replay job at local[N] vs local[4N] (default 4→16),
+  *     5 interleaved rounds, per-level min, all samples reported —
+  *     efficiency = thr(4N) / (4 × thr(N)); the sandbox evidence for the
+  *     N→4N ≥ 0.8 scaling rule (no real cluster here; BENCH.md documents
+  *     the method and why 4→16 rather than 8→32 on this host)
   *
   * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-  * SPARK_GRAFT_BENCH_EVENTS (default 5,000,000), SPARK_GRAFT_SCALING=0 to
-  * skip the scaling section (used while iterating).
+  * SPARK_GRAFT_BENCH_EVENTS (default 10M), SPARK_GRAFT_SCALING_EVENTS
+  * (default 2×), SPARK_GRAFT_SCALING_CORES ("4,16"), SPARK_GRAFT_SCALING=0
+  * to skip the scaling section, SPARK_GRAFT_ONLY_SCALING=1 for just it.
   */
 object Bench {
   private def session(cores: Int): SparkSession = {
