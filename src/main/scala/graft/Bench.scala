@@ -155,7 +155,20 @@ object Bench {
     }
     val tailEvents = benchEvents / 2
     val tailThr = (tailEvents / tailSec).toLong
-    val cdcJson = f"""{"replayEvents":$benchEvents,"replaySec":$replaySec%.2f,"replayEventsPerSec":$replayThr,"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":5,"tailSec":$tailSec%.2f,"tailEventsPerSec":$tailThr}"""
+
+    // merge-on-read tail: same input, delta appends + one final compaction
+    val morTable = new LakeTable(tmp("bench-mor-table"), numBuckets = 32)
+    progress("cdc: tail (merge-on-read)")
+    val (_, morSec) = timed {
+      CdcStream.runAvailableNow(spark, tailDir, morTable, tmp("bench-mor-ckpt"),
+        maxFilesPerTrigger = 2, mode = "mor")
+    }
+    val (_, compactSec) = timed {
+      MergeApplier.compact(spark, morTable,
+        java.sql.Timestamp.valueOf("2030-01-01 00:00:00"))
+    }
+    val morThr = (tailEvents / morSec).toLong
+    val cdcJson = f"""{"replayEvents":$benchEvents,"replaySec":$replaySec%.2f,"replayEventsPerSec":$replayThr,"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":5,"tailSec":$tailSec%.2f,"tailEventsPerSec":$tailThr,"tailMorSec":$morSec%.2f,"tailMorEventsPerSec":$morThr,"morCompactSec":$compactSec%.2f}"""
 
     // ---- query sweep (one warmup pass, then timed) ----
     progress("queries: warmup pass")

@@ -166,9 +166,80 @@ object MergeApplier {
         "deletes" -> nDeletes,
         "touchedBuckets" -> touchedCount.toLong,
         "durationMs" -> (System.nanoTime() - t0) / 1000000),
-      parentVersion = snap.map(_.version).getOrElse(0L))
+      parentVersion = snap.map(_.version).getOrElse(0L),
+      // a COW merge folds deltas only in the buckets it TOUCHED; untouched
+      // buckets may still hold MOR deltas, so the flag clears only at compact
+      morDeltas = snap.exists(_.morDeltas))
     table.commit(s)
     ApplyResult(skipped = false, version, batchRows, touchedCount, batchRows - nDeletes, nDeletes)
+  }
+
+  /** Merge-on-read apply: append the batch's within-batch LWW winners as
+    * DELTA files to each touched bucket — NO target read, NO rewrite; the
+    * read path (LakeTable.read) and the next [[compact]] run the same LWW
+    * fold, which is associative, so COW and MOR commits interleave freely.
+    *
+    * Cost per batch is O(batch) instead of O(batch + touched table) — the
+    * high-throughput tail mode at 10^10 scale; compaction amortizes the
+    * read-side merge (exactly Iceberg's v2 merge-on-read contract, built
+    * from scratch).
+    */
+  def applyBatchMor(spark: SparkSession, table: LakeTable, batch: DataFrame,
+      writerId: String, batchId: Long): ApplyResult = {
+    val t0 = System.nanoTime()
+    val snap = table.currentSnapshot()
+    if (batchId <= snap.map(_.maxBatchId(writerId)).getOrElse(-1L)) {
+      return ApplyResult(skipped = true, snap.map(_.version).getOrElse(0L), 0, 0, 0, 0)
+    }
+    snap.foreach { s =>
+      require(s.numBuckets == table.numBuckets,
+        s"table has ${s.numBuckets} buckets; handle opened with ${table.numBuckets}")
+    }
+    val (aligned, mergedSchema) = evolve(table, batch)
+    val version = snap.map(_.version).getOrElse(0L) + 1
+    val outDir = table.commitDir(version, writerId, batchId)
+    val keyCols = Model.KeyCols.map(col)
+    val obs = new org.apache.spark.sql.Observation(s"mor-$version")
+    Lww.latestByKeyAgg(aligned.repartition(table.numBuckets, keyCols: _*))
+      .observe(obs, count(lit(1)).as("rows"),
+        count(when(col("op") === Model.OpDelete, 1)).as("dels"))
+      .withColumn("bucket", table.bucketCol)
+      .write.mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(outDir.toString)
+    val batchRows = obs.get("rows").asInstanceOf[Long]
+    val nDeletes = obs.get("dels").asInstanceOf[Long]
+    if (batchRows == 0) {
+      return ApplyResult(skipped = false, snap.map(_.version).getOrElse(0L), 0, 0, 0, 0)
+    }
+    val newBucketFiles = table.listBucketFiles(outDir)
+    val prevFiles = snap.map(_.files).getOrElse(Map.empty)
+    val files = (prevFiles.keySet ++ newBucketFiles.keySet).map { b =>
+      b -> (prevFiles.getOrElse(b, Seq.empty) ++ newBucketFiles.getOrElse(b, Seq.empty))
+    }.toMap
+    val prevRows = snap.map(_.bucketRows).getOrElse(Map.empty)
+    // bucketRows counts STORED rows (incl. superseded versions until compact)
+    val bucketRows = (prevRows.keySet ++ newBucketFiles.keySet).map { b =>
+      b -> (prevRows.getOrElse(b, 0L) +
+        newBucketFiles.get(b).map(table.footerRowCount).getOrElse(0L))
+    }.toMap
+    table.commit(Snapshot(
+      version = version,
+      schemaJson = mergedSchema.json,
+      numBuckets = table.numBuckets,
+      files = files,
+      committed = snap.map(_.committed).getOrElse(Map.empty) + (writerId -> batchId),
+      bucketRows = bucketRows,
+      metrics = Map(
+        "batchRows" -> batchRows,
+        "upserts" -> (batchRows - nDeletes),
+        "deletes" -> nDeletes,
+        "touchedBuckets" -> newBucketFiles.size.toLong,
+        "durationMs" -> (System.nanoTime() - t0) / 1000000),
+      parentVersion = snap.map(_.version).getOrElse(0L),
+      morDeltas = true))
+    ApplyResult(skipped = false, version, batchRows, newBucketFiles.size,
+      batchRows - nDeletes, nDeletes)
   }
 
   /** Cold start (§3.1): single-pass full replay — read the whole changelog,
@@ -188,17 +259,22 @@ object MergeApplier {
       watermark: java.sql.Timestamp): Long = {
     val snap = table.currentSnapshot().getOrElse(return 0L)
     val raw = table.readRaw(spark)
-    val kept = raw.filter(!(col("op") === Model.OpDelete && col("ts") < lit(watermark)))
+    // MOR deltas fold here: same associative LWW the writer/reader use.
+    val resolved = if (snap.morDeltas) Lww.latestByKeyAgg(
+      raw.repartition(table.numBuckets, Model.KeyCols.map(col): _*)) else raw
+    val kept = resolved
+      .filter(!(col("op") === Model.OpDelete && col("ts") < lit(watermark)))
       .withColumn("bucket", table.bucketCol)
     val version = snap.version + 1
     val outDir = table.commitDir(version, "compact", snap.version)
-    kept.repartition(col("bucket"))
+    (if (snap.morDeltas) kept else kept.repartition(col("bucket")))
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir.toString)
     val newFiles = table.listBucketFiles(outDir)
     val rows = newFiles.map { case (b, fs) => b -> table.footerRowCount(fs) }
     table.commit(Snapshot(version, snap.schemaJson, table.numBuckets, newFiles,
       snap.committed, rows,
-      Map("compactedRows" -> rows.values.sum), snap.version))
+      Map("compactedRows" -> rows.values.sum), snap.version,
+      morDeltas = false))
     rows.values.sum
   }
 }

@@ -56,14 +56,22 @@ object CdcStream {
       checkpointDir: String, writerId: String = "stream",
       maxFilesPerTrigger: Int = 4,
       schema: StructType = Model.changeEventSchema,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      mode: String = "cow"): StreamingQuery = {
+    // cow: copy-on-write MERGE (read-optimized steady state);
+    // mor: merge-on-read delta appends (write-optimized tail; compact later).
+    val apply: (DataFrame, Long) => MergeApplier.ApplyResult = mode match {
+      case "cow" => MergeApplier.applyBatch(spark, table, _, writerId, _)
+      case "mor" => MergeApplier.applyBatchMor(spark, table, _, writerId, _)
+      case other => throw new IllegalArgumentException(s"unknown mode: $other")
+    }
     source(spark, sourceDir, schema, maxFilesPerTrigger)
       .writeStream
       .queryName(s"cdc-tail-$writerId")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        MergeApplier.applyBatch(spark, table, batch, writerId, batchId): Unit
+        apply(batch, batchId): Unit
       }
       .start()
   }
@@ -72,9 +80,10 @@ object CdcStream {
   def runAvailableNow(spark: SparkSession, sourceDir: String, table: LakeTable,
       checkpointDir: String, writerId: String = "stream",
       maxFilesPerTrigger: Int = 4,
-      schema: StructType = Model.changeEventSchema): Unit = {
+      schema: StructType = Model.changeEventSchema,
+      mode: String = "cow"): Unit = {
     val q = start(spark, sourceDir, table, checkpointDir, writerId,
-      maxFilesPerTrigger, schema)
+      maxFilesPerTrigger, schema, Trigger.AvailableNow(), mode)
     try q.awaitTermination() finally if (q.isActive) q.stop()
   }
 }

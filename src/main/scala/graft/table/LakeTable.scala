@@ -32,7 +32,8 @@ final case class Snapshot(
     committed: Map[String, Long],
     bucketRows: Map[Int, Long],
     metrics: Map[String, Long],
-    parentVersion: Long) {
+    parentVersion: Long,
+    morDeltas: Boolean = false) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   def maxBatchId(writerId: String): Long = committed.getOrElse(writerId, -1L)
   def totalRows: Long = bucketRows.values.sum
@@ -109,7 +110,8 @@ final class LakeTable(val root: String, val numBuckets: Int) {
       committed = longMap[String]("committed", identity),
       bucketRows = longMap[Int]("bucketRows", _.toInt),
       metrics = longMap[String]("metrics", identity),
-      parentVersion = m.get("parentVersion").toString.toLong)
+      parentVersion = m.get("parentVersion").toString.toLong,
+      morDeltas = Option(m.get("morDeltas")).exists(_.toString.toBoolean))
   }
 
   /** Atomically publish a snapshot; refuses to overwrite an existing version
@@ -128,6 +130,7 @@ final class LakeTable(val root: String, val numBuckets: Int) {
     j.put("bucketRows", s.bucketRows.map { case (b, n) => b.toString -> java.lang.Long.valueOf(n) }.asJava)
     j.put("metrics", s.metrics.map { case (k, v) => k -> java.lang.Long.valueOf(v) }.asJava)
     j.put("parentVersion", java.lang.Long.valueOf(s.parentVersion))
+    j.put("morDeltas", java.lang.Boolean.valueOf(s.morDeltas))
     val tmp = metaDir.resolve(s".tmp-snap-${s.version}-${System.nanoTime()}.json")
     mapper.writerWithDefaultPrettyPrinter().writeValue(tmp.toFile, j)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
@@ -175,9 +178,21 @@ final class LakeTable(val root: String, val numBuckets: Int) {
 
   /** Live rows only (tombstones filtered, bookkeeping dropped); optionally
     * time-traveled to a past snapshot version.
+    *
+    * Merge-on-read: when the snapshot carries un-compacted delta files
+    * (`morDeltas`), a bucket may hold several versions of a key across its
+    * base+delta files — the LWW fold runs at read time (it is the same
+    * associative rule the writer uses, so COW and MOR states are
+    * indistinguishable to readers). Compaction folds deltas back so
+    * steady-state reads pay no merge.
     */
-  def read(spark: SparkSession, asOfVersion: Option[Long] = None): DataFrame =
-    readRaw(spark, None, asOfVersion).filter(col("op") =!= Model.OpDelete).drop("op")
+  def read(spark: SparkSession, asOfVersion: Option[Long] = None): DataFrame = {
+    val snap = asOfVersion.flatMap(snapshotAt).orElse(currentSnapshot())
+    val raw = readRaw(spark, None, asOfVersion)
+    val resolved = if (snap.exists(_.morDeltas))
+      graft.operators.Lww.latestByKeyAgg(raw) else raw
+    resolved.filter(col("op") =!= Model.OpDelete).drop("op")
+  }
 
   /** Vacuum: delete data files not referenced by the newest `keepLast`
     * snapshots, then drop the older snapshot JSONs. Returns deleted file

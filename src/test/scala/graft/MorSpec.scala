@@ -1,0 +1,94 @@
+package graft
+
+import graft.changelog.Generator
+import graft.model.{ChangeEvent, Model}
+import graft.operators.MergeApplier
+import graft.streaming.CdcStream
+import graft.table.LakeTable
+
+import java.sql.Timestamp
+
+class MorSpec extends SparkSpecBase {
+  import Model.changeEventEncoder
+
+  private def ev(conv: String, turn: Int, text: String, t: String, op: String, seq: Long) =
+    ChangeEvent(conv, turn, "user", text, None, Timestamp.valueOf(t), op, seq)
+
+  private def finalState(table: LakeTable): Map[(String, Int), (String, Long)] =
+    table.read(spark).collect()
+      .map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx")) ->
+        ((r.getAs[String]("text"), r.getAs[Long]("seq")))).toMap
+
+  test("MOR golden: delta-append replay equals the oracle fold; compaction preserves it") {
+    val all = Generator.events(spark, 6000, numConvs = 25, turnsPerConv = 6, seed = 77)
+      .as[ChangeEvent].collect().toSeq
+    val oracle = Generator.oracleFold(all).map { case (k, e) => k -> ((e.text, e.seq)) }
+
+    val table = new LakeTable(tmpDir("mor-golden"), numBuckets = 8)
+    all.sortBy(_.seq).grouped(1500).zipWithIndex.foreach { case (chunk, i) =>
+      MergeApplier.applyBatchMor(spark, table,
+        spark.createDataset(chunk).toDF(), "t", i.toLong)
+    }
+    assert(table.currentSnapshot().get.morDeltas)
+    // stored rows > live keys: deltas keep superseded versions until compact
+    assert(table.currentSnapshot().get.totalRows > oracle.size)
+    assert(finalState(table) == oracle)
+
+    MergeApplier.compact(spark, table, Timestamp.valueOf("2030-01-01 00:00:00"))
+    assert(!table.currentSnapshot().get.morDeltas)
+    assert(finalState(table) == oracle)
+    assert(table.currentSnapshot().get.totalRows == oracle.size)
+  }
+
+  test("MOR tombstone: stale insert after delete stays dead across deltas") {
+    val table = new LakeTable(tmpDir("mor-tomb"), numBuckets = 4)
+    MergeApplier.applyBatchMor(spark, table, spark.createDataset(Seq(
+      ev("c1", 0, "v1", "2025-01-01 00:00:00", "insert", 1))).toDF(), "w", 0L)
+    MergeApplier.applyBatchMor(spark, table, spark.createDataset(Seq(
+      ev("c1", 0, null, "2025-01-01 00:00:10", "delete", 2))).toDF(), "w", 1L)
+    MergeApplier.applyBatchMor(spark, table, spark.createDataset(Seq(
+      ev("c1", 0, "stale", "2025-01-01 00:00:05", "insert", 3))).toDF(), "w", 2L)
+    assert(table.read(spark).count() == 0)
+    // compaction with a watermark BEFORE the delete keeps the tombstone
+    MergeApplier.compact(spark, table, Timestamp.valueOf("2025-01-01 00:00:01"))
+    assert(table.read(spark).count() == 0)
+    MergeApplier.applyBatchMor(spark, table, spark.createDataset(Seq(
+      ev("c1", 0, "fresh", "2025-01-01 00:00:20", "insert", 4))).toDF(), "w", 3L)
+    assert(finalState(table) == Map(("c1", 0) -> (("fresh", 4L))))
+  }
+
+  test("COW and MOR commits interleave freely (associative LWW)") {
+    val table = new LakeTable(tmpDir("mor-mix"), numBuckets = 4)
+    MergeApplier.applyBatch(spark, table, spark.createDataset(Seq(
+      ev("c1", 0, "cow1", "2025-01-01 00:00:00", "insert", 1))).toDF(), "w", 0L)
+    MergeApplier.applyBatchMor(spark, table, spark.createDataset(Seq(
+      ev("c1", 0, "mor2", "2025-01-01 00:00:01", "insert", 2),
+      ev("c2", 0, "x", "2025-01-01 00:00:02", "insert", 3))).toDF(), "w", 1L)
+    // a COW merge over a MOR-delta table must fold the deltas too
+    MergeApplier.applyBatch(spark, table, spark.createDataset(Seq(
+      ev("c2", 0, "y", "2025-01-01 00:00:03", "insert", 4))).toDF(), "w", 2L)
+    // read must not surface superseded versions from untouched-bucket deltas
+    assert(table.read(spark).count() == 2)
+    assert(finalState(table) ==
+      Map(("c1", 0) -> (("mor2", 2L)), ("c2", 0) -> (("y", 4L))))
+  }
+
+  test("MOR streaming tail with kill/resume equals oracle") {
+    val dir = tmpDir("mor-stream")
+    Generator.writeChangelog(spark, dir, 3000, numConvs = 15, turnsPerConv = 5,
+      numFiles = 6, seed = 88)
+    val table = new LakeTable(tmpDir("mor-stream-table"), numBuckets = 8)
+    val ckpt = tmpDir("mor-stream-ckpt")
+    CdcStream.runAvailableNow(spark, dir, table, ckpt, maxFilesPerTrigger = 2,
+      mode = "mor")
+    // replay from a fresh checkpoint: ledger swallows everything
+    val v = table.currentSnapshot().get.version
+    CdcStream.runAvailableNow(spark, dir, table, tmpDir("mor-ckpt2"),
+      maxFilesPerTrigger = 2, mode = "mor")
+    assert(table.currentSnapshot().get.version == v)
+    val all = Generator.events(spark, 3000, 15, 5, seed = 88)
+      .as[ChangeEvent].collect().toSeq
+    val oracle = Generator.oracleFold(all).map { case (k, e) => k -> ((e.text, e.seq)) }
+    assert(finalState(table) == oracle)
+  }
+}
