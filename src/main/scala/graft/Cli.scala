@@ -62,7 +62,9 @@ object Cli {
 
     case "tail" :: src :: tableDir :: ckpt :: rest =>
       val mft = rest.headOption.map(_.toInt).getOrElse(4)
-      val table = new LakeTable(tableDir, 32)
+      // open with the SNAPSHOT's bucket count: a hardcoded count would
+      // silently rebucket an existing table (physical-identity violation)
+      val table = LakeTable.open(tableDir)
       val t0 = System.nanoTime()
       CdcStream.runAvailableNow(spark, src, table, ckpt, maxFilesPerTrigger = mft)
       val sec = (System.nanoTime() - t0) / 1e9
@@ -71,18 +73,18 @@ object Cli {
 
     case "vacuum" :: tableDir :: rest =>
       val keep = rest.headOption.map(_.toInt).getOrElse(1)
-      val deleted = new LakeTable(tableDir, 32).vacuum(keep)
+      val deleted = LakeTable.open(tableDir).vacuum(keep)
       println(s"""{"mode":"vacuum","deletedFiles":$deleted,"keptSnapshots":$keep}""")
 
     case "compact" :: tableDir :: wm :: Nil =>
-      val table = new LakeTable(tableDir, 32)
+      val table = LakeTable.open(tableDir)
       // accept ISO 'T' form — sbt runMain splits on spaces
       val kept = MergeApplier.compact(spark, table,
         java.sql.Timestamp.valueOf(wm.replace('T', ' ')))
       println(s"""{"mode":"compact","keptRows":$kept}""")
 
     case "show" :: tableDir :: Nil =>
-      val table = new LakeTable(tableDir, 32)
+      val table = LakeTable.open(tableDir)
       table.currentSnapshot() match {
         case None => println("""{"error":"no snapshot"}""")
         case Some(s) =>

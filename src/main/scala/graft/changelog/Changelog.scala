@@ -24,8 +24,11 @@ import org.apache.spark.sql.functions._
   * /root/reference assets/incremental-updates/lambda/etl-start.py:115-133).
   *
   * Out-of-order apply: `seq` is a modular permutation of event_id
-  * ((event_id*7919) mod 1000003, unique while |events| < 1000003), so reading
-  * the changelog in `seq` order replays events out of `ts` order — exercising
+  * ((event_id*7919) mod 999999999989 — a prime > 10^12 events, so seq stays
+  * UNIQUE at any scale factor; 7919*event_id cannot overflow int64 below
+  * ~10^15 events). Unique seq keeps (ts, seq) LWW ties impossible, so
+  * max_by and the oracle's ROW_NUMBER agree deterministically. Reading the
+  * changelog in `seq` order replays events out of `ts` order — exercising
   * cross-batch LWW.
   */
 object Changelog {
@@ -49,7 +52,7 @@ object Changelog {
       when(col("event_id") % 10 === 7, lit("delete"))
         .when((col("event_id") % 10).isin(5, 6), lit("update"))
         .otherwise(lit("insert")).as("op"),
-      ((col("event_id") * 7919) % 1000003).as("seq"))
+      ((col("event_id") * 7919) % 999999999989L).as("seq"))
   }
 
   /** DuckDB mirror of [[fromEvents]] — prepend to every oracle query. */
@@ -68,6 +71,6 @@ object Changelog {
       |    CASE WHEN event_id % 10 = 7 THEN 'delete'
       |         WHEN event_id % 10 IN (5,6) THEN 'update'
       |         ELSE 'insert' END AS op,
-      |    (event_id * 7919) % 1000003 AS seq
+      |    (event_id * 7919) % 999999999989 AS seq
       |  FROM events)""".stripMargin
 }

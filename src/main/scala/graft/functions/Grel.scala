@@ -69,6 +69,79 @@ object Grel {
   def md5Col(c: Column): Column = md5(c)                           // :631-640
   def sha1Col(c: Column): Column = sha1(c)                         // :642-651
 
+  /** strip — GREL alias of trim (python-style name). */
+  def strip(c: Column): Column = trim(c)
+
+  /** rpartition — :548-578: (before, sep, after) around the LAST occurrence;
+    * (whole, null, null) when absent (same convention as [[partitionParts]]).
+    */
+  def rpartitionParts(c: Column, sep: String): (Column, Column, Column) = {
+    val lastIdx = lastIndexOfCol(c, sep) // 0-based; -1 when absent
+    val before = when(lastIdx === -1, c).otherwise(substring(c, lit(1), lastIdx))
+    val sepC = when(lastIdx === -1, lit(null).cast("string")).otherwise(lit(sep))
+    val after = when(lastIdx === -1, lit(null).cast("string"))
+      .otherwise(substring(c, lastIdx + lit(sep.length + 1), lit(Int.MaxValue)))
+    (before, sepC, after)
+  }
+
+  /** smartSplit — :471-499: split by `sep` (or guess tab-vs-comma when
+    * absent), ignoring separators inside double quotes. The quote handling is
+    * a lookahead regex (separator followed by an EVEN number of quotes to the
+    * end) — correct for balanced-quote inputs, fully codegen'd.
+    */
+  def smartSplit(c: Column, sep: Option[String] = None): Column = {
+    def rx(s: String) =
+      java.util.regex.Pattern.quote(s) + "(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)"
+    sep match {
+      case Some(s) => split(c, rx(s))
+      case None =>
+        when(c.contains("\t"), split(c, rx("\t"))).otherwise(split(c, rx(",")))
+    }
+  }
+
+  /** escape — :602-612: modes html | xml | csv | url | javascript (the
+    * reference delegates to commons-style escapers; these Column chains
+    * cover the same entity/quote/percent semantics).
+    */
+  def escapeCol(c: Column, mode: String): Column = mode match {
+    case "html" =>
+      replaceCol(replaceCol(replaceCol(replaceCol(
+        c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;"), "\"", "&quot;")
+    case "xml" =>
+      replaceCol(replaceCol(replaceCol(replaceCol(replaceCol(
+        c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;"), "\"", "&quot;"), "'", "&apos;")
+    case "csv" =>
+      when(c.rlike("[\",\n\r]"),
+        concat(lit("\""), replaceCol(c, "\"", "\"\""), lit("\"")))
+        .otherwise(c)
+    case "url" => url_encode(c)
+    case "javascript" =>
+      replaceCol(replaceCol(replaceCol(replaceCol(replaceCol(replaceCol(
+        c, "\\", "\\\\"), "\"", "\\\""), "'", "\\'"),
+        "\n", "\\n"), "\r", "\\r"), "\t", "\\t")
+    case other => throw new IllegalArgumentException(s"unknown escape mode: $other")
+  }
+
+  /** unescape — :614-623: inverse of [[escapeCol]] per mode. */
+  def unescapeCol(c: Column, mode: String): Column = mode match {
+    case "html" =>
+      replaceCol(replaceCol(replaceCol(replaceCol(
+        c, "&quot;", "\""), "&gt;", ">"), "&lt;", "<"), "&amp;", "&")
+    case "xml" =>
+      replaceCol(replaceCol(replaceCol(replaceCol(replaceCol(
+        c, "&apos;", "'"), "&quot;", "\""), "&gt;", ">"), "&lt;", "<"), "&amp;", "&")
+    case "csv" =>
+      when(c.rlike("^\".*\"$"),
+        replaceCol(regexp_replace(c, "^\"|\"$", ""), "\"\"", "\""))
+        .otherwise(c)
+    case "url" => url_decode(c)
+    case "javascript" =>
+      replaceCol(replaceCol(replaceCol(replaceCol(replaceCol(replaceCol(
+        c, "\\n", "\n"), "\\r", "\r"), "\\t", "\t"),
+        "\\\"", "\""), "\\'", "'"), "\\\\", "\\")
+    case other => throw new IllegalArgumentException(s"unknown escape mode: $other")
+  }
+
   /** splitByLengths — :448-462: consume the string in fixed-size pieces;
     * characters past the last length are dropped (GREL semantics).
     */

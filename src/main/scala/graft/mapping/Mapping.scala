@@ -3,7 +3,7 @@ package graft.mapping
 import com.fasterxml.jackson.databind.ObjectMapper
 
 import graft.functions.Rml
-import graft.sources.Sources
+import graft.sources.{Sources, Xml}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -32,12 +32,16 @@ final case class FieldSpec(
 
 final case class MappingSpec(
     id: String,
-    format: String, // csv | jsonl | json-document
+    format: String, // csv | jsonl | json-document | xml
     sourceFileIncludePattern: String,
     sourceFileExcludePattern: Option[String] = None,
-    iterator: Option[String] = None, // array field to explode (RML iterator, N5)
+    // array field to explode (RML iterator, N5); for format=xml this is the
+    // row XPath (the reference routes XML through the same mappings.json,
+    // MappingManager.java:203)
+    iterator: Option[String] = None,
     fields: Seq[FieldSpec] = Seq.empty,
-    processingHints: Set[String] = Set.empty, // root-to-list | deletion-detection | copy-file
+    // root-to-list | deletion-detection | copy-file | json-hierarchy
+    processingHints: Set[String] = Set.empty,
     lineLimit: Option[Int] = None) {
 
   /** F1 router predicate — Mapping.matches (Mapping.java:67-81). */
@@ -125,9 +129,15 @@ object MappingCompiler {
   /** Compile one mapping over its source files → typed DataFrame.
     *
     * Pipeline (mirrors §3.3's single-file conversion): read per format →
-    * optional iterator explode (N5, with `__index`, N3) → field projection
-    * with functions + cast policy (§2.8) → record id (N4: id/ocid coalesce)
-    * → deletion detection (`recordStatus == "obsolete"` → op=delete, F6/C3).
+    * optional recursive parent enrichment (N2 `json-hierarchy` hint,
+    * SpecialCases.java:143-189) → optional iterator explode (N5, with
+    * `__index`, N3) → field projection with functions + cast policy (§2.8)
+    * → record id (N4: id/ocid coalesce) → deletion detection
+    * (`recordStatus == "obsolete"` → op=delete, F6/C3).
+    *
+    * XML (S8): `iterator` is the row XPath and each field's `from` is a
+    * relative XPath — same config surface, delegating to [[Sources]]/
+    * [[graft.sources.Xml]].
     */
   def compile(spark: SparkSession, spec: MappingSpec, path: String): DataFrame = {
     require(spec.matches(path), s"mapping ${spec.id} does not match $path")
@@ -135,10 +145,24 @@ object MappingCompiler {
     if (spec.processingHints.contains("copy-file")) // S9 passthrough
       return spark.read.text(path)
 
+    // N2: recursive __parent_*/__parentKey/__index push-down into nested
+    // objects and array elements (native codegen'd expression — the document
+    // tree is dynamic, so this cannot be a static schema transform).
+    def enriched(c: Column): Column =
+      if (spec.processingHints.contains("json-hierarchy"))
+        graft.functions.expressions.JsonHierarchy.enrichCol(c)
+      else c
+
     val raw: DataFrame = spec.format match {
       case "csv" => Sources.csv(spark, path)
+      case "xml" =>
+        val rowXPath = spec.iterator.getOrElse(throw new IllegalArgumentException(
+          s"xml mapping ${spec.id} requires iterator = row XPath"))
+        Xml.parse(Sources.wholeText(spark, path), rowXPath,
+          spec.fields.map(f => f.name -> f.from))
       case "jsonl" =>
         val lines = Sources.lines(spark, path, spec.lineLimit)
+          .withColumn("value", enriched(col("value")))
         spec.iterator match {
           case Some(_) if spec.processingHints.contains("root-to-list") =>
             // N1: the reference wraps each line as {"<it>": [<line>]} so the
@@ -153,13 +177,16 @@ object MappingCompiler {
           case None => lines.withColumn("__json", col("value"))
         }
       case "json-document" => Sources.wholeText(spark, path)
-        .withColumnRenamed("value", "__json")
+        .select(enriched(col("value")).as("__json"), col("path"))
       case other => throw new IllegalArgumentException(s"unknown format: $other")
     }
 
     val projected = spec.format match {
       case "csv" =>
         raw.select(spec.fields.map(f => fieldCol(col(f.from), f)): _*)
+      case "xml" =>
+        // Xml.parse already named the columns; apply functions + cast policy
+        raw.select(spec.fields.map(f => fieldCol(col(f.name), f)): _*)
       case _ =>
         // JSON: extract each field by path from the record json
         val withFields = spec.fields.map { f =>

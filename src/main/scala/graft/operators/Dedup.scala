@@ -25,11 +25,15 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-document word shingles, de-duplicated, df-capped.
-    * Returns (id, shingle) pairs — the inverted-index input.
+  /** Per-document word shingles, de-duplicated, annotated with document
+    * frequency. Returns (id, shingle, df) — the inverted-index input.
+    *
+    * The df join is a SHUFFLE join on shingle (AQE may still broadcast a
+    * small df side at runtime): the df table is vocabulary-sized, so a
+    * forced driver broadcast would OOM the driver at web scale.
     */
-  def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int,
-      maxDocFreq: Int): DataFrame = {
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
     // Materialized once: the Jaccard plan consumes the index from 3 branches
     // (df stats, both self-join sides, per-doc sizes) — without truncation
     // the shingle expressions re-evaluate per branch. At cluster scale this
@@ -38,23 +42,30 @@ object Dedup {
       .select(col(idCol).as("id"),
         explode(array_distinct(Text.wordShingles(col(textCol), n))).as("shingle"))
       .localCheckpoint(true)
-    // stop-shingle guard: a shingle in >maxDocFreq docs creates O(df^2) pairs
-    // — drop it (it carries no dedup signal anyway).
     val df = pairs.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq)
-    pairs.join(broadcast(df.select("shingle")), Seq("shingle"))
+    pairs.join(df, Seq("shingle"))
   }
 
   /** Exact n-gram Jaccard near-duplicate pairs (similarity ≥ minJaccard),
     * via inverted-index self-join: |A∩B| from the shingle join, |A|,|B| from
     * per-doc shingle counts. Emits (id_a < id_b, jaccard).
+    *
+    * Stop-shingle guard: a shingle in > maxDocFreq docs creates O(df²) join
+    * pairs — it is dropped from the document's shingle SET (so sizes and
+    * intersections use the same capped representation; jaccard stays a true
+    * set similarity over df-capped shingle sets). Singleton shingles
+    * (df = 1) stay in the sizes but are pruned from the self-join — they
+    * cannot produce a pair, only inflate the join input.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, minJaccard: Double = 0.8,
       maxDocFreq: Int = 1000): DataFrame = {
-    val idx = shingleIndex(docs, idCol, textCol, n, maxDocFreq)
+    val idx = shingleIndex(docs, idCol, textCol, n)
+      .filter(col("df") <= maxDocFreq)
+      .localCheckpoint(true) // consumed by sizes + both self-join sides
     val sizes = idx.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = idx.as("a").join(idx.as("b"),
+    val joinSide = idx.filter(col("df") >= 2).select("id", "shingle")
+    val inter = joinSide.as("a").join(joinSide.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))

@@ -92,6 +92,7 @@ object MergeApplier {
     var batchRows = 0L
     var nDeletes = 0L
     var touchedCount = 0
+    var probeMs = 0L
 
     val coldObs = new org.apache.spark.sql.Observation("cold-stats")
     snap match {
@@ -108,16 +109,22 @@ object MergeApplier {
           .partitionBy("bucket")
           .parquet(outDir.toString)
       case Some(_) =>
-        val withBucket = aligned.withColumn("__bucket", table.bucketCol)
         // Touched-bucket probe + batch stats: one cheap partial-agg pass over
-        // the RAW batch (<= numBuckets rows to the driver). The batch itself
-        // is NOT pre-deduped: the single LWW over (target UNION batch) below
-        // subsumes within-batch dedup, so the whole apply is probe + one
-        // LWW exchange + write.
-        val probe = withBucket.groupBy("__bucket")
+        // a 3-column projection of the RAW batch (<= numBuckets rows to the
+        // driver; the parquet scan prunes to key + op columns). The batch
+        // itself is NOT pre-deduped: the single LWW over (target UNION batch)
+        // below subsumes within-batch dedup, so the whole apply is probe +
+        // one LWW exchange + write. (Caching the batch to share the scan was
+        // MEASURED SLOWER: the cache write of the full batch cost ~4x the
+        // pruned re-scan it saved.)
+        val tProbe = System.nanoTime()
+        val probe = aligned
+          .select(Model.KeyCols.map(col) :+ col("op"): _*)
+          .groupBy(table.bucketCol.as("__bucket"))
           .agg(count(lit(1)).as("n"),
             count(when(col("op") === Model.OpDelete, 1)).as("d"))
           .collect()
+        probeMs = (System.nanoTime() - tProbe) / 1000000
         val touched: Set[Int] = probe.map(_.getInt(0)).toSet
         batchRows = probe.map(_.getLong(1)).sum
         nDeletes = probe.map(_.getLong(2)).sum
@@ -138,12 +145,13 @@ object MergeApplier {
           .partitionBy("bucket")
           .parquet(outDir.toString)
     }
+    val tMeta = System.nanoTime()
 
     val newBucketFiles = table.listBucketFiles(outDir)
     val prevFiles = snap.map(_.files).getOrElse(Map.empty)
     val files = prevFiles ++ newBucketFiles // untouched buckets keep old files
     val prevRows = snap.map(_.bucketRows).getOrElse(Map.empty)
-    val newRows = newBucketFiles.map { case (b, fs) => b -> table.footerRowCount(fs) }
+    val newRows = table.footerRowCounts(newBucketFiles)
     val bucketRows = prevRows ++ newRows
     if (snap.isEmpty) {
       // cold-start stats: totals from footers (free); tombstones from the
@@ -165,6 +173,8 @@ object MergeApplier {
         "upserts" -> (batchRows - nDeletes),
         "deletes" -> nDeletes,
         "touchedBuckets" -> touchedCount.toLong,
+        "probeMs" -> probeMs, // phase lineage: where each batch's time went
+        "metaMs" -> (System.nanoTime() - tMeta) / 1000000,
         "durationMs" -> (System.nanoTime() - t0) / 1000000),
       parentVersion = snap.map(_.version).getOrElse(0L),
       // a COW merge folds deltas only in the buckets it TOUCHED; untouched
@@ -174,15 +184,18 @@ object MergeApplier {
     ApplyResult(skipped = false, version, batchRows, touchedCount, batchRows - nDeletes, nDeletes)
   }
 
-  /** Merge-on-read apply: append the batch's within-batch LWW winners as
-    * DELTA files to each touched bucket — NO target read, NO rewrite; the
-    * read path (LakeTable.read) and the next [[compact]] run the same LWW
-    * fold, which is associative, so COW and MOR commits interleave freely.
+  /** Merge-on-read apply: append the batch's events as DELTA files to each
+    * touched bucket — NO target read, NO rewrite, NO aggregation (the LSM
+    * "L0 append"); the read path (LakeTable.read) and the next [[compact]]
+    * run the associative LWW fold, so COW and MOR commits interleave freely.
     *
-    * Cost per batch is O(batch) instead of O(batch + touched table) — the
-    * high-throughput tail mode at 10^10 scale; compaction amortizes the
-    * read-side merge (exactly Iceberg's v2 merge-on-read contract, built
-    * from scratch).
+    * Cost per batch is scan + ONE bucket-aligned exchange + write — strictly
+    * O(batch), the high-throughput tail mode at 10^10 scale; compaction
+    * amortizes the read-side merge (exactly Iceberg's v2 merge-on-read
+    * contract, built from scratch). Within-batch LWW is deliberately NOT run
+    * here: it collapses only the batch's own duplicate keys (~10% at the
+    * measured skew) but costs a sort-aggregate over the whole batch — the
+    * read/compact fold subsumes it for the same final state.
     */
   def applyBatchMor(spark: SparkSession, table: LakeTable, batch: DataFrame,
       writerId: String, batchId: Long): ApplyResult = {
@@ -200,7 +213,7 @@ object MergeApplier {
     val outDir = table.commitDir(version, writerId, batchId)
     val keyCols = Model.KeyCols.map(col)
     val obs = new org.apache.spark.sql.Observation(s"mor-$version")
-    Lww.latestByKeyAgg(aligned.repartition(table.numBuckets, keyCols: _*))
+    aligned.repartition(table.numBuckets, keyCols: _*)
       .observe(obs, count(lit(1)).as("rows"),
         count(when(col("op") === Model.OpDelete, 1)).as("dels"))
       .withColumn("bucket", table.bucketCol)
@@ -212,6 +225,7 @@ object MergeApplier {
     if (batchRows == 0) {
       return ApplyResult(skipped = false, snap.map(_.version).getOrElse(0L), 0, 0, 0, 0)
     }
+    val tMeta = System.nanoTime()
     val newBucketFiles = table.listBucketFiles(outDir)
     val prevFiles = snap.map(_.files).getOrElse(Map.empty)
     val files = (prevFiles.keySet ++ newBucketFiles.keySet).map { b =>
@@ -219,9 +233,9 @@ object MergeApplier {
     }.toMap
     val prevRows = snap.map(_.bucketRows).getOrElse(Map.empty)
     // bucketRows counts STORED rows (incl. superseded versions until compact)
+    val newRows = table.footerRowCounts(newBucketFiles)
     val bucketRows = (prevRows.keySet ++ newBucketFiles.keySet).map { b =>
-      b -> (prevRows.getOrElse(b, 0L) +
-        newBucketFiles.get(b).map(table.footerRowCount).getOrElse(0L))
+      b -> (prevRows.getOrElse(b, 0L) + newRows.getOrElse(b, 0L))
     }.toMap
     table.commit(Snapshot(
       version = version,
@@ -235,6 +249,7 @@ object MergeApplier {
         "upserts" -> (batchRows - nDeletes),
         "deletes" -> nDeletes,
         "touchedBuckets" -> newBucketFiles.size.toLong,
+        "metaMs" -> (System.nanoTime() - tMeta) / 1000000,
         "durationMs" -> (System.nanoTime() - t0) / 1000000),
       parentVersion = snap.map(_.version).getOrElse(0L),
       morDeltas = true))
@@ -258,6 +273,11 @@ object MergeApplier {
   def compact(spark: SparkSession, table: LakeTable,
       watermark: java.sql.Timestamp): Long = {
     val snap = table.currentSnapshot().getOrElse(return 0L)
+    // Same physical-identity guard as the apply paths: a handle opened with a
+    // different bucket count would silently REBUCKET the table here (the
+    // bucket column derives from the handle, not the snapshot).
+    require(snap.numBuckets == table.numBuckets,
+      s"table has ${snap.numBuckets} buckets; handle opened with ${table.numBuckets}")
     val raw = table.readRaw(spark)
     // MOR deltas fold here: same associative LWW the writer/reader use.
     val resolved = if (snap.morDeltas) Lww.latestByKeyAgg(
@@ -270,7 +290,7 @@ object MergeApplier {
     (if (snap.morDeltas) kept else kept.repartition(col("bucket")))
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir.toString)
     val newFiles = table.listBucketFiles(outDir)
-    val rows = newFiles.map { case (b, fs) => b -> table.footerRowCount(fs) }
+    val rows = table.footerRowCounts(newFiles)
     table.commit(Snapshot(version, snap.schemaJson, table.numBuckets, newFiles,
       snap.committed, rows,
       Map("compactedRows" -> rows.values.sum), snap.version,

@@ -79,59 +79,68 @@ object Similarity {
 
   /** IVF (inverted-file) ANN: deterministic k-means-lite coarse quantizer.
     *
-    * Train: seed `nLists` centroids from hash-picked corpus rows, run
-    * `iters` Lloyd iterations as DataFrame aggregations (assign → mean) —
-    * all distributed, centroids collected to the driver only (nLists × dim
-    * doubles, small by construction).
-    * Index: each corpus vector is assigned to its nearest centroid (one
-    * narrow pass — at cluster scale this is the partition/bucket key of the
-    * vector table, so probes prune files exactly like the CDC buckets).
-    * Search: each query probes its `nProbe` nearest centroid lists and
-    * re-ranks candidates by exact cosine.
+    * Scale design: centroids live in a (tiny) DataFrame that is BROADCAST to
+    * the assignment join — never embedded as plan literals and never folded
+    * on the driver. The plan size is constant in nLists (at nLists = 4096 ×
+    * dim = 64 the broadcast is ~1 MB of data, not a 260k-literal plan), and
+    * every Lloyd step is a distributed aggregation:
+    *
+    *   assign: corpus ⋈ broadcast(centroids) → per-vector max(struct(cos,
+    *           cid)) — partial agg collapses the nLists fan-out map-side
+    *   mean:   posexplode(vec) → groupBy(list, dim) avg → collect_list back
+    *           into ordered arrays (one shuffle of nLists × dim rows)
+    *
+    * Index: each corpus vector's `list` id — at cluster scale the
+    * partition/bucket key of the vector table, so probes prune files exactly
+    * like the CDC buckets. Search: each query probes its `nProbe` nearest
+    * lists; candidates re-rank by exact cosine.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nLists: Int = 16, nProbe: Int = 4, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .localCheckpoint(true) // consumed by every Lloyd iteration + the index
     // deterministic seeding: rows with the nLists smallest xxhash64(id)
-    var centroids: Array[(Int, Array[Double])] = c
+    val hw = Window.orderBy("h") // nLists rows only — single-partition is fine
+    var centroids: DataFrame = c
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h").limit(nLists)
-      .collect().zipWithIndex
-      .map { case (r, i) =>
-        i -> r.getSeq[Float](r.fieldIndex("cv")).map(_.toDouble).toArray }
-    def assignExpr(cents: Array[(Int, Array[Double])]): Column = {
-      // nearest centroid by cosine: argmax over literal centroid arrays
-      val scored = cents.map { case (cid, v) =>
-        struct(cosine(col("cv"),
-          array(v.map(x => lit(x.toFloat)): _*)).as("s"), lit(cid).as("cid"))
-      }
-      array_max(array(scored: _*)).getField("cid")
-    }
+      .select((row_number().over(hw) - 1).as("cid"), col("cv").as("centroid"))
+      .localCheckpoint(true)
+    // nearest-centroid assignment: one broadcast join + per-vector argmax
+    // (max over struct(score, cid): deterministic tie-break on larger cid)
+    def assignLists(vecs: DataFrame, id: String, v: String): DataFrame =
+      vecs.join(broadcast(centroids))
+        .withColumn("__sc",
+          struct(cosine(col(v), col("centroid")).as("s"), col("cid").as("cid")))
+        .groupBy(col(id))
+        .agg(first(col(v)).as(v), max(col("__sc")).getField("cid").as("list"))
     (0 until iters).foreach { _ =>
-      val assigned = c.withColumn("list", assignExpr(centroids))
-      val means = assigned
-        .select(col("list"), posexplode(col("cv")).as(Seq("d", "x")))
-        .groupBy("list", "d").agg(avg(col("x")).as("m"))
-        .collect().groupBy(_.getInt(0))
-        .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)) }
-      centroids = centroids.map { case (cid, old) =>
-        cid -> means.get(cid).map(_.toArray).getOrElse(old) }
+      val means = assignLists(c, "vec_id", "cv")
+        .select(col("list").as("cid"), posexplode(col("cv")).as(Seq("d", "x")))
+        .groupBy("cid", "d").agg(avg(col("x")).as("m"))
+        .groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("d").as("d"), col("m").as("m")))),
+          e => e.getField("m").cast("float")).as("centroid"))
+      // empty lists keep their previous centroid (left join + coalesce)
+      centroids = centroids.as("o")
+        .join(means.as("n"), Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("n.centroid"), col("o.centroid")).as("centroid"))
+        .localCheckpoint(true) // nLists rows; cuts per-iteration lineage
     }
-    val indexed = c.withColumn("list", assignExpr(centroids))
-    // query → its nProbe nearest lists
+    val indexed = assignLists(c, "vec_id", "cv")
+    // query → its nProbe nearest lists (same broadcast join, top-n window)
+    val pw = Window.partitionBy("query_id")
+      .orderBy(col("__sc").desc) // cos desc, tie → larger cid
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("probes", slice(
-        transform(
-          array_sort(array(centroids.map { case (cid, v) =>
-            struct((-cosine(col("qv"), array(v.map(x => lit(x.toFloat)): _*))).as("neg"),
-              lit(cid).as("cid"))
-          }: _*)),
-          s => s.getField("cid")), 1, nProbe))
-      .select(col("query_id"), col("qv"), explode(col("probes")).as("list"))
+      .join(broadcast(centroids))
+      .withColumn("__sc",
+        struct(cosine(col("qv"), col("centroid")).as("s"), col("cid").as("cid")))
+      .withColumn("__pn", row_number().over(pw))
+      .filter(col("__pn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid").as("list"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     indexed.join(q, Seq("list"))

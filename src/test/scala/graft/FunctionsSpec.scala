@@ -95,6 +95,53 @@ class FunctionsSpec extends SparkSpecBase {
       (("nosep", null, null)))
   }
 
+  test("GREL rpartition parts (last occurrence)") {
+    val df = Seq("parallel", "nosep").toDF("s")
+    val (b, sep, a) = Grel.rpartitionParts($"s", "a")
+    val rows = df.select(b, sep, a).collect()
+    assert((rows(0).getString(0), rows(0).getString(1), rows(0).getString(2)) ==
+      (("par", "a", "llel"))) // GRELFunctions.java:548-578 example
+    assert((rows(1).getString(0), rows(1).getString(1), rows(1).getString(2)) ==
+      (("nosep", null, null)))
+  }
+
+  test("GREL smartSplit: quote-aware, guesses tab vs comma") {
+    val df = Seq(
+      """a,"b,c",d""", // quoted comma survives
+      "x\ty\tz", // tab guessed
+      "p,q").toDF("s")
+    val got = df.select(Grel.smartSplit($"s")).collect().map(_.getSeq[String](0)).toSeq
+    assert(got(0) == Seq("a", "\"b,c\"", "d"))
+    assert(got(1) == Seq("x", "y", "z"))
+    assert(got(2) == Seq("p", "q"))
+    val explicit = df.limit(1).select(Grel.smartSplit($"s", Some(","))).collect()
+      .head.getSeq[String](0)
+    assert(explicit == Seq("a", "\"b,c\"", "d"))
+  }
+
+  test("GREL escape/unescape round-trips per mode") {
+    val fixtures = Seq(
+      ("html", """<a href="x">Tom & Jerry</a>"""),
+      ("xml", """<tag attr="v">it's & more</tag>"""),
+      ("csv", """say "hi", ok"""),
+      ("url", "a b&c/d?e=f"),
+      ("javascript", "line1\nline2\t\"quoted\" \\ 'single'"))
+    fixtures.foreach { case (mode, raw) =>
+      val df = Seq(raw).toDF("s")
+      val esc = df.select(Grel.escapeCol($"s", mode)).collect().head.getString(0)
+      val back = df.select(Grel.unescapeCol(Grel.escapeCol($"s", mode), mode))
+        .collect().head.getString(0)
+      assert(back == raw, s"mode=$mode: $esc -> $back")
+      if (mode != "csv") assert(esc != raw)
+    }
+    // spot-check exact escapes
+    assert(one[String](Grel.escapeCol(lit("a&b<c"), "html")) == "a&amp;b&lt;c")
+    assert(one[String](Grel.escapeCol(lit("a,b"), "csv")) == "\"a,b\"")
+    assert(one[String](Grel.escapeCol(lit("plain"), "csv")) == "plain")
+    assert(one[String](Grel.escapeCol(lit("a b"), "url")) == "a+b")
+    assert(one[String](Grel.strip(lit("  x  "))) == "x")
+  }
+
   test("text token counts and shingles") {
     val df = Seq("the quick  brown fox", "", "ab").toDF("t")
     val toks = df.select(Text.tokenCount($"t")).collect().map(_.getInt(0)).toSeq

@@ -92,6 +92,81 @@ class MappingSpec2 extends SparkSpecBase {
     assert(rows == Set(("a", "A"), ("b", "B")))
   }
 
+  test("json-hierarchy hint: recursive __parent_*/__parentKey/__index (N2)") {
+    // 2-level nesting mirroring the reference's enrichment
+    // (SpecialCases.java:143-189): org → departments[] → teams[]
+    val dir = tmpDir("mapping-hier")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/orgs.jsonl"),
+      """{"id":"org1","name":"Acme","departments":[""" +
+        """{"id":"d1","name":"R&D","teams":[{"id":"t1","name":"Search"},{"id":"t2","name":"Infra"}]},""" +
+        """{"id":"d2","name":"Sales","teams":[{"id":"t3","name":"EMEA"}]}]}""")
+    // iterate the departments array of the ENRICHED document; fields read the
+    // materialized parent context plus level-2 grandchildren via paths
+    val spec = MappingSpec("orgs", "jsonl", "orgs.*\\.jsonl",
+      iterator = Some("departments"),
+      processingHints = Set("json-hierarchy"),
+      fields = Seq(
+        FieldSpec("dept", "name"),
+        FieldSpec("parent_id", "__parent_id"),
+        FieldSpec("parent_name", "__parent_name"),
+        FieldSpec("parent_key", "__parentKey"),
+        FieldSpec("idx", "__index", dataType = "int"),
+        FieldSpec("team0_name", "teams[0].name"),
+        FieldSpec("team0_parent", "teams[0].__parent_id"),
+        FieldSpec("team0_grandparent", "teams[0].__parent___parent_id"),
+        FieldSpec("team0_key", "teams[0].__parentKey"),
+        FieldSpec("team0_idx", "teams[0].__index", dataType = "int")))
+    val rows = MappingCompiler.compile(spark, spec, s"$dir/orgs.jsonl")
+      .collect().map(r => r.getAs[String]("__record_id") -> r).toMap
+    assert(rows.keySet == Set("d1", "d2"))
+    val d1 = rows("d1")
+    // level 1: department carries its parent org's context
+    assert(d1.getAs[String]("parent_id") == "org1")
+    assert(d1.getAs[String]("parent_name") == "Acme")
+    assert(d1.getAs[String]("parent_key") == "departments")
+    assert(d1.getAs[Int]("idx") == 0)
+    assert(rows("d2").getAs[Int]("idx") == 1)
+    // level 2: team carries its DEPARTMENT as parent and the ORG as
+    // grandparent (the reference's stacked __parent___parent_* convention)
+    assert(d1.getAs[String]("team0_name") == "Search")
+    assert(d1.getAs[String]("team0_parent") == "d1")
+    assert(d1.getAs[String]("team0_grandparent") == "org1")
+    assert(d1.getAs[String]("team0_key") == "teams")
+    assert(d1.getAs[Int]("team0_idx") == 0)
+  }
+
+  test("XML routed through mappings.json: row XPath iterator + field XPaths (S8)") {
+    // mirrors the reference fixture source-data/xml/publications/pub1.xml
+    val dir = tmpDir("mapping-xml")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/pub1.xml"),
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<publications>
+        |    <publication id="Q8337" category="children">
+        |        <title lang="en">Harry Potter</title>
+        |        <author>J K. Rowling</author>
+        |        <year>2005</year>
+        |    </publication>
+        |    <publication id="Q112" category="science">
+        |        <title lang="en">Relativity</title>
+        |        <author>A. Einstein</author>
+        |        <year>1952</year>
+        |    </publication>
+        |</publications>""".stripMargin)
+    val spec = MappingSpec("pubs-xml", "xml", "pub.*\\.xml",
+      iterator = Some("/publications/publication"),
+      fields = Seq(
+        FieldSpec("pub_id", "@id"),
+        FieldSpec("title", "title"),
+        FieldSpec("author_lc", "author", function = Some("toLowerCase")),
+        FieldSpec("year", "year", dataType = "int")))
+    val rows = MappingCompiler.compile(spark, spec, s"$dir/pub1.xml")
+      .collect().map(r => (r.getAs[String]("pub_id"), r.getAs[String]("title"),
+        r.getAs[String]("author_lc"), r.getAs[Int]("year"))).toSet
+    assert(rows == Set(
+      ("Q8337", "Harry Potter", "j k. rowling", 2005),
+      ("Q112", "Relativity", "a. einstein", 1952)))
+  }
+
   test("copy-file hint: passthrough (S9)") {
     val dir = tmpDir("mapping-copy")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/raw.jsonl"), "as-is")

@@ -73,6 +73,21 @@ class MorSpec extends SparkSpecBase {
       Map(("c1", 0) -> (("mor2", 2L)), ("c2", 0) -> (("y", 4L))))
   }
 
+  test("MOR delta-carrying read plans ONE exchange, bucket-aligned") {
+    val table = new LakeTable(tmpDir("mor-plan"), numBuckets = 4)
+    MergeApplier.applyBatchMor(spark, table, spark.createDataset(Seq(
+      ev("c1", 0, "a", "2025-01-01 00:00:00", "insert", 1),
+      ev("c2", 1, "b", "2025-01-01 00:00:01", "insert", 2))).toDF(), "w", 0L)
+    MergeApplier.applyBatchMor(spark, table, spark.createDataset(Seq(
+      ev("c1", 0, "a2", "2025-01-01 00:00:02", "update", 3))).toDF(), "w", 1L)
+    assert(table.currentSnapshot().get.morDeltas)
+    val plan = table.read(spark).queryExecution.executedPlan.toString
+    // the read-side LWW fold re-uses the writer's bucket-aligned repartition:
+    // the agg's clustering requirement is satisfied — no second exchange
+    val exchanges = "(?i)exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected <=1 exchange, got $exchanges:\n$plan")
+  }
+
   test("MOR streaming tail with kill/resume equals oracle") {
     val dir = tmpDir("mor-stream")
     Generator.writeChangelog(spark, dir, 3000, numConvs = 15, turnsPerConv = 5,
