@@ -88,7 +88,8 @@ object Cli {
       table.currentSnapshot() match {
         case None => println("""{"error":"no snapshot"}""")
         case Some(s) =>
-          println(s"""{"version":${s.version},"rows":${s.totalRows},"buckets":${s.files.size},"files":${s.allFiles.size},"committed":${s.committed.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")},"metrics":${s.metrics.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")}}""")
+          val files = table.resolveFiles(s)
+          println(s"""{"version":${s.version},"rows":${s.totalRows},"buckets":${files.size},"files":${files.valuesIterator.map(_.size).sum},"manifests":${s.manifests.size},"committed":${s.committed.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")},"metrics":${s.metrics.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")}}""")
           table.read(spark).show(5, truncate = false)
       }
 

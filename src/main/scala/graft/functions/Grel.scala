@@ -156,6 +156,29 @@ object Grel {
     regexp_extract_all(c,
       lit("[A-Za-z]+|[0-9]+|\\s+|[^A-Za-z0-9\\s]+"), lit(0))
 
+  /** phonetic — :655-670: soundex | metaphone | doublemetaphone | cologne
+    * (commons-codec encoders from Spark's own classpath, wrapped in a
+    * codegen'd expression — see [[graft.functions.expressions.PhoneticExpr]]).
+    */
+  def phoneticCol(c: Column, mode: String): Column =
+    graft.functions.expressions.PhoneticExpr.phoneticCol(c, mode)
+
+  /** reinterpret — :673-683: round-trip the string through `charset`,
+    * replacing characters the charset cannot represent with '?' (Java
+    * String.getBytes semantics, what OpenRefine does). Spark's builtin
+    * encode() is strict on unmappable input — wrong contract — so this is a
+    * codegen'd expression over any JVM charset.
+    */
+  def reinterpret(c: Column, charset: String): Column =
+    graft.functions.expressions.PhoneticExpr.reinterpretCol(c, charset)
+
+  /** unicode — :685-690: per-character code points. `split(c, "")` yields
+    * Java-char granularity (surrogate pairs appear as two code units),
+    * matching the reference's char-wise StringFunctions.unicode.
+    */
+  def unicodeCol(c: Column): Column =
+    transform(filter(split(c, ""), ch => length(ch) > 0), ch => ascii(ch))
+
   /** diff — :588-593 (string variant): the suffix of `b` from the first
     * position where it diverges from `a`; null when equal.
     */

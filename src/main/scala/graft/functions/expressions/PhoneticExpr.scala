@@ -1,0 +1,100 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** GREL `phonetic(s, mode)` (reference GRELFunctions.java:655-670) as a
+  * codegen'd expression over the commons-codec language encoders that ship
+  * on Spark's own classpath (no added dependency). Modes: soundex,
+  * metaphone, doublemetaphone, cologne. The reference also names
+  * "metaphone3", whose canonical implementation is not freely licensed —
+  * requesting it fails loudly at plan time rather than silently aliasing
+  * another algorithm.
+  *
+  * The codec objects hold only configuration state (maxCodeLen), but
+  * commons-codec documents no thread-safety guarantee for encode — Spark
+  * shares generated code across a task thread only, yet the static helper
+  * here may be hit from many tasks, so instances are per-thread.
+  */
+object Phonetic {
+  private def tl[T <: AnyRef](mk: => T) = ThreadLocal.withInitial(() => mk)
+  private val soundex = tl(new org.apache.commons.codec.language.Soundex())
+  private val metaphone = tl(new org.apache.commons.codec.language.Metaphone())
+  private val doubleMetaphone = tl(new org.apache.commons.codec.language.DoubleMetaphone())
+  private val cologne = tl(new org.apache.commons.codec.language.ColognePhonetic())
+
+  def validateMode(mode: String): String = mode match {
+    case "soundex" | "metaphone" | "doublemetaphone" | "cologne" => mode
+    case "metaphone3" => throw new IllegalArgumentException(
+      "phonetic mode 'metaphone3' has no freely-licensed implementation; use 'doublemetaphone'")
+    case other => throw new IllegalArgumentException(s"unknown phonetic mode: $other")
+  }
+
+  /** Static entry used by both eval and generated code; `mode` is validated
+    * at plan time so the per-row branch is a constant-folded string match.
+    */
+  def encode(s: UTF8String, mode: UTF8String): UTF8String = {
+    val str = s.toString
+    val out = mode.toString match {
+      case "soundex" => soundex.get.encode(str)
+      case "metaphone" => metaphone.get.encode(str)
+      case "doublemetaphone" => doubleMetaphone.get.encode(str)
+      case "cologne" => cologne.get.encode(str)
+    }
+    UTF8String.fromString(out)
+  }
+}
+
+case class PhoneticExpr(child: Expression, mode: String) extends UnaryExpression {
+  Phonetic.validateMode(mode)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Phonetic.encode(input.asInstanceOf[UTF8String], UTF8String.fromString(mode))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modeRef = ctx.addReferenceObj("phoneticMode",
+      UTF8String.fromString(mode), classOf[UTF8String].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.Phonetic.encode($c, $modeRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PhoneticExpr =
+    copy(child = newChild)
+}
+
+object PhoneticExpr {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+  def phoneticCol(c: Column, mode: String): Column =
+    column(PhoneticExpr(expression(c), mode))
+  def reinterpretCol(c: Column, charset: String): Column =
+    column(ReinterpretExpr(expression(c), charset))
+}
+
+/** GREL `reinterpret(s, charset)` (reference GRELFunctions.java:673-683):
+  * round-trip through `charset` with Java String.getBytes replace semantics
+  * (unmappable characters become '?'), matching OpenRefine. Spark 4's own
+  * encode() is strict (MALFORMED_CHARACTER_CODING) — the wrong contract here.
+  */
+object Reinterpret {
+  def validate(charset: String): String = { java.nio.charset.Charset.forName(charset); charset }
+  def reinterpret(s: UTF8String, charset: UTF8String): UTF8String = {
+    val cs = java.nio.charset.Charset.forName(charset.toString)
+    UTF8String.fromString(new String(s.toString.getBytes(cs), cs))
+  }
+}
+
+case class ReinterpretExpr(child: Expression, charset: String) extends UnaryExpression {
+  Reinterpret.validate(charset)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Reinterpret.reinterpret(input.asInstanceOf[UTF8String], UTF8String.fromString(charset))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val csRef = ctx.addReferenceObj("reinterpretCharset",
+      UTF8String.fromString(charset), classOf[UTF8String].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.Reinterpret.reinterpret($c, $csRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ReinterpretExpr =
+    copy(child = newChild)
+}

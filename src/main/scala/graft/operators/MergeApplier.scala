@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.model.Model
-import graft.table.{LakeTable, Snapshot}
+import graft.table.{LakeTable, ManifestRef, Snapshot}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -92,6 +92,7 @@ object MergeApplier {
     var batchRows = 0L
     var nDeletes = 0L
     var touchedCount = 0
+    var touchedBuckets: Set[Int] = Set.empty
     var probeMs = 0L
 
     val coldObs = new org.apache.spark.sql.Observation("cold-stats")
@@ -126,6 +127,7 @@ object MergeApplier {
           .collect()
         probeMs = (System.nanoTime() - tProbe) / 1000000
         val touched: Set[Int] = probe.map(_.getInt(0)).toSet
+        touchedBuckets = touched
         batchRows = probe.map(_.getLong(1)).sum
         nDeletes = probe.map(_.getLong(2)).sum
         touchedCount = touched.size
@@ -148,8 +150,18 @@ object MergeApplier {
     val tMeta = System.nanoTime()
 
     val newBucketFiles = table.listBucketFiles(outDir)
-    val prevFiles = snap.map(_.files).getOrElse(Map.empty)
-    val files = prevFiles ++ newBucketFiles // untouched buckets keep old files
+    // Manifest-list commit: ONE new manifest file for the touched buckets;
+    // prior refs keep their (untouched) buckets via mask subtraction — no
+    // file list is ever rewritten, so commit metadata I/O is O(touched),
+    // independent of how many data files the table holds. A COW rewrite of a
+    // bucket also masks that bucket's MOR delta refs: the rewrite read and
+    // folded them (readRaw(touched) above).
+    val rewritten = newBucketFiles.keySet ++ touchedBuckets
+    val manifests = snap.map(_.manifests).getOrElse(Seq.empty)
+      .map(m => m.copy(buckets = m.buckets -- rewritten))
+      .filter(_.buckets.nonEmpty) :+
+      ManifestRef(table.writeManifest(version, newBucketFiles),
+        newBucketFiles.keySet, delta = false)
     val prevRows = snap.map(_.bucketRows).getOrElse(Map.empty)
     val newRows = table.footerRowCounts(newBucketFiles)
     val bucketRows = prevRows ++ newRows
@@ -165,7 +177,7 @@ object MergeApplier {
       version = version,
       schemaJson = mergedSchema.json,
       numBuckets = table.numBuckets,
-      files = files,
+      manifests = manifests,
       committed = snap.map(_.committed).getOrElse(Map.empty) + (writerId -> batchId),
       bucketRows = bucketRows,
       metrics = Map(
@@ -227,10 +239,11 @@ object MergeApplier {
     }
     val tMeta = System.nanoTime()
     val newBucketFiles = table.listBucketFiles(outDir)
-    val prevFiles = snap.map(_.files).getOrElse(Map.empty)
-    val files = (prevFiles.keySet ++ newBucketFiles.keySet).map { b =>
-      b -> (prevFiles.getOrElse(b, Seq.empty) ++ newBucketFiles.getOrElse(b, Seq.empty))
-    }.toMap
+    // Delta commit: append ONE delta manifest ref; no prior ref is touched.
+    // Readers concatenate base + deltas per bucket in manifest-list order.
+    val manifests = snap.map(_.manifests).getOrElse(Seq.empty) :+
+      ManifestRef(table.writeManifest(version, newBucketFiles),
+        newBucketFiles.keySet, delta = true)
     val prevRows = snap.map(_.bucketRows).getOrElse(Map.empty)
     // bucketRows counts STORED rows (incl. superseded versions until compact)
     val newRows = table.footerRowCounts(newBucketFiles)
@@ -241,7 +254,7 @@ object MergeApplier {
       version = version,
       schemaJson = mergedSchema.json,
       numBuckets = table.numBuckets,
-      files = files,
+      manifests = manifests,
       committed = snap.map(_.committed).getOrElse(Map.empty) + (writerId -> batchId),
       bucketRows = bucketRows,
       metrics = Map(
@@ -291,7 +304,12 @@ object MergeApplier {
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir.toString)
     val newFiles = table.listBucketFiles(outDir)
     val rows = table.footerRowCounts(newFiles)
-    table.commit(Snapshot(version, snap.schemaJson, table.numBuckets, newFiles,
+    // Compaction resets the manifest list to a single full manifest — the
+    // bound on manifest-list growth (one delta ref per MOR commit between
+    // compactions).
+    table.commit(Snapshot(version, snap.schemaJson, table.numBuckets,
+      Seq(ManifestRef(table.writeManifest(version, newFiles),
+        newFiles.keySet, delta = false)),
       snap.committed, rows,
       Map("compactedRows" -> rows.values.sum), snap.version,
       morDeltas = false))

@@ -10,6 +10,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
+/** One entry in a snapshot's manifest list (Iceberg manifest-list layering,
+  * from scratch). The entry names an immutable manifest FILE holding the
+  * per-bucket data-file paths of one commit; `buckets` is the authoritative
+  * live-bucket mask — a COW rewrite of bucket b removes b from every older
+  * ref rather than rewriting their manifest files, so commit metadata stays
+  * O(touched buckets) no matter how many data files the table has.
+  * `delta` marks merge-on-read appends: a bucket's files = its single
+  * non-delta ref's list ++ every later delta ref's list, in list order.
+  */
+final case class ManifestRef(path: String, buckets: Set[Int], delta: Boolean)
+
 /** Snapshot metadata of one table version (Iceberg-style, from scratch —
   * no Iceberg/Delta runtime exists in this environment).
   *
@@ -17,7 +28,10 @@ import scala.jdk.CollectionConverters._
   * (/root/reference assets/.../commons.py:28-30 `.ingesting/ingested` markers;
   * manifest scheduled→processed move full-etl.asl.json:604-614) as a single
   * atomic, versioned commit log:
-  *   - `files`: per-bucket data-file lists (the manifest)
+  *   - `manifests`: ordered manifest-list (see [[ManifestRef]]); the snapshot
+  *     itself holds NO data-file paths, so writing it is O(buckets + commits
+  *     since compaction), independent of table file count — at 10^6 files the
+  *     per-commit metadata write is still a few KB
   *   - `committed`: writerId → max committed batchId (the idempotence ledger;
   *     Structured Streaming batchIds are strictly increasing, so one Long per
   *     writer suffices at any scale — O(1) state, not a growing set)
@@ -28,7 +42,7 @@ final case class Snapshot(
     version: Long,
     schemaJson: String,
     numBuckets: Int,
-    files: Map[Int, Seq[String]],
+    manifests: Seq[ManifestRef],
     committed: Map[String, Long],
     bucketRows: Map[Int, Long],
     metrics: Map[String, Long],
@@ -37,7 +51,6 @@ final case class Snapshot(
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   def maxBatchId(writerId: String): Long = committed.getOrElse(writerId, -1L)
   def totalRows: Long = bucketRows.values.sum
-  def allFiles: Seq[String] = files.values.flatten.toSeq
 }
 
 /** A bucketed copy-on-write lake table on a filesystem.
@@ -127,9 +140,15 @@ final class LakeTable(val root: String, val numBuckets: Int) {
       version = m.get("version").toString.toLong,
       schemaJson = m.get("schemaJson").toString,
       numBuckets = m.get("numBuckets").toString.toInt,
-      files = m.get("files").asInstanceOf[java.util.Map[String, Object]].asScala
-        .map { case (b, fs) =>
-          b.toInt -> fs.asInstanceOf[java.util.List[String]].asScala.toSeq }.toMap,
+      manifests = m.get("manifests").asInstanceOf[java.util.List[Object]].asScala
+        .map { o =>
+          val e = o.asInstanceOf[java.util.Map[String, Object]]
+          ManifestRef(
+            path = e.get("path").toString,
+            buckets = e.get("buckets").asInstanceOf[java.util.List[Object]]
+              .asScala.map(_.toString.toInt).toSet,
+            delta = e.get("delta").toString.toBoolean)
+        }.toSeq,
       committed = longMap[String]("committed", identity),
       bucketRows = longMap[Int]("bucketRows", _.toInt),
       metrics = longMap[String]("metrics", identity),
@@ -148,7 +167,13 @@ final class LakeTable(val root: String, val numBuckets: Int) {
     j.put("version", java.lang.Long.valueOf(s.version))
     j.put("schemaJson", s.schemaJson)
     j.put("numBuckets", Integer.valueOf(s.numBuckets))
-    j.put("files", s.files.map { case (b, fs) => b.toString -> fs.asJava }.asJava)
+    j.put("manifests", s.manifests.map { r =>
+      val e = new java.util.LinkedHashMap[String, Object]()
+      e.put("path", r.path)
+      e.put("buckets", r.buckets.toSeq.sorted.map(Integer.valueOf).asJava)
+      e.put("delta", java.lang.Boolean.valueOf(r.delta))
+      e
+    }.asJava)
     j.put("committed", s.committed.map { case (k, v) => k -> java.lang.Long.valueOf(v) }.asJava)
     j.put("bucketRows", s.bucketRows.map { case (b, n) => b.toString -> java.lang.Long.valueOf(n) }.asJava)
     j.put("metrics", s.metrics.map { case (k, v) => k -> java.lang.Long.valueOf(v) }.asJava)
@@ -158,6 +183,69 @@ final class LakeTable(val root: String, val numBuckets: Int) {
     mapper.writerWithDefaultPrettyPrinter().writeValue(tmp.toFile, j)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
   }
+
+  // --- manifests ----------------------------------------------------------
+
+  /** Write one commit's per-bucket file lists as an immutable manifest file;
+    * returns its path (to be referenced by the next snapshot's manifest
+    * list). Torn writes are impossible to observe: a manifest becomes
+    * reachable only through a snapshot committed AFTER the atomic move here,
+    * and an unreferenced manifest is swept by [[vacuum]].
+    */
+  def writeManifest(version: Long, files: Map[Int, Seq[String]]): String = {
+    Files.createDirectories(metaDir)
+    val target = metaDir.resolve(f"man-$version%012d-${System.nanoTime()}.json")
+    val j = new java.util.LinkedHashMap[String, Object]()
+    j.put("files", files.map { case (b, fs) => b.toString -> fs.asJava }.asJava)
+    val tmp = metaDir.resolve(s".tmp-${target.getFileName}")
+    mapper.writeValue(tmp.toFile, j)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    target.toString
+  }
+
+  /** Manifests are immutable once published, so a driver-side cache makes
+    * re-resolution (once per micro-batch on a streaming driver) free. Bounded
+    * by a crude clear-on-overflow: entries are small and the live manifest
+    * set of one table is O(buckets + deltas since compaction).
+    */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Seq[String]]]()
+
+  def readManifest(path: String): Map[Int, Seq[String]] = {
+    val cached = manifestCache.get(path)
+    if (cached != null) return cached
+    val m = mapper.readValue(Paths.get(path).toFile,
+      classOf[java.util.Map[String, Object]])
+    val files = m.get("files").asInstanceOf[java.util.Map[String, Object]].asScala
+      .map { case (b, fs) =>
+        b.toInt -> fs.asInstanceOf[java.util.List[String]].asScala.toSeq }.toMap
+    if (manifestCache.size > 4096) manifestCache.clear()
+    manifestCache.put(path, files)
+    files
+  }
+
+  /** Resolve a snapshot's live data files, optionally restricted to a bucket
+    * set — only manifests whose live-bucket mask intersects the request are
+    * read, so a pruned read costs O(relevant manifests), not O(table files).
+    * Within a bucket, list order = commit order (base file lists first, then
+    * delta appends), which is the order the MOR fold and vacuum rely on.
+    */
+  def resolveFiles(s: Snapshot, buckets: Option[Set[Int]] = None): Map[Int, Seq[String]] = {
+    val out = scala.collection.mutable.Map.empty[Int, Seq[String]]
+    s.manifests.foreach { ref =>
+      val live = buckets.map(ref.buckets.intersect).getOrElse(ref.buckets)
+      if (live.nonEmpty) {
+        val files = readManifest(ref.path)
+        live.foreach { b =>
+          val fs = files.getOrElse(b, Seq.empty)
+          if (fs.nonEmpty) out.update(b, out.getOrElse(b, Seq.empty) ++ fs)
+        }
+      }
+    }
+    out.toMap
+  }
+
+  def allFiles(s: Snapshot): Seq[String] = resolveFiles(s).values.flatten.toSeq
 
   // --- data ---------------------------------------------------------------
 
@@ -188,8 +276,7 @@ final class LakeTable(val root: String, val numBuckets: Int) {
       throw new IllegalArgumentException(s"no snapshot v$v"))).getOrElse(currentSnapshot()) match {
       case None => spark.emptyDataFrame
       case Some(s) =>
-        val wanted = buckets.map(bs => s.files.view.filterKeys(bs).toMap).getOrElse(s.files)
-        val paths = wanted.values.flatten.toSeq
+        val paths = resolveFiles(s, buckets).values.flatten.toSeq
         if (paths.isEmpty) {
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
         } else {
@@ -226,17 +313,18 @@ final class LakeTable(val root: String, val numBuckets: Int) {
   }
 
   /** Vacuum: delete data files not referenced by the newest `keepLast`
-    * snapshots, then drop the older snapshot JSONs. Returns deleted file
-    * count. Mirrors Iceberg's expire-snapshots + orphan-file cleanup; also
-    * sweeps half-written commit dirs left by crashes (never referenced).
+    * snapshots, then drop the older snapshot JSONs and any manifest file no
+    * kept snapshot points at (masked-out or expired manifests, plus torn
+    * manifest writes). Returns deleted data-file count. Mirrors Iceberg's
+    * expire-snapshots + orphan-file cleanup; also sweeps half-written commit
+    * dirs left by crashes (never referenced).
     */
   def vacuum(keepLast: Int = 1): Int = {
     val names = snapshotFiles()
     if (names.isEmpty) return 0
     val (expire, keep) = names.splitAt(math.max(0, names.size - keepLast))
-    val referenced: Set[String] = keep
-      .map(n => readSnapshot(metaDir.resolve(n)))
-      .flatMap(_.allFiles).toSet
+    val keptSnaps = keep.map(n => readSnapshot(metaDir.resolve(n)))
+    val referenced: Set[String] = keptSnaps.flatMap(allFiles).toSet
     var deleted = 0
     if (Files.isDirectory(dataDir)) {
       LakeTable.listing(Files.walk(dataDir))(_.toSeq).reverse.foreach { p =>
@@ -248,6 +336,11 @@ final class LakeTable(val root: String, val numBuckets: Int) {
         }
       }
     }
+    val liveManifests: Set[String] = keptSnaps.flatMap(_.manifests.map(_.path)).toSet
+    LakeTable.listing(Files.list(metaDir)) {
+      _.filter(_.getFileName.toString.startsWith("man-")).toSeq
+    }.foreach { p => if (!liveManifests.contains(p.toString)) Files.delete(p) }
+    manifestCache.clear()
     expire.foreach(n => Files.delete(metaDir.resolve(n)))
     deleted
   }

@@ -142,6 +142,34 @@ class FunctionsSpec extends SparkSpecBase {
     assert(one[String](Grel.strip(lit("  x  "))) == "x")
   }
 
+  test("GREL phonetic / reinterpret / unicode") {
+    // documented vectors per algorithm
+    assert(one[String](Grel.phoneticCol(lit("Robert"), "soundex")) == "R163")
+    assert(one[String](Grel.phoneticCol(lit("Rupert"), "soundex")) == "R163")
+    // classic Metaphone: TH -> 0 (theta)
+    assert(one[String](Grel.phoneticCol(lit("Thompson"), "metaphone")) == "0MPS")
+    assert(one[String](Grel.phoneticCol(lit("Smith"), "doublemetaphone")) == "SM0")
+    assert(one[String](
+      Grel.phoneticCol(lit("Müller-Lüdenscheidt"), "cologne")) == "65752682")
+    // same word, same code — phonetic equality across spellings
+    assert(one[String](Grel.phoneticCol(lit("Meier"), "cologne")) ==
+      one[String](Grel.phoneticCol(lit("Mayr"), "cologne")))
+    // unknown / unlicensed modes fail at plan time, not silently
+    intercept[IllegalArgumentException](Grel.phoneticCol(lit("x"), "metaphone3"))
+    intercept[IllegalArgumentException](Grel.phoneticCol(lit("x"), "nope"))
+    // null-in → null-out
+    assert(Seq[Option[String]](None).toDF("s")
+      .select(Grel.phoneticCol($"s", "soundex")).collect().head.isNullAt(0))
+
+    // reinterpret: lossy round-trip through a narrower charset
+    assert(one[String](Grel.reinterpret(lit("héllo"), "US-ASCII")) == "h?llo")
+    assert(one[String](Grel.reinterpret(lit("héllo"), "UTF-8")) == "héllo")
+
+    // unicode: per-char code points (OpenRefine example "Bés" -> 66,233,115)
+    assert(one[collection.Seq[Int]](Grel.unicodeCol(lit("Bés"))) == Seq(66, 233, 115))
+    assert(one[collection.Seq[Int]](Grel.unicodeCol(lit(""))) == Seq.empty)
+  }
+
   test("text token counts and shingles") {
     val df = Seq("the quick  brown fox", "", "ab").toDF("t")
     val toks = df.select(Text.tokenCount($"t")).collect().map(_.getInt(0)).toSeq
