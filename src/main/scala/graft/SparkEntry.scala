@@ -217,14 +217,17 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3,
         minJaccard = 0.8, maxDocFreq = 50)),
 
-    // NEAR-EXHAUSTIVE banding (bands=numHashes → 1 row/band): a jaccard≥0.7
-    // pair is missed only if all 64 minhashes differ (p ≤ 0.3^64), so the
-    // full LSH path — signature, banding, bucket join, exact verify — shares
-    // the brute-force jaccard oracle (the ann_ivf_topk full-probe trick).
-    // Production banding (bands=16) recall is measured in Bench ("recall").
+    // NEAR-EXHAUSTIVE banding (32 bands × 2 hashes): a jaccard≥0.7 pair is
+    // missed only if every band's 2-hash key differs — p ≤ (1-0.7²)^32 ≈
+    // 4.5e-10 — so the full LSH path (signature, banding, bucket join, exact
+    // verify) shares the brute-force jaccard oracle (the ann_ivf_topk
+    // full-probe trick). 2-hash bands collide with prob J² instead of J,
+    // which cuts low-similarity candidate volume ~10× vs 64×1 banding at
+    // the same (vanishing) miss bound. Production banding (bands=16) recall
+    // is measured in Bench ("recall").
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(table(s, dir, "documents"), n = 3,
-        numHashes = 64, bands = 64, minJaccard = 0.7)),
+        numHashes = 64, bands = 32, minJaccard = 0.7)),
     // rows-only: signature hashes (xxhash64) have no DuckDB mirror; recall
     // vs the exact Hamming ground truth is measured in Bench ("recall" — the
     // 4×16-bit banding is pigeonhole-complete for maxHamming ≤ 3).
@@ -280,7 +283,7 @@ object SparkEntry {
     // NEAR-EXHAUSTIVE SRP banding (64 bands × 1 bit): a candidate is missed
     // only if all 64 sign bits disagree (p = (θ/π)^64 ≤ 5e-20 even for
     // orthogonal pairs), so the SRP-LSH path shares the brute-force oracle.
-    // Production banding (8×8) recall is measured in Bench ("recall").
+    // Production banding (32×5) recall is measured in Bench ("recall").
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
@@ -293,7 +296,7 @@ object SparkEntry {
     // exists to avoid); recall vs brute-force pairs is measured in Bench.
     "embed_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(table(s, dir, "embeddings"),
-        minCos = 0.35, bands = 16, bitsPerBand = 6)),
+        minCos = 0.35, bands = 32, bitsPerBand = 5)),
 
     // multimodal plumbing: binary payload + typed metadata through the
     // partition-local (stubbed) codec; hash-free columns oracle-checked.
