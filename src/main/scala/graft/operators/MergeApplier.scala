@@ -3,8 +3,13 @@ package graft.operators
 import graft.model.Model
 import graft.table.{LakeTable, ManifestRef, Snapshot}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.graftbridge.ScanBridge
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.LongAccumulator
 
 /** The engine core: apply one micro-batch of change events to a LakeTable as
   * an exactly-once, key-partitioned MERGE.
@@ -13,13 +18,17 @@ import org.apache.spark.sql.types.StructType
   *   - the Redis max-version LWW dance (/root/reference SpecialCases.java:212-253)
   *   - the EC2 delete-then-import apply loop
   *     (incremental-updates-ingestion.py:29-63)
-  * — into one distributed plan per batch:
+  * — into one distributed job per batch (the bucket-local merge):
   *
   * {{{
-  *   batch ─ LWW within batch (partial-agg, skew-safe) ─┐
-  *                                                      ├─ union ─ LWW ─ write touched buckets ─ atomic commit(batchId)
-  *   target (ONLY touched buckets, file-pruned) ────────┘
+  *   batch ─ repartition(N, key) ──────────┐   partition i == bucket i
+  *                                         ├─ zipPartitions: in-task LWW fold
+  *   target ─ bucket-aligned parquet scan ─┘   ─ write touched buckets ─ atomic commit(batchId)
   * }}}
+  *
+  * ONE exchange total (the batch's); the table side never shuffles — its
+  * bucket files are read directly by the task owning that bucket
+  * (ScanBridge.bucketFilesRdd), and untouched buckets' tasks open no file.
   *
   * Correctness properties (tested in MergeSpec/StreamSpec):
   *   - idempotent: a replayed batchId is a no-op (ledger check before work)
@@ -47,6 +56,55 @@ object MergeApplier {
       touchedBuckets: Int,
       upserts: Long,
       deletes: Long)
+
+  /** In-task LWW merge of one bucket: fold the batch partition's rows and
+    * the bucket's stored rows into a per-key winner map under the SAME rule
+    * as [[Lww.latestByKeyAgg]] — winner = max by (ts, seq), nulls lowest;
+    * (ts, seq) ties keep the incumbent, which is unreachable in practice
+    * because seq is unique per changelog. Emits winners (tombstones
+    * included) tagged with the bucket id = partition id.
+    *
+    * Memory: the map holds one row per distinct key of (batch ∪ bucket) —
+    * exactly the bucket's post-merge contents, which the COW contract sizes
+    * to fit an executor anyway (a bucket IS the rewrite unit). Rows are
+    * copied only when stored; losers are never copied.
+    */
+  private def mergeBucket(convI: Int, turnI: Int, tsI: Int, seqI: Int, opI: Int,
+      rowsAcc: LongAccumulator, delAcc: LongAccumulator)(
+      batch: Iterator[InternalRow], target: Iterator[InternalRow]): Iterator[InternalRow] = {
+    if (!batch.hasNext) return Iterator.empty // untouched bucket: no file opened
+    val deleteOp = UTF8String.fromString(Model.OpDelete)
+    val winners = new java.util.HashMap[(UTF8String, Int), InternalRow]()
+    def ver(r: InternalRow, i: Int): Long = if (r.isNullAt(i)) Long.MinValue else r.getLong(i)
+    def wins(r: InternalRow, cur: InternalRow): Boolean = {
+      val a = ver(r, tsI); val c = ver(cur, tsI)
+      a > c || (a == c && ver(r, seqI) > ver(cur, seqI))
+    }
+    // fold() probes with a transient key view; copies row + key only on store
+    def fold(r: InternalRow): Unit = {
+      val cur = winners.get((r.getUTF8String(convI), r.getInt(turnI)))
+      if (cur == null || wins(r, cur)) {
+        val c = r.copy()
+        winners.put((c.getUTF8String(convI), c.getInt(turnI)), c)
+      }
+    }
+    var nRows = 0L
+    var nDel = 0L
+    while (batch.hasNext) {
+      val r = batch.next()
+      nRows += 1
+      if (!r.isNullAt(opI) && r.getUTF8String(opI).equals(deleteOp)) nDel += 1
+      fold(r)
+    }
+    rowsAcc.add(nRows)
+    delAcc.add(nDel)
+    while (target.hasNext) fold(target.next())
+    val bucketRow = new GenericInternalRow(
+      Array[Any](org.apache.spark.TaskContext.getPartitionId()))
+    val joined = new JoinedRow
+    import scala.jdk.CollectionConverters._
+    winners.values().iterator().asScala.map(r => joined(r, bucketRow))
+  }
 
   /** Normalize an incoming changelog batch to the merged (evolved) schema. */
   private def evolve(table: LakeTable, batch: DataFrame): (DataFrame, StructType) = {
@@ -109,53 +167,78 @@ object MergeApplier {
           .write.mode("overwrite") // overwrite self-cleans a crashed attempt
           .partitionBy("bucket")
           .parquet(outDir.toString)
-      case Some(_) =>
-        // Touched-bucket probe + batch stats: one cheap partial-agg pass over
-        // a 3-column projection of the RAW batch (<= numBuckets rows to the
-        // driver; the parquet scan prunes to key + op columns). The batch
-        // itself is NOT pre-deduped: the single LWW over (target UNION batch)
-        // below subsumes within-batch dedup, so the whole apply is probe +
-        // one LWW exchange + write. (Caching the batch to share the scan was
-        // MEASURED SLOWER: the cache write of the full batch cost ~4x the
-        // pruned re-scan it saved.)
-        val tProbe = System.nanoTime()
-        val probe = aligned
-          .select(Model.KeyCols.map(col) :+ col("op"): _*)
-          .groupBy(table.bucketCol.as("__bucket"))
-          .agg(count(lit(1)).as("n"),
-            count(when(col("op") === Model.OpDelete, 1)).as("d"))
-          .collect()
-        probeMs = (System.nanoTime() - tProbe) / 1000000
-        val touched: Set[Int] = probe.map(_.getInt(0)).toSet
-        touchedBuckets = touched
-        batchRows = probe.map(_.getLong(1)).sum
-        nDeletes = probe.map(_.getLong(2)).sum
-        touchedCount = touched.size
-        if (touched.isEmpty) {
-          // Empty batch: nothing to make exactly-once -- commit nothing (idle
-          // triggers must not churn snapshots); replay is trivially idempotent.
-          return ApplyResult(skipped = false, snap.map(_.version).getOrElse(0L), 0, 0, 0, 0)
+      case Some(s) =>
+        // BUCKET-LOCAL MERGE — one job, one exchange (the batch's), ZERO
+        // table-side shuffle, no probe job:
+        //
+        //   batch ─ repartition(N, key) ──┐ partition i == bucket i (same
+        //                                 ├─ zipPartitions: in-task LWW fold
+        //   target ─ bucket-aligned scan ─┘ (bucket i's files, read in task i)
+        //
+        // The target scan is ScanBridge.bucketFilesRdd: partition i reads
+        // ONLY bucket i's data files through Spark's parquet reader function
+        // (schema clipping = additive-evolution nulls), lazily — a partition
+        // whose batch side is empty opens no file, which is the old probe's
+        // file pruning for free, decided per task instead of via a separate
+        // driver-side probe job. The in-task fold applies the same
+        // associative (ts, seq)-max rule as Lww.latestByKeyAgg over a
+        // hash map keyed by (conv_id, turn_idx); target buckets are already
+        // key-unique in steady state (and MOR deltas fold correctly because
+        // the rule is associative). Tombstones participate and are RETAINED,
+        // so a later stale insert still loses.
+        //
+        // Alignment invariant (pinned by MergeSpec "partition id equals
+        // bucket id"): repartition's HashPartitioning uses the same murmur3
+        // (seed 42) as the table's bucketCol, so partition i holds exactly
+        // bucket i's batch rows and the in-task bucket tag is the partition
+        // id. Stats ride on accumulators (exact without speculation; this
+        // engine runs with speculation off, as does the reference's loop).
+        val rowsAcc = spark.sparkContext.longAccumulator("graft.batchRows")
+        val delAcc = spark.sparkContext.longAccumulator("graft.deletes")
+        val filesByBucket = Array.fill(table.numBuckets)(Array.empty[(String, Long)])
+        table.resolveFiles(s).foreach { case (b, fs) =>
+          filesByBucket(b) = fs.map(f => (f.path, f.bytes)).toArray
         }
-        // Target side: ONLY the touched buckets' files are read (file
-        // pruning). Cross-batch LWW over (existing UNION new); tombstones
-        // participate -- a delete with newer (ts, seq) wins and is RETAINED
-        // so later stale inserts lose too.
-        val target = Model.alignToSchema(table.readRaw(spark, Some(touched)), mergedSchema)
-        lwwByBucket(target.unionByName(aligned))
-          .withColumn("bucket", table.bucketCol)
+        val batchRdd = ScanBridge.toInternalRdd(
+          aligned.repartition(table.numBuckets, keyCols: _*))
+        val targetRdd = ScanBridge.bucketFilesRdd(spark, mergedSchema, filesByBucket)
+        val tsI = mergedSchema.fieldIndex("ts")
+        val seqI = mergedSchema.fieldIndex("seq")
+        val opI = mergedSchema.fieldIndex("op")
+        val convI = mergedSchema.fieldIndex("conv_id")
+        val turnI = mergedSchema.fieldIndex("turn_idx")
+        val merged = batchRdd.zipPartitions(targetRdd, preservesPartitioning = false)(
+          mergeBucket(convI, turnI, tsI, seqI, opI, rowsAcc, delAcc))
+        val outSchema = StructType(mergedSchema.fields :+
+          StructField("bucket", org.apache.spark.sql.types.IntegerType, nullable = false))
+        ScanBridge.internalDf(spark, merged, outSchema)
           .write.mode("overwrite")
           .partitionBy("bucket")
           .parquet(outDir.toString)
+        batchRows = rowsAcc.value
+        nDeletes = delAcc.value
+        if (batchRows == 0) {
+          // Empty batch: nothing to make exactly-once -- commit nothing (idle
+          // triggers must not churn snapshots); replay is trivially
+          // idempotent. The empty commit dir is unreferenced -> vacuumed.
+          return ApplyResult(skipped = false, s.version, 0, 0, 0, 0)
+        }
     }
     val tMeta = System.nanoTime()
 
     val newBucketFiles = table.listBucketFiles(outDir)
+    if (snap.nonEmpty) {
+      // every touched bucket emits >=1 winner (tombstones retained), so the
+      // written bucket set IS the touched set
+      touchedBuckets = newBucketFiles.keySet
+      touchedCount = touchedBuckets.size
+    }
     // Manifest-list commit: ONE new manifest file for the touched buckets;
     // prior refs keep their (untouched) buckets via mask subtraction — no
     // file list is ever rewritten, so commit metadata I/O is O(touched),
     // independent of how many data files the table holds. A COW rewrite of a
     // bucket also masks that bucket's MOR delta refs: the rewrite read and
-    // folded them (readRaw(touched) above).
+    // folded them (the bucket-aligned scan reads base + deltas).
     val rewritten = newBucketFiles.keySet ++ touchedBuckets
     val manifests = snap.map(_.manifests).getOrElse(Seq.empty)
       .map(m => m.copy(buckets = m.buckets -- rewritten))

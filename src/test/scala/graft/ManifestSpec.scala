@@ -2,7 +2,7 @@ package graft
 
 import graft.model.{ChangeEvent, Model}
 import graft.operators.MergeApplier
-import graft.table.{LakeTable, ManifestRef, Snapshot}
+import graft.table.{FileEntry, LakeTable, ManifestRef, Snapshot}
 
 import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
@@ -66,8 +66,9 @@ class ManifestSpec extends SparkSpecBase {
     val table = new LakeTable(tmpDir("man-big"), numBuckets = 64)
     // Fabricate a big table's metadata: 10,000 data-file paths in one base
     // manifest (contents never read — the MOR apply path reads no target).
-    val fakeFiles: Map[Int, Seq[String]] = (0 until 64).map { b =>
-      b -> (0 until 157).map(i => s"${table.root}/data/c1-seed-0/bucket=$b/part-$i.parquet")
+    val fakeFiles: Map[Int, Seq[FileEntry]] = (0 until 64).map { b =>
+      b -> (0 until 157).map(i => FileEntry(
+        s"${table.root}/data/c1-seed-0/bucket=$b/part-$i.parquet", 1024L))
     }.toMap
     assert(fakeFiles.values.map(_.size).sum > 10000)
     val basePath = table.writeManifest(1L, fakeFiles)

@@ -157,6 +157,24 @@ class MergeSpec extends SparkSpecBase {
     }
   }
 
+  test("alignment invariant: repartition(N, key) partition id equals bucketCol for every row") {
+    // The bucket-local merge (MergeApplier.mergeBucket) reads bucket i's
+    // target files in partition i of the batch's key shuffle and tags output
+    // rows with the partition id. That is sound ONLY if Spark's
+    // HashPartitioning (murmur3, seed 42) equals pmod(hash(key), N) — this
+    // test pins the invariant against any Spark-internals drift.
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    val table = new LakeTable(tmpDir("merge-align"), numBuckets = 8)
+    val df = spark.createDataset((0 until 5000).map(i =>
+      ev(s"c${i % 311}", i % 29, s"t$i", "2025-01-01 00:00:00", "insert", i.toLong))).toDF()
+    val mismatched = df.repartition(table.numBuckets, col("conv_id"), col("turn_idx"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__bucket", table.bucketCol)
+      .filter(col("__pid") =!= col("__bucket"))
+      .count()
+    assert(mismatched == 0L)
+  }
+
   test("lineage: snapshot records per-bucket rows, metrics, and ledger") {
     val table = new LakeTable(tmpDir("merge-lineage"), numBuckets = 4)
     val b = spark.createDataset((0 until 100).map(i =>
