@@ -75,15 +75,10 @@ object MergeApplier {
     if (!batch.hasNext) return Iterator.empty // untouched bucket: no file opened
     val deleteOp = UTF8String.fromString(Model.OpDelete)
     val winners = new java.util.HashMap[(UTF8String, Int), InternalRow]()
-    def ver(r: InternalRow, i: Int): Long = if (r.isNullAt(i)) Long.MinValue else r.getLong(i)
-    def wins(r: InternalRow, cur: InternalRow): Boolean = {
-      val a = ver(r, tsI); val c = ver(cur, tsI)
-      a > c || (a == c && ver(r, seqI) > ver(cur, seqI))
-    }
     // fold() probes with a transient key view; copies row + key only on store
     def fold(r: InternalRow): Unit = {
       val cur = winners.get((r.getUTF8String(convI), r.getInt(turnI)))
-      if (cur == null || wins(r, cur)) {
+      if (cur == null || BucketLocal.wins(r, cur, tsI, seqI)) {
         val c = r.copy()
         winners.put((c.getUTF8String(convI), c.getInt(turnI)), c)
       }
@@ -374,16 +369,12 @@ object MergeApplier {
     // bucket column derives from the handle, not the snapshot).
     require(snap.numBuckets == table.numBuckets,
       s"table has ${snap.numBuckets} buckets; handle opened with ${table.numBuckets}")
-    val raw = table.readRaw(spark)
-    // MOR deltas fold here: same associative LWW the writer/reader use.
-    val resolved = if (snap.morDeltas) Lww.latestByKeyAgg(
-      raw.repartition(table.numBuckets, Model.KeyCols.map(col): _*)) else raw
-    val kept = resolved
-      .filter(!(col("op") === Model.OpDelete && col("ts") < lit(watermark)))
-      .withColumn("bucket", table.bucketCol)
+    // Bucket-local compaction: fold + expire inside each bucket's own task —
+    // ZERO shuffles; compaction cost is exactly read + write (BucketLocal).
     val version = snap.version + 1
     val outDir = table.commitDir(version, "compact", snap.version)
-    (if (snap.morDeltas) kept else kept.repartition(col("bucket")))
+    BucketLocal.compactRows(spark, table, snap,
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(watermark))
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir.toString)
     val newFiles = table.listBucketFiles(outDir)
     val rows = table.footerRowCounts(newFiles)

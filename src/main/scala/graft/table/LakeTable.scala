@@ -310,16 +310,17 @@ final class LakeTable(val root: String, val numBuckets: Int) {
     */
   def read(spark: SparkSession, asOfVersion: Option[Long] = None): DataFrame = {
     val snap = asOfVersion.flatMap(snapshotAt).orElse(currentSnapshot())
-    val raw = readRaw(spark, None, asOfVersion)
-    // Delta fold aligned with the bucket layout, exactly like the writer
-    // (MergeApplier.lwwByBucket): the explicit repartition uses the same
-    // murmur3 as the bucket function, so the LWW agg adds NO second exchange
-    // and the folded result is again bucket-clustered for downstream rewrites
-    // — one exchange total on a delta-carrying read.
-    val resolved = if (snap.exists(_.morDeltas))
-      graft.operators.Lww.latestByKeyAgg(
-        raw.repartition(numBuckets, Model.KeyCols.map(col): _*))
-    else raw
+    // Delta-carrying reads fold bucket-locally (BucketLocal.readFolded):
+    // partition i reads bucket i's base + delta files and resolves winners
+    // in-task — ZERO exchanges regardless of delta depth. Column pruning is
+    // moot on this branch (winner semantics need whole rows). Compacted
+    // tables take the plain parquet scan, which keeps full pushdown/pruning
+    // for analytical readers.
+    val resolved = snap match {
+      case Some(s) if s.morDeltas =>
+        graft.operators.BucketLocal.readFolded(spark, this, s)
+      case _ => readRaw(spark, None, asOfVersion)
+    }
     resolved.filter(col("op") =!= Model.OpDelete).drop("op")
   }
 

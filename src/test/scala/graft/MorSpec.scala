@@ -73,7 +73,7 @@ class MorSpec extends SparkSpecBase {
       Map(("c1", 0) -> (("mor2", 2L)), ("c2", 0) -> (("y", 4L))))
   }
 
-  test("MOR delta-carrying read plans ONE exchange, bucket-aligned") {
+  test("MOR delta-carrying read plans ZERO exchanges (bucket-local fold)") {
     val table = new LakeTable(tmpDir("mor-plan"), numBuckets = 4)
     MergeApplier.applyBatchMor(spark, table, spark.createDataset(Seq(
       ev("c1", 0, "a", "2025-01-01 00:00:00", "insert", 1),
@@ -82,10 +82,10 @@ class MorSpec extends SparkSpecBase {
       ev("c1", 0, "a2", "2025-01-01 00:00:02", "update", 3))).toDF(), "w", 1L)
     assert(table.currentSnapshot().get.morDeltas)
     val plan = table.read(spark).queryExecution.executedPlan.toString
-    // the read-side LWW fold re-uses the writer's bucket-aligned repartition:
-    // the agg's clustering requirement is satisfied — no second exchange
+    // the read-side LWW fold runs inside each bucket's own scan task
+    // (BucketLocal.readFolded) — no exchange at all, any delta depth
     val exchanges = "(?i)exchange".r.findAllIn(plan).size
-    assert(exchanges <= 1, s"expected <=1 exchange, got $exchanges:\n$plan")
+    assert(exchanges == 0, s"expected 0 exchanges, got $exchanges:\n$plan")
   }
 
   test("MOR streaming tail with kill/resume equals oracle") {
