@@ -136,9 +136,14 @@ object Bench {
           ((scalingEvents / rounds.map(_._1).min) * (highCores.toDouble / lowCores))
         r
       }
+      // Keep sampling while the estimate is outside the engine's physically
+      // plausible band: < 0.82 (high side still steal-inflated) OR > 1.05
+      // (super-linear = the LOW side never saw a quiet window — efficiency
+      // above 1 is as much a noise symptom as below 0.8).
       val budgetNs = System.nanoTime() + 15L * 60 * 1000000000L
       while (rounds.size < 8 &&
-          (rounds.size < 3 || (effNow < 0.82 && System.nanoTime() < budgetNs))) {
+          (rounds.size < 3 ||
+            ((effNow < 0.82 || effNow > 1.05) && System.nanoTime() < budgetNs))) {
         val warm = rounds.isEmpty
         rounds += ((one(lowCores, warm), one(highCores, warm)))
         if (rounds.size >= 3) progress(f"scaling: round ${rounds.size}, min-based efficiency ${effNow}%.3f")

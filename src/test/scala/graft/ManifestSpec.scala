@@ -100,6 +100,27 @@ class ManifestSpec extends SparkSpecBase {
     assert(table.resolveFiles(snap, Some(Set(b)))(b) == fakeFiles(b))
   }
 
+  test("crash between manifest write and snapshot commit leaves the table intact; vacuum sweeps the orphan") {
+    val table = new LakeTable(tmpDir("man-crash"), numBuckets = 4)
+    MergeApplier.applyBatch(spark, table, spark.createDataset(Seq(
+      ev("c1", 0, "committed", "2025-01-01 00:00:00", 1))).toDF(), "w", 0L)
+    val v1 = table.currentSnapshot().get.version
+    // simulate the crash window: a manifest (and data) written for v2, but
+    // the snapshot publish never happened — the manifest is unreachable
+    table.writeManifest(2L, Map(0 -> Seq(FileEntry("/nonexistent/part.parquet", 1L))))
+    assert(table.currentSnapshot().get.version == v1)
+    assert(table.read(spark).collect().map(_.getAs[String]("text")).toSeq == Seq("committed"))
+    // retry of the batch proceeds normally (ledger governs, not the orphan)
+    MergeApplier.applyBatch(spark, table, spark.createDataset(Seq(
+      ev("c2", 0, "next", "2025-01-01 00:01:00", 2))).toDF(), "w", 1L)
+    assert(table.read(spark).count() == 2)
+    table.vacuum(keepLast = 1)
+    val live = table.currentSnapshot().get.manifests.map(_.path).toSet
+    assert(metaFiles(table, "man-").map(_.toString).toSet == live,
+      "orphan manifest must be swept")
+    assert(table.read(spark).count() == 2)
+  }
+
   test("vacuum sweeps manifests no kept snapshot references") {
     val table = new LakeTable(tmpDir("man-vac"), numBuckets = 4)
     (0 until 3).foreach { i =>
