@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Tail-throughput diagnosis: run the streaming tail over a synthetic
   * changelog and decompose per-batch time from the committed snapshots'
-  * phase metrics (probeMs / metaMs / durationMs). The residual between the
+  * phase metrics (metaMs / durationMs). The residual between the
   * stream's wall time and Σ durationMs is Structured Streaming trigger
   * overhead (offset WAL, file listing, commit log).
   *

@@ -131,14 +131,23 @@ object Grel {
       replaceCol(replaceCol(replaceCol(replaceCol(replaceCol(
         c, "&apos;", "'"), "&quot;", "\""), "&gt;", ">"), "&lt;", "<"), "&amp;", "&")
     case "csv" =>
-      when(c.rlike("^\".*\"$"),
+      // (?s): the quoted content may contain newlines — that is precisely
+      // what CSV quoting exists for; without DOTALL the guard regex fails
+      // on them and the quotes are never stripped.
+      when(c.rlike("(?s)^\".*\"$"),
         replaceCol(regexp_replace(c, "^\"|\"$", ""), "\"\"", "\""))
         .otherwise(c)
     case "url" => url_decode(c)
     case "javascript" =>
+      // Decoding needs ONE left-to-right pass: chained replaces would read
+      // the second byte of an escaped backslash ("\\\\") as the start of
+      // "\\n". Neutralize "\\\\" into a sentinel first, decode the short
+      // escapes, then restore the sentinel as a literal backslash. U+FFFF
+      // is a Unicode noncharacter — it cannot occur in interchanged text.
       replaceCol(replaceCol(replaceCol(replaceCol(replaceCol(replaceCol(
-        c, "\\n", "\n"), "\\r", "\r"), "\\t", "\t"),
-        "\\\"", "\""), "\\'", "'"), "\\\\", "\\")
+        replaceCol(c, "\\\\", "￿"),
+        "\\n", "\n"), "\\r", "\r"), "\\t", "\t"),
+        "\\\"", "\""), "\\'", "'"), "￿", "\\")
     case other => throw new IllegalArgumentException(s"unknown escape mode: $other")
   }
 

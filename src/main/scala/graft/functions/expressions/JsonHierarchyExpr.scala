@@ -36,10 +36,18 @@ object JsonHierarchy {
 
   private val mapper = new ObjectMapper()
 
-  /** Enrich a JSON document string; non-object roots pass through. */
+  /** Enrich a JSON document string; non-object roots pass through.
+    * Malformed or empty input yields null — the null-in/null-out contract of
+    * every other JSON path in the mapping compiler (get_json_object), so one
+    * truncated line degrades to nulls/error-routing instead of failing the
+    * whole job.
+    */
   def enrich(json: UTF8String): UTF8String = {
-    val root = mapper.readTree(json.toString)
-    if (root != null && root.isObject) materialize(root.asInstanceOf[ObjectNode])
+    val root = try mapper.readTree(json.toString) catch {
+      case _: com.fasterxml.jackson.core.JacksonException => null
+    }
+    if (root == null || root.isMissingNode) return null
+    if (root.isObject) materialize(root.asInstanceOf[ObjectNode])
     UTF8String.fromString(mapper.writeValueAsString(root))
   }
 
@@ -87,11 +95,17 @@ object JsonHierarchy {
 
 case class JsonHierarchyExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
+  // enrich() returns null for malformed input, so the expression is nullable
+  // even for non-null children — nullSafeCodeGen (not defineCodeGen, which
+  // assumes a non-null result) and an explicit isNull check.
+  override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any =
     JsonHierarchy.enrich(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.expressions.JsonHierarchy.enrich($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.expressions.JsonHierarchy.enrich($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
   override protected def withNewChildInternal(newChild: Expression): JsonHierarchyExpr =
     copy(child = newChild)
 }

@@ -33,14 +33,32 @@ object Phonetic {
     case other => throw new IllegalArgumentException(s"unknown phonetic mode: $other")
   }
 
+  /** Soundex/Metaphone accept only A-Z: commons-codec throws
+    * IllegalArgumentException on any other letter ("José" would fail the
+    * whole job). Fold diacritics to their base letters (NFD + strip marks)
+    * and drop what remains non-ASCII — the lossy-but-total behavior a
+    * phonetic key wants.
+    */
+  private def asciiLetters(s: String): String = {
+    val folded = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(folded.length)
+    var i = 0
+    while (i < folded.length) {
+      val ch = folded.charAt(i)
+      if ((ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z') || ch == ' ') sb.append(ch)
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Static entry used by both eval and generated code; `mode` is validated
     * at plan time so the per-row branch is a constant-folded string match.
     */
   def encode(s: UTF8String, mode: UTF8String): UTF8String = {
     val str = s.toString
     val out = mode.toString match {
-      case "soundex" => soundex.get.encode(str)
-      case "metaphone" => metaphone.get.encode(str)
+      case "soundex" => soundex.get.encode(asciiLetters(str))
+      case "metaphone" => metaphone.get.encode(asciiLetters(str))
       case "doublemetaphone" => doubleMetaphone.get.encode(str)
       case "cologne" => cologne.get.encode(str)
     }

@@ -51,7 +51,7 @@ object BucketLocal {
     (schema.fieldIndex("conv_id"), schema.fieldIndex("turn_idx"),
       schema.fieldIndex("ts"), schema.fieldIndex("seq"))
 
-  private def bucketArray(table: LakeTable, snap: Snapshot): Array[Array[(String, Long)]] = {
+  private[operators] def bucketArray(table: LakeTable, snap: Snapshot): Array[Array[(String, Long)]] = {
     val files = Array.fill(table.numBuckets)(Array.empty[(String, Long)])
     table.resolveFiles(snap).foreach { case (b, fs) =>
       files(b) = fs.map(f => (f.path, f.bytes)).toArray

@@ -146,7 +146,6 @@ object MergeApplier {
     var nDeletes = 0L
     var touchedCount = 0
     var touchedBuckets: Set[Int] = Set.empty
-    var probeMs = 0L
 
     val coldObs = new org.apache.spark.sql.Observation("cold-stats")
     snap match {
@@ -188,15 +187,18 @@ object MergeApplier {
         // bucket i's batch rows and the in-task bucket tag is the partition
         // id. Stats ride on accumulators (exact without speculation; this
         // engine runs with speculation off, as does the reference's loop).
+        // Cheap emptiness guard (first-nonempty-partition scan): idle
+        // triggers must not run the merge job nor accrete orphan commit
+        // dirs; replay of an empty batch is trivially idempotent.
+        if (aligned.isEmpty) {
+          return ApplyResult(skipped = false, s.version, 0, 0, 0, 0)
+        }
         val rowsAcc = spark.sparkContext.longAccumulator("graft.batchRows")
         val delAcc = spark.sparkContext.longAccumulator("graft.deletes")
-        val filesByBucket = Array.fill(table.numBuckets)(Array.empty[(String, Long)])
-        table.resolveFiles(s).foreach { case (b, fs) =>
-          filesByBucket(b) = fs.map(f => (f.path, f.bytes)).toArray
-        }
         val batchRdd = ScanBridge.toInternalRdd(
           aligned.repartition(table.numBuckets, keyCols: _*))
-        val targetRdd = ScanBridge.bucketFilesRdd(spark, mergedSchema, filesByBucket)
+        val targetRdd = ScanBridge.bucketFilesRdd(spark, mergedSchema,
+          BucketLocal.bucketArray(table, s))
         val tsI = mergedSchema.fieldIndex("ts")
         val seqI = mergedSchema.fieldIndex("seq")
         val opI = mergedSchema.fieldIndex("op")
@@ -263,7 +265,6 @@ object MergeApplier {
         "upserts" -> (batchRows - nDeletes),
         "deletes" -> nDeletes,
         "touchedBuckets" -> touchedCount.toLong,
-        "probeMs" -> probeMs, // phase lineage: where each batch's time went
         "metaMs" -> (System.nanoTime() - tMeta) / 1000000,
         "durationMs" -> (System.nanoTime() - t0) / 1000000),
       parentVersion = snap.map(_.version).getOrElse(0L),

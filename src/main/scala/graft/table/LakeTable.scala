@@ -309,7 +309,14 @@ final class LakeTable(val root: String, val numBuckets: Int) {
     * steady-state reads pay no merge.
     */
   def read(spark: SparkSession, asOfVersion: Option[Long] = None): DataFrame = {
-    val snap = asOfVersion.flatMap(snapshotAt).orElse(currentSnapshot())
+    // a requested version that doesn't exist must throw on EVERY path —
+    // falling back to the current snapshot would serve wrong data labeled
+    // as the requested version
+    val snap = asOfVersion match {
+      case Some(v) => Some(snapshotAt(v).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot v$v")))
+      case None => currentSnapshot()
+    }
     // Delta-carrying reads fold bucket-locally (BucketLocal.readFolded):
     // partition i reads bucket i's base + delta files and resolves winners
     // in-task — ZERO exchanges regardless of delta depth. Column pruning is

@@ -170,6 +170,34 @@ class FunctionsSpec extends SparkSpecBase {
     assert(one[collection.Seq[Int]](Grel.unicodeCol(lit(""))) == Seq.empty)
   }
 
+  test("GREL escape/unescape edge cases: newline in CSV, backslash-n in javascript, accented soundex") {
+    // CSV quoting exists FOR embedded newlines — round-trip must hold
+    val csvRaw = "line1\nline2, and \"quotes\""
+    assert(one[String](Grel.unescapeCol(Grel.escapeCol(lit(csvRaw), "csv"), "csv")) == csvRaw)
+    // literal backslash followed by n: chained decode must not produce a newline
+    val jsRaw = """C:\new\table"""
+    assert(one[String](
+      Grel.unescapeCol(Grel.escapeCol(lit(jsRaw), "javascript"), "javascript")) == jsRaw)
+    // non-ASCII letters fold to base letters instead of crashing commons-codec
+    assert(one[String](Grel.phoneticCol(lit("José"), "soundex")) ==
+      one[String](Grel.phoneticCol(lit("Jose"), "soundex")))
+    assert(one[String](Grel.phoneticCol(lit("Müller"), "metaphone")) ==
+      one[String](Grel.phoneticCol(lit("Muller"), "metaphone")))
+  }
+
+  test("json-hierarchy enrichment nulls out malformed/empty JSON instead of failing the job") {
+    import graft.functions.expressions.JsonHierarchy.enrichCol
+    val df = Seq(
+      """{"id":"ok","child":{"x":1}}""", // valid
+      """{"id":"trunc", "chi""", // truncated
+      "", // empty
+      "not json at all").toDF("s")
+    val out = df.select(enrichCol($"s").as("e")).collect().map(r =>
+      if (r.isNullAt(0)) null else r.getString(0))
+    assert(out(0) != null && out(0).contains("__parentKey"))
+    assert(out(1) == null && out(2) == null && out(3) == null)
+  }
+
   test("text token counts and shingles") {
     val df = Seq("the quick  brown fox", "", "ab").toDF("t")
     val toks = df.select(Text.tokenCount($"t")).collect().map(_.getInt(0)).toSeq

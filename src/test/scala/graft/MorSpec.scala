@@ -88,6 +88,15 @@ class MorSpec extends SparkSpecBase {
     assert(exchanges == 0, s"expected 0 exchanges, got $exchanges:\n$plan")
   }
 
+  test("time travel to a nonexistent version throws on a delta-carrying table too") {
+    val table = new LakeTable(tmpDir("mor-tt"), numBuckets = 4)
+    MergeApplier.applyBatchMor(spark, table, spark.createDataset(Seq(
+      ev("c1", 0, "a", "2025-01-01 00:00:00", "insert", 1))).toDF(), "w", 0L)
+    assert(table.currentSnapshot().get.morDeltas)
+    // must NOT silently fall back to the current snapshot
+    intercept[IllegalArgumentException](table.read(spark, Some(99L)))
+  }
+
   test("MOR streaming tail with kill/resume equals oracle") {
     val dir = tmpDir("mor-stream")
     Generator.writeChangelog(spark, dir, 3000, numConvs = 15, turnsPerConv = 5,
