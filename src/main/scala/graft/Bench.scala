@@ -140,8 +140,8 @@ object Bench {
       // plausible band: < 0.82 (high side still steal-inflated) OR > 1.05
       // (super-linear = the LOW side never saw a quiet window — efficiency
       // above 1 is as much a noise symptom as below 0.8).
-      val budgetNs = System.nanoTime() + 15L * 60 * 1000000000L
-      while (rounds.size < 8 &&
+      val budgetNs = System.nanoTime() + 10L * 60 * 1000000000L
+      while (rounds.size < 6 &&
           (rounds.size < 3 ||
             ((effNow < 0.82 || effNow > 1.05) && System.nanoTime() < budgetNs))) {
         val warm = rounds.isEmpty

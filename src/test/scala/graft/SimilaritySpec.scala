@@ -50,6 +50,19 @@ class SimilaritySpec extends SparkSpecBase {
     assert(hits >= lsh.length / 2, s"LSH overlap too low: $hits/${lsh.length}")
   }
 
+  test("IVF plan size is constant in nLists (centroids broadcast, never plan literals)") {
+    val queries = emb.filter($"vec_id" < 2)
+    // planning only — no execution; a literal-embedding design would blow the
+    // plan up O(nLists × dim) between these two configurations
+    def planLines(nLists: Int): Int =
+      Similarity.ivfTopK(emb, queries, k = 3, nLists = nLists, nProbe = 2, iters = 1)
+        .queryExecution.optimizedPlan.toString.linesIterator.size
+    val small = planLines(8)
+    val big = planLines(512)
+    assert(big <= small + 8,
+      s"plan grew with nLists: $small lines at 8 lists vs $big at 512")
+  }
+
   test("IVF top-k: well-formed ranks; high overlap with brute force at full probe") {
     val queries = emb.filter($"vec_id" < 4)
     val bf = Similarity.bruteForceTopK(emb, queries, k = 5).collect()

@@ -33,6 +33,38 @@ class StreamSpec extends SparkSpecBase {
     assert(s.maxBatchId("stream") >= 3L)
   }
 
+  test("continuous tail (ProcessingTime trigger): files arriving while the query runs are applied") {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = tmpDir("pt-src")
+    val stash = tmpDir("pt-stash")
+    Generator.writeChangelog(spark, stash, 2000, numConvs = 10, turnsPerConv = 5,
+      numFiles = 4, seed = 91)
+    val chunks = Files.list(Paths.get(stash)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted
+    // first half available at start
+    chunks.take(2).foreach(f => Files.copy(Paths.get(f),
+      Paths.get(srcDir, Paths.get(f).getFileName.toString)))
+    val table = new LakeTable(tmpDir("pt-table"), numBuckets = 4)
+    val q = CdcStream.start(spark, srcDir, table, tmpDir("pt-ckpt"),
+      maxFilesPerTrigger = 2, trigger = Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      // second half lands while the query is live — the tail must pick it up
+      def rowsApplied: Long =
+        table.currentSnapshot().map(_.metrics.getOrElse("batchRows", 0L)).getOrElse(0L)
+      var waited = 0
+      while (table.currentSnapshot().isEmpty && waited < 300) { Thread.sleep(100); waited += 1 }
+      chunks.drop(2).foreach(f => Files.copy(Paths.get(f),
+        Paths.get(srcDir, Paths.get(f).getFileName.toString)))
+      val all = Generator.events(spark, 2000, 10, 5, seed = 91)
+        .as[ChangeEvent].collect().toSeq
+      val oracle = Generator.oracleFold(all).map { case (k, e) => k -> ((e.text, e.seq)) }
+      waited = 0
+      while (finalState(table) != oracle && waited < 600) { Thread.sleep(100); waited += 1 }
+      assert(finalState(table) == oracle,
+        s"continuous tail did not converge to the oracle (applied=$rowsApplied)")
+    } finally q.stop()
+  }
+
   test("kill/resume: second run from the same checkpoint continues without dupes or gaps") {
     val srcDir = tmpDir("resume-src")
     val stash = tmpDir("resume-stash")
