@@ -124,8 +124,32 @@ final class LakeTable(val root: String, val numBuckets: Int) {
     }.sorted
   }
 
-  def currentSnapshot(): Option[Snapshot] =
-    snapshotFiles().lastOption.map(n => readSnapshot(metaDir.resolve(n)))
+  private def snapName(v: Long) = f"snap-$v%012d.json"
+  private val hintPath = metaDir.resolve("version-hint.text")
+
+  /** Resolve the newest snapshot in O(1 + commits since the hint) instead of
+    * listing the whole meta directory — currentSnapshot() runs once per
+    * micro-batch on a streaming driver, and after 10^5 commits a full
+    * listing is the slow path on an object store. The hint is best-effort
+    * (written non-atomically AFTER the atomic snapshot publish, so it can
+    * only lag): read it, then probe forward version-by-version until the
+    * first missing file. Missing/corrupt hint falls back to the listing.
+    */
+  def currentSnapshot(): Option[Snapshot] = {
+    val hinted: Option[Long] =
+      try {
+        if (Files.exists(hintPath)) Some(Files.readString(hintPath).trim.toLong)
+        else None
+      } catch { case _: Exception => None }
+    hinted.filter(v => Files.exists(metaDir.resolve(snapName(v)))) match {
+      case Some(v0) =>
+        var v = v0
+        while (Files.exists(metaDir.resolve(snapName(v + 1)))) v += 1
+        Some(readSnapshot(metaDir.resolve(snapName(v))))
+      case None =>
+        snapshotFiles().lastOption.map(n => readSnapshot(metaDir.resolve(n)))
+    }
+  }
 
   /** Time travel: the snapshot at `version` (exact match). */
   def snapshotAt(version: Long): Option[Snapshot] = {
@@ -188,6 +212,10 @@ final class LakeTable(val root: String, val numBuckets: Int) {
     val tmp = metaDir.resolve(s".tmp-snap-${s.version}-${System.nanoTime()}.json")
     mapper.writerWithDefaultPrettyPrinter().writeValue(tmp.toFile, j)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    // best-effort O(1) resolution hint — written AFTER the atomic publish so
+    // it can only lag (readers probe forward); a crash here costs nothing
+    try Files.writeString(hintPath, s.version.toString)
+    catch { case _: Exception => () }
   }
 
   // --- manifests ----------------------------------------------------------

@@ -53,6 +53,26 @@ class LakeTableSpec extends SparkSpecBase {
     assert(table.read(spark).count() == 2)
   }
 
+  test("version hint: stale or corrupt hints still resolve the newest snapshot") {
+    val table = new LakeTable(tmpDir("hint"), numBuckets = 4)
+    (0 until 3).foreach { i =>
+      MergeApplier.applyBatch(spark, table, spark.createDataset(Seq(
+        ev("c1", i, s"v$i", f"2025-01-01 00:0$i%d:00", i.toLong))).toDF(), "w", i.toLong)
+    }
+    val hint = java.nio.file.Paths.get(table.root, "meta", "version-hint.text")
+    assert(java.nio.file.Files.readString(hint).trim == "3")
+    // stale hint (simulates crash between snapshot publish and hint write):
+    // resolution probes forward to the true newest
+    java.nio.file.Files.writeString(hint, "1")
+    assert(table.currentSnapshot().get.version == 3L)
+    // corrupt hint falls back to the listing
+    java.nio.file.Files.writeString(hint, "not-a-number")
+    assert(table.currentSnapshot().get.version == 3L)
+    // missing hint falls back to the listing
+    java.nio.file.Files.delete(hint)
+    assert(table.currentSnapshot().get.version == 3L)
+  }
+
   test("corrupted newest snapshot is detected loudly (no silent fallback)") {
     val table = new LakeTable(tmpDir("corrupt"), numBuckets = 4)
     MergeApplier.applyBatch(spark, table, spark.createDataset(Seq(
