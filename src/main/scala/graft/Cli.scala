@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
   * {{{
   *   graft.Cli gen        <dir> <nEvents> <nConvs> <turns> <nFiles> [seed] [evolveAt]
   *   graft.Cli cold-start <changelogDir> <tableDir> [numBuckets]
-  *   graft.Cli tail       <changelogDir> <tableDir> <checkpointDir> [maxFilesPerTrigger]
+  *   graft.Cli tail       <changelogDir> <tableDir> <checkpointDir> [maxFilesPerTrigger] [cow|mor] [autoCompactEvery]
   *   graft.Cli compact    <tableDir> <watermark 'yyyy-MM-dd HH:mm:ss'>
   *   graft.Cli show       <tableDir>
   * }}}
@@ -62,11 +62,14 @@ object Cli {
 
     case "tail" :: src :: tableDir :: ckpt :: rest =>
       val mft = rest.headOption.map(_.toInt).getOrElse(4)
+      val mode = rest.lift(1).getOrElse("cow")
+      val autoCompact = rest.lift(2).map(_.toInt).getOrElse(0)
       // open with the SNAPSHOT's bucket count: a hardcoded count would
       // silently rebucket an existing table (physical-identity violation)
       val table = LakeTable.open(tableDir)
       val t0 = System.nanoTime()
-      CdcStream.runAvailableNow(spark, src, table, ckpt, maxFilesPerTrigger = mft)
+      CdcStream.runAvailableNow(spark, src, table, ckpt, maxFilesPerTrigger = mft,
+        mode = mode, autoCompactEvery = autoCompact)
       val sec = (System.nanoTime() - t0) / 1e9
       val s = table.currentSnapshot()
       println(f"""{"mode":"tail","version":${s.map(_.version).getOrElse(0L)},"tableRows":${s.map(_.totalRows).getOrElse(0L)},"sec":$sec%.3f}""")

@@ -57,7 +57,8 @@ object CdcStream {
       maxFilesPerTrigger: Int = 4,
       schema: StructType = Model.changeEventSchema,
       trigger: Trigger = Trigger.AvailableNow(),
-      mode: String = "cow"): StreamingQuery = {
+      mode: String = "cow",
+      autoCompactEvery: Int = 0): StreamingQuery = {
     // cow: copy-on-write MERGE (read-optimized steady state);
     // mor: merge-on-read delta appends (write-optimized tail; compact later).
     val apply: (DataFrame, Long) => MergeApplier.ApplyResult = mode match {
@@ -71,7 +72,26 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        apply(batch, batchId): Unit
+        apply(batch, batchId)
+        // LSM maintenance policy: once the manifest list carries
+        // `autoCompactEvery` delta refs, fold them down. Compaction is
+        // bucket-local (zero shuffles, read+write only), runs BETWEEN
+        // batches on the same single-writer driver, and commits its own
+        // snapshot version — a crash mid-compact loses nothing (the
+        // un-published rewrite is an orphan; the ledger is untouched, so
+        // resume re-tails from the last applied batch). Watermark MIN:
+        // auto-compaction must never expire a tombstone that late events
+        // could still contend with, so it only merges versions, keeping
+        // every tombstone (explicit compact(watermark) drops them).
+        if (autoCompactEvery > 0) {
+          val deltas = table.currentSnapshot()
+            .map(_.manifests.count(_.delta)).getOrElse(0)
+          if (deltas >= autoCompactEvery) {
+            MergeApplier.compact(spark, table,
+              java.sql.Timestamp.valueOf("1900-01-01 00:00:00"))
+          }
+        }
+        ()
       }
       .start()
   }
@@ -81,9 +101,10 @@ object CdcStream {
       checkpointDir: String, writerId: String = "stream",
       maxFilesPerTrigger: Int = 4,
       schema: StructType = Model.changeEventSchema,
-      mode: String = "cow"): Unit = {
+      mode: String = "cow",
+      autoCompactEvery: Int = 0): Unit = {
     val q = start(spark, sourceDir, table, checkpointDir, writerId,
-      maxFilesPerTrigger, schema, Trigger.AvailableNow(), mode)
+      maxFilesPerTrigger, schema, Trigger.AvailableNow(), mode, autoCompactEvery)
     try q.awaitTermination() finally if (q.isActive) q.stop()
   }
 }

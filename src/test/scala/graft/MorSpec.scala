@@ -97,6 +97,29 @@ class MorSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](table.read(spark, Some(99L)))
   }
 
+  test("auto-compaction: MOR tail folds deltas every K batches, state stays oracle-equal") {
+    val dir = tmpDir("mor-auto")
+    Generator.writeChangelog(spark, dir, 3000, numConvs = 15, turnsPerConv = 5,
+      numFiles = 8, seed = 64)
+    val table = new LakeTable(tmpDir("mor-auto-table"), numBuckets = 4)
+    CdcStream.runAvailableNow(spark, dir, table, tmpDir("mor-auto-ckpt"),
+      maxFilesPerTrigger = 2, mode = "mor", autoCompactEvery = 2)
+    val snap = table.currentSnapshot().get
+    // the policy bounds manifest-list growth: never more than K un-folded
+    // delta refs survive a batch boundary
+    assert(snap.manifests.count(_.delta) <= 2,
+      s"deltas not folded: ${snap.manifests}")
+    // compaction commits interleaved with batch commits, ledger intact
+    assert(snap.maxBatchId("stream") == 3L)
+    val all = Generator.events(spark, 3000, 15, 5, seed = 64)
+      .as[ChangeEvent].collect().toSeq
+    val oracle = Generator.oracleFold(all).map { case (k, e) => k -> ((e.text, e.seq)) }
+    assert(finalState(table) == oracle)
+    // auto-compaction used the tombstone-preserving watermark: a stale
+    // insert for a deleted key must still lose after compaction
+    assert(table.read(spark).count() == oracle.size)
+  }
+
   test("MOR streaming tail with kill/resume equals oracle") {
     val dir = tmpDir("mor-stream")
     Generator.writeChangelog(spark, dir, 3000, numConvs = 15, turnsPerConv = 5,
