@@ -291,12 +291,15 @@ object SparkEntry {
     }),
     // threshold 0.35: the synthetic embeddings are near-orthogonal (max
     // pairwise cosine ≈0.46), so a realistic 0.95 cutoff would be vacuous;
-    // 0.35 exercises the band-join + verify path non-trivially. rows-only:
-    // an exhaustive config would be an all-pairs join (the thing the banding
-    // exists to avoid); recall vs brute-force pairs is measured in Bench.
+    // 0.35 exercises the band-join + verify path non-trivially.
+    // NEAR-EXHAUSTIVE SRP banding (64 bands × 1 bit): a qualifying pair is
+    // missed only if all 64 sign bits disagree — p = (θ/π)^64 ≤ 1e-26 at the
+    // 0.35 boundary — so the banded path shares an all-pairs cosine oracle
+    // (the full-probe trick). Production banding (32×5) recall is measured
+    // in Bench ("recall").
     "embed_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(table(s, dir, "embeddings"),
-        minCos = 0.35, bands = 32, bitsPerBand = 5)),
+        minCos = 0.35, bands = 64, bitsPerBand = 1)),
 
     // multimodal plumbing: binary payload + typed metadata through the
     // partition-local (stubbed) codec; hash-free columns oracle-checked.
@@ -643,6 +646,16 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY cos DESC, vec_id ASC) AS rank FROM scored) t
         |WHERE rank <= 5""".stripMargin,
+
+    // near-exhaustive SRP banding shares an all-pairs cosine oracle; the
+    // filter applies to the ROUNDED cosine on both sides (Spark does
+    // round(cos,4) >= minCos), so boundary values agree bit-for-bit
+    "embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.35""".stripMargin,
 
     "mm_features_meta" ->
       """SELECT doc_id AS media_id,
