@@ -126,10 +126,9 @@ object Bench {
       // wall time), so the per-level min converges to the engine's host-idle
       // cost as samples accrue. Run at least 3 interleaved rounds; keep
       // sampling while the min-based estimate is still noise-dominated
-      // (efficiency below the engine's known quiet-host band), up to 8
-      // rounds or a 15-minute budget. ALL samples are reported — the
-      // stopping rule only chooses when to stop paying for more, never
-      // which samples count.
+      // (outside the engine's known quiet-host band), up to 6 rounds or a
+      // 10-minute budget. ALL samples are reported — the stopping rule only
+      // chooses when to stop paying for more, never which samples count.
       val rounds = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
       def effNow: Double = {
         val r = (scalingEvents / rounds.map(_._2).min) /

@@ -139,15 +139,11 @@ object Grel {
         .otherwise(c)
     case "url" => url_decode(c)
     case "javascript" =>
-      // Decoding needs ONE left-to-right pass: chained replaces would read
-      // the second byte of an escaped backslash ("\\\\") as the start of
-      // "\\n". Neutralize "\\\\" into a sentinel first, decode the short
-      // escapes, then restore the sentinel as a literal backslash. U+FFFF
-      // is a Unicode noncharacter — it cannot occur in interchanged text.
-      replaceCol(replaceCol(replaceCol(replaceCol(replaceCol(replaceCol(
-        replaceCol(c, "\\\\", "￿"),
-        "\\n", "\n"), "\\r", "\r"), "\\t", "\t"),
-        "\\\"", "\""), "\\'", "'"), "￿", "\\")
+      // Decoding needs ONE left-to-right pass: chained replaces read the
+      // tail byte of an escaped backslash as the start of "\n", and a
+      // sentinel workaround corrupts inputs that carry the sentinel. A
+      // codegen'd linear-scan decoder has neither failure mode.
+      graft.functions.expressions.PhoneticExpr.unescapeJsCol(c)
     case other => throw new IllegalArgumentException(s"unknown escape mode: $other")
   }
 

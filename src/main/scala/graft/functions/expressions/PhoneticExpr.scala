@@ -87,6 +87,7 @@ object PhoneticExpr {
     column(PhoneticExpr(expression(c), mode))
   def reinterpretCol(c: Column, charset: String): Column =
     column(ReinterpretExpr(expression(c), charset))
+  def unescapeJsCol(c: Column): Column = column(UnescapeJsExpr(expression(c)))
 }
 
 /** GREL `reinterpret(s, charset)` (reference GRELFunctions.java:673-683):
@@ -100,6 +101,48 @@ object Reinterpret {
     val cs = java.nio.charset.Charset.forName(charset.toString)
     UTF8String.fromString(new String(s.toString.getBytes(cs), cs))
   }
+}
+
+/** GREL `unescape(s, "javascript")` — a real single-pass decoder. Chained
+  * regexp replaces cannot decode backslash escapes correctly (the tail byte
+  * of an escaped backslash gets re-read as the start of "\n"), and a
+  * sentinel-character workaround silently corrupts inputs that already
+  * contain the sentinel. A linear scan has neither problem. Unknown escape
+  * sequences pass through verbatim (lenient, like commons-text).
+  */
+object UnescapeJs {
+  def unescape(s: UTF8String): UTF8String = {
+    val in = s.toString
+    if (in.indexOf('\\') < 0) return s
+    val sb = new java.lang.StringBuilder(in.length)
+    var i = 0
+    while (i < in.length) {
+      val ch = in.charAt(i)
+      if (ch == '\\' && i + 1 < in.length) {
+        in.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case '"' => sb.append('"'); i += 2
+          case '\'' => sb.append('\''); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case other => sb.append(ch).append(other); i += 2
+        }
+      } else { sb.append(ch); i += 1 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+case class UnescapeJsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UnescapeJs.unescape(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.UnescapeJs.unescape($c)")
+  override protected def withNewChildInternal(newChild: Expression): UnescapeJsExpr =
+    copy(child = newChild)
 }
 
 case class ReinterpretExpr(child: Expression, charset: String) extends UnaryExpression {

@@ -88,9 +88,12 @@ object BucketLocal {
     val compacted = ScanBridge.bucketFilesRdd(spark, schema, bucketArray(table, snap))
       .mapPartitions { rows =>
         val deleteOp = UTF8String.fromString(Model.OpDelete)
+        // a null-ts tombstone has UNKNOWN event time — it must never expire
+        // (ver() maps null to Long.MinValue for ordering, which would
+        // otherwise make it "older than" any watermark)
         def expired(r: InternalRow): Boolean =
           !r.isNullAt(opI) && r.getUTF8String(opI).equals(deleteOp) &&
-            ver(r, tsI) < watermarkMicros
+            !r.isNullAt(tsI) && r.getLong(tsI) < watermarkMicros
         val resolved =
           if (fold) foldWinners(rows, convI, turnI, tsI, seqI) else rows
         val bucketRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

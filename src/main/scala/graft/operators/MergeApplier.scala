@@ -214,12 +214,6 @@ object MergeApplier {
           .parquet(outDir.toString)
         batchRows = rowsAcc.value
         nDeletes = delAcc.value
-        if (batchRows == 0) {
-          // Empty batch: nothing to make exactly-once -- commit nothing (idle
-          // triggers must not churn snapshots); replay is trivially
-          // idempotent. The empty commit dir is unreferenced -> vacuumed.
-          return ApplyResult(skipped = false, s.version, 0, 0, 0, 0)
-        }
     }
     val tMeta = System.nanoTime()
 
@@ -362,8 +356,20 @@ object MergeApplier {
     * buckets (compaction). Safe once no in-flight source can still produce
     * events with ts < watermark.
     */
+  /** Compaction that folds deltas but retains EVERY tombstone — the variant
+    * maintenance policies (auto-compaction) must use, since they cannot know
+    * how late the source can still run.
+    */
+  def compactRetainTombstones(spark: SparkSession, table: LakeTable): Long =
+    compactMicros(spark, table, Long.MinValue)
+
   def compact(spark: SparkSession, table: LakeTable,
-      watermark: java.sql.Timestamp): Long = {
+      watermark: java.sql.Timestamp): Long =
+    compactMicros(spark, table,
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(watermark))
+
+  private def compactMicros(spark: SparkSession, table: LakeTable,
+      watermarkMicros: Long): Long = {
     val snap = table.currentSnapshot().getOrElse(return 0L)
     // Same physical-identity guard as the apply paths: a handle opened with a
     // different bucket count would silently REBUCKET the table here (the
@@ -374,8 +380,7 @@ object MergeApplier {
     // ZERO shuffles; compaction cost is exactly read + write (BucketLocal).
     val version = snap.version + 1
     val outDir = table.commitDir(version, "compact", snap.version)
-    BucketLocal.compactRows(spark, table, snap,
-      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(watermark))
+    BucketLocal.compactRows(spark, table, snap, watermarkMicros)
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir.toString)
     val newFiles = table.listBucketFiles(outDir)
     val rows = table.footerRowCounts(newFiles)

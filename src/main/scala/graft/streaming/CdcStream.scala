@@ -79,16 +79,15 @@ object CdcStream {
         // batches on the same single-writer driver, and commits its own
         // snapshot version — a crash mid-compact loses nothing (the
         // un-published rewrite is an orphan; the ledger is untouched, so
-        // resume re-tails from the last applied batch). Watermark MIN:
-        // auto-compaction must never expire a tombstone that late events
-        // could still contend with, so it only merges versions, keeping
-        // every tombstone (explicit compact(watermark) drops them).
+        // resume re-tails from the last applied batch). Auto-compaction
+        // must never expire a tombstone late events could still contend
+        // with, so it only merges versions (compactRetainTombstones);
+        // explicit compact(watermark) is the tombstone-expiry path.
         if (autoCompactEvery > 0) {
           val deltas = table.currentSnapshot()
             .map(_.manifests.count(_.delta)).getOrElse(0)
           if (deltas >= autoCompactEvery) {
-            MergeApplier.compact(spark, table,
-              java.sql.Timestamp.valueOf("1900-01-01 00:00:00"))
+            MergeApplier.compactRetainTombstones(spark, table)
           }
         }
         ()

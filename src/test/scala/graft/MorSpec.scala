@@ -115,9 +115,37 @@ class MorSpec extends SparkSpecBase {
       .as[ChangeEvent].collect().toSeq
     val oracle = Generator.oracleFold(all).map { case (k, e) => k -> ((e.text, e.seq)) }
     assert(finalState(table) == oracle)
-    // auto-compaction used the tombstone-preserving watermark: a stale
-    // insert for a deleted key must still lose after compaction
-    assert(table.read(spark).count() == oracle.size)
+  }
+
+  test("auto-compaction retains every tombstone: a stale insert after compaction stays dead") {
+    val table = new LakeTable(tmpDir("mor-auto-tomb"), numBuckets = 4)
+    val dir = tmpDir("mor-auto-tomb-src")
+    // ANCIENT delete (1850): any time-based compaction watermark would
+    // expire it; the retain-all policy must not. The file source tails FLAT
+    // files, so write each chunk via a temp dir and move the part file out.
+    def chunk(name: String, events: Seq[ChangeEvent]): Unit = {
+      val tmp = tmpDir(s"mor-auto-tomb-$name")
+      spark.createDataset(events).toDF().coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(dir, s"$name.parquet"))
+    }
+    chunk("c0", Seq(
+      ev("k", 0, "v1", "1850-01-01 00:00:00", "insert", 1),
+      ev("k", 0, null, "1850-01-02 00:00:00", "delete", 2)))
+    chunk("c1", Seq(
+      ev("x", 1, "other", "2025-01-01 00:00:00", "insert", 3)))
+    CdcStream.runAvailableNow(spark, dir, table, tmpDir("mor-auto-tomb-ckpt"),
+      maxFilesPerTrigger = 1, mode = "mor", autoCompactEvery = 1)
+    // compaction ran (deltas folded) but the ancient tombstone survived
+    assert(table.currentSnapshot().get.manifests.count(_.delta) <= 1)
+    assert(table.readRaw(spark).filter(org.apache.spark.sql.functions.col("op") === "delete")
+      .count() == 1, "auto-compaction must not expire tombstones")
+    // stale insert (older ts than the delete) for the deleted key loses
+    MergeApplier.applyBatchMor(spark, table, spark.createDataset(Seq(
+      ev("k", 0, "stale", "1850-01-01 12:00:00", "insert", 99))).toDF(), "late", 0L)
+    assert(finalState(table) == Map(("x", 1) -> (("other", 3L))))
   }
 
   test("MOR streaming tail with kill/resume equals oracle") {

@@ -52,8 +52,10 @@ class SimilaritySpec extends SparkSpecBase {
 
   test("IVF plan size is constant in nLists (centroids broadcast, never plan literals)") {
     val queries = emb.filter($"vec_id" < 2)
-    // planning only — no execution; a literal-embedding design would blow the
-    // plan up O(nLists × dim) between these two configurations
+    // NB: ivfTopK executes its Lloyd/seeding jobs eagerly (localCheckpoint),
+    // so this runs real (small) jobs; the ASSERTION is about the final
+    // plan's size — a literal-embedding design would blow it up
+    // O(nLists × dim) between these two configurations
     def planLines(nLists: Int): Int =
       Similarity.ivfTopK(emb, queries, k = 3, nLists = nLists, nProbe = 2, iters = 1)
         .queryExecution.optimizedPlan.toString.linesIterator.size
