@@ -291,15 +291,20 @@ object SparkEntry {
     }),
     // threshold 0.35: the synthetic embeddings are near-orthogonal (max
     // pairwise cosine ≈0.46), so a realistic 0.95 cutoff would be vacuous;
-    // 0.35 exercises the band-join + verify path non-trivially.
-    // NEAR-EXHAUSTIVE SRP banding (64 bands × 1 bit): a qualifying pair is
-    // missed only if all 64 sign bits disagree — p = (θ/π)^64 ≤ 1e-26 at the
-    // 0.35 boundary — so the banded path shares an all-pairs cosine oracle
-    // (the full-probe trick). Production banding (32×5) recall is measured
-    // in Bench ("recall").
+    // 0.35 exercises the pairing + verify path non-trivially.
+    // The oracle-gated variant is the EXACT blocked all-pairs baseline —
+    // near-exhaustive SRP banding is not scale-safe at a low threshold
+    // (per-band collision ~1/2 → ~bands× the all-pairs volume), so unlike
+    // the minhash/ann gates the full-probe trick does not apply here.
     "embed_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairsExact(table(s, dir, "embeddings"),
+        minCos = 0.35)),
+    // the sub-quadratic scale path: production SRP banding; rows-only by
+    // nature (recall < 1 by design) — recall vs the exact pairs is measured
+    // in Bench ("recall").
+    "embed_neardup_lsh" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(table(s, dir, "embeddings"),
-        minCos = 0.35, bands = 64, bitsPerBand = 1)),
+        minCos = 0.35, bands = 32, bitsPerBand = 5)),
 
     // multimodal plumbing: binary payload + typed metadata through the
     // partition-local (stubbed) codec; hash-free columns oracle-checked.

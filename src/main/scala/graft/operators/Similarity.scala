@@ -156,6 +156,23 @@ object Similarity {
     * found via SRP-LSH banding + exact verification (same precision-exact,
     * recall-approximate contract as Dedup.minhashLshPairs).
     */
+  /** Exact near-dup pairs: blocked all-pairs cosine (the brute-force
+    * baseline, like [[bruteForceTopK]] for ANN). O(n²) by definition — the
+    * oracle-gated correctness reference; [[embeddingNearDupPairs]] is the
+    * sub-quadratic scale path. NB: "near-exhaustive" SRP banding is NOT a
+    * scale-safe substitute here — at a low threshold the per-band collision
+    * rate is ~1/2, so 64×1 banding generates ~64× the all-pairs volume
+    * (measured 162 s vs a few seconds at sf0.1).
+    */
+  def embeddingNearDupPairsExact(corpus: DataFrame, minCos: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a.v"), col("b.v")), 4).as("cosine"))
+      .filter(col("cosine") >= minCos)
+  }
+
   def embeddingNearDupPairs(corpus: DataFrame, minCos: Double = 0.95,
       bands: Int = 8, bitsPerBand: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
