@@ -111,6 +111,20 @@ object Reinterpret {
   * sequences pass through verbatim (lenient, like commons-text).
   */
 object UnescapeJs {
+  /** Parse `n` hex digits at `from`; -1 if any is not a hex digit. */
+  private def hex(in: String, from: Int, n: Int): Int = {
+    if (from + n > in.length) return -1
+    var v = 0
+    var i = from
+    while (i < from + n) {
+      val d = Character.digit(in.charAt(i), 16)
+      if (d < 0) return -1
+      v = (v << 4) | d
+      i += 1
+    }
+    v
+  }
+
   def unescape(s: UTF8String): UTF8String = {
     val in = s.toString
     if (in.indexOf('\\') < 0) return s
@@ -123,9 +137,23 @@ object UnescapeJs {
           case 'n' => sb.append('\n'); i += 2
           case 'r' => sb.append('\r'); i += 2
           case 't' => sb.append('\t'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
           case '"' => sb.append('"'); i += 2
           case '\'' => sb.append('\''); i += 2
           case '\\' => sb.append('\\'); i += 2
+          case '/' => sb.append('/'); i += 2
+          // \uXXXX and \xXX, as commons-text unescapeEcmaScript (the
+          // reference's unescape(s,"javascript") backend) decodes them;
+          // malformed hex falls through verbatim (lenient contract).
+          case 'u' =>
+            val cp = hex(in, i + 2, 4)
+            if (cp >= 0) { sb.append(cp.toChar); i += 6 }
+            else { sb.append(ch).append('u'); i += 2 }
+          case 'x' =>
+            val cp = hex(in, i + 2, 2)
+            if (cp >= 0) { sb.append(cp.toChar); i += 4 }
+            else { sb.append(ch).append('x'); i += 2 }
           case other => sb.append(ch).append(other); i += 2
         }
       } else { sb.append(ch); i += 1 }

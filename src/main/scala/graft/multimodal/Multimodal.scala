@@ -42,6 +42,30 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"))
   }
 
+  /** Real-file source: Spark's `binaryFile` format adapted to the media
+    * schema — media_id = xxhash64(path) (stable, collision-safe at corpus
+    * scale), kind from the file extension, payload = file bytes. Exists to
+    * PROVE the claim above: [[extractFeatures]] runs unchanged over actual
+    * files (MultimodalSpec reads fixture files through this). Width/height/
+    * duration are 0 here — a real pipeline fills them in the decode stage;
+    * they are unknowable without opening the blob.
+    */
+  def fromBinaryFiles(spark: SparkSession, dir: String): DataFrame = {
+    val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+    spark.read.format("binaryFile").load(dir).select(
+      xxhash64(col("path")).as("media_id"),
+      struct(
+        when(ext.isin("jpg", "jpeg", "png", "gif", "webp"), "image")
+          .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
+          .when(ext.isin("mp4", "mkv", "webm", "avi"), "video")
+          .otherwise("binary").as("kind"),
+        lit(0).as("width"),
+        lit(0).as("height"),
+        lit(0L).as("durationMs"),
+        ext.as("codec")).as("meta"),
+      col("content").as("payload"))
+  }
+
   /** The stubbed codec: a real implementation would decode `payload` with an
     * image/audio library here. The fake is DETERMINISTIC (byte histogram +
     * md5) so tests can assert exact outputs; the partition-batch shape —

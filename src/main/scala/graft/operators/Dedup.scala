@@ -113,11 +113,16 @@ object Dedup {
           transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
             v => v.cast("string")), "_"), b))).as(Seq("band", "bucket")))
       .localCheckpoint(true)
-    // skew guard: drop pathological buckets (near-identical boilerplate floods)
+    // skew guard: drop pathological buckets (near-identical boilerplate floods).
+    // left_semi SHUFFLE join on (band, bucket) — the bucket-stats relation
+    // grows with the corpus (up to docs × bands rows), so a forced driver
+    // broadcast here would be the same scale bomb removed from shingleIndex;
+    // AQE may still pick a broadcast at runtime when the filtered side is
+    // actually small.
     val bucketSizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket && col("bsz") > 1)
-    val survivors = banded.join(broadcast(bucketSizes.select("band", "bucket")),
-      Seq("band", "bucket"))
+    val survivors = banded.join(bucketSizes.select("band", "bucket"),
+      Seq("band", "bucket"), "left_semi")
     val cand = survivors.as("a").join(survivors.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))

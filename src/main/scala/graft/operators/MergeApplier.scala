@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ScanBridge
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
-import org.apache.spark.util.LongAccumulator
+import org.apache.spark.util.CollectionAccumulator
 
 /** The engine core: apply one micro-batch of change events to a LakeTable as
   * an exactly-once, key-partitioned MERGE.
@@ -70,7 +70,7 @@ object MergeApplier {
     * copied only when stored; losers are never copied.
     */
   private def mergeBucket(convI: Int, turnI: Int, tsI: Int, seqI: Int, opI: Int,
-      rowsAcc: LongAccumulator, delAcc: LongAccumulator)(
+      statsAcc: CollectionAccumulator[(Int, Long, Long)])(
       batch: Iterator[InternalRow], target: Iterator[InternalRow]): Iterator[InternalRow] = {
     if (!batch.hasNext) return Iterator.empty // untouched bucket: no file opened
     val deleteOp = UTF8String.fromString(Model.OpDelete)
@@ -91,11 +91,15 @@ object MergeApplier {
       if (!r.isNullAt(opI) && r.getUTF8String(opI).equals(deleteOp)) nDel += 1
       fold(r)
     }
-    rowsAcc.add(nRows)
-    delAcc.add(nDel)
+    val partitionId = org.apache.spark.TaskContext.getPartitionId()
+    // One (partitionId, rows, dels) entry per task ATTEMPT; the driver
+    // collapses duplicates by partition id, so a retried / recomputed /
+    // speculated task (which re-reads the same deterministic partition and
+    // produces the identical counts) cannot inflate the metrics — unlike raw
+    // LongAccumulators, which double-count on any transformation re-execution.
+    statsAcc.add((partitionId, nRows, nDel))
     while (target.hasNext) fold(target.next())
-    val bucketRow = new GenericInternalRow(
-      Array[Any](org.apache.spark.TaskContext.getPartitionId()))
+    val bucketRow = new GenericInternalRow(Array[Any](partitionId))
     val joined = new JoinedRow
     import scala.jdk.CollectionConverters._
     winners.values().iterator().asScala.map(r => joined(r, bucketRow))
@@ -185,16 +189,18 @@ object MergeApplier {
         // bucket id"): repartition's HashPartitioning uses the same murmur3
         // (seed 42) as the table's bucketCol, so partition i holds exactly
         // bucket i's batch rows and the in-task bucket tag is the partition
-        // id. Stats ride on accumulators (exact without speculation; this
-        // engine runs with speculation off, as does the reference's loop).
+        // id. Stats ride on a per-partition accumulator deduplicated by
+        // partition id on the driver — exact even under task retry, stage
+        // recompute, or speculation (a re-executed task re-emits the same
+        // deterministic counts, which collapse).
         // Cheap emptiness guard (first-nonempty-partition scan): idle
         // triggers must not run the merge job nor accrete orphan commit
         // dirs; replay of an empty batch is trivially idempotent.
         if (aligned.isEmpty) {
           return ApplyResult(skipped = false, s.version, 0, 0, 0, 0)
         }
-        val rowsAcc = spark.sparkContext.longAccumulator("graft.batchRows")
-        val delAcc = spark.sparkContext.longAccumulator("graft.deletes")
+        val statsAcc = spark.sparkContext
+          .collectionAccumulator[(Int, Long, Long)]("graft.batchStats")
         val batchRdd = ScanBridge.toInternalRdd(
           aligned.repartition(table.numBuckets, keyCols: _*))
         val targetRdd = ScanBridge.bucketFilesRdd(spark, mergedSchema,
@@ -205,15 +211,17 @@ object MergeApplier {
         val convI = mergedSchema.fieldIndex("conv_id")
         val turnI = mergedSchema.fieldIndex("turn_idx")
         val merged = batchRdd.zipPartitions(targetRdd, preservesPartitioning = false)(
-          mergeBucket(convI, turnI, tsI, seqI, opI, rowsAcc, delAcc))
+          mergeBucket(convI, turnI, tsI, seqI, opI, statsAcc))
         val outSchema = StructType(mergedSchema.fields :+
           StructField("bucket", org.apache.spark.sql.types.IntegerType, nullable = false))
         ScanBridge.internalDf(spark, merged, outSchema)
           .write.mode("overwrite")
           .partitionBy("bucket")
           .parquet(outDir.toString)
-        batchRows = rowsAcc.value
-        nDeletes = delAcc.value
+        import scala.jdk.CollectionConverters._
+        val perPartition = statsAcc.value.asScala.groupBy(_._1).values.map(_.head)
+        batchRows = perPartition.map(_._2).sum
+        nDeletes = perPartition.map(_._3).sum
     }
     val tMeta = System.nanoTime()
 
@@ -230,9 +238,8 @@ object MergeApplier {
     // independent of how many data files the table holds. A COW rewrite of a
     // bucket also masks that bucket's MOR delta refs: the rewrite read and
     // folded them (the bucket-aligned scan reads base + deltas).
-    val rewritten = newBucketFiles.keySet ++ touchedBuckets
     val manifests = snap.map(_.manifests).getOrElse(Seq.empty)
-      .map(m => m.copy(buckets = m.buckets -- rewritten))
+      .map(m => m.copy(buckets = m.buckets -- newBucketFiles.keySet))
       .filter(_.buckets.nonEmpty) :+
       ManifestRef(table.writeManifest(version, newBucketFiles),
         newBucketFiles.keySet, delta = false)

@@ -60,17 +60,25 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       bands: Int = 8, bitsPerBand: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def keyed(df: DataFrame, id: String, v: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(v),
+    // Candidates carry IDS ONLY through the band join and the distinct — a
+    // vector colliding in m bands would otherwise shuffle its embedding
+    // payload m times through the dedup. Vectors re-join exactly once per
+    // surviving (query, candidate) pair (same shape as minhashLshPairs'
+    // id-only cand).
+    def keyed(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id),
           posexplode(srpKeys(col(vecCol), bands, bitsPerBand)).as(Seq("band", "bucket")))
-    val c = keyed(corpus, "vec_id", "cv")
-    val q = keyed(queries, "query_id", "qv")
-    val cand = c.join(q, Seq("band", "bucket"))
+    val cand = keyed(corpus, "vec_id").join(keyed(queries, "query_id"),
+        Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "qv", "vec_id", "cv").distinct()
+      .select("query_id", "vec_id").distinct()
+    val cv = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    cand.withColumn("cosine", cosine(col("qv"), col("cv")))
+    cand.join(cv, "vec_id") // shuffle join on id (corpus-sized side)
+      .join(broadcast(qv), "query_id") // query set is small by contract
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"),
@@ -176,14 +184,20 @@ object Similarity {
   def embeddingNearDupPairs(corpus: DataFrame, minCos: Double = 0.95,
       bands: Int = 8, bitsPerBand: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val keyed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+    // Id-only candidate pairs through the self-join + distinct (a pair
+    // colliding in m bands must not shuffle its embedding payloads m times);
+    // vectors re-join once per distinct pair for the exact verification.
+    val keyed = corpus.select(col(idCol).as("id"),
       posexplode(srpKeys(col(vecCol), bands, bitsPerBand)).as(Seq("band", "bucket")))
     val cand = keyed.as("a").join(keyed.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("a.v").as("va"),
-        col("b.id").as("id_b"), col("b.v").as("vb")).distinct()
-    cand.withColumn("cosine", round(cosine(col("va"), col("vb")), 4))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val e = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    cand
+      .join(e.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(e.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("cosine", round(cosine(col("va"), col("vb")), 4))
       .filter(col("cosine") >= minCos)
       .select("id_a", "id_b", "cosine")
   }

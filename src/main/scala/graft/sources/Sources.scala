@@ -33,13 +33,31 @@ object Sources {
   def jsonDocument(spark: SparkSession, path: String): DataFrame =
     spark.read.option("multiLine", "true").json(path)
 
-  /** Raw line reader with the reference's `process.lines` head-limit
-    * (per-file limit → per-source limit here; the reference uses it only to
-    * truncate test inputs).
+  /** Raw line reader with the reference's `process.lines` head-limit,
+    * applied PER FILE (ConvertToRDFLambda.java:502-505 truncates each file,
+    * not the source): a multi-file source with limit n yields the first n
+    * lines of every file.
+    *
+    * File order is reconstructed without giving up splittable reads:
+    * within a scan partition rows arrive in file order, partitions of one
+    * file are ordered by their block start offset (a line spanning a block
+    * boundary belongs to the block containing its start — exactly how the
+    * text reader assigns it), so (block_start, intra-partition sequence) IS
+    * the line number ordering. The window shuffles one file per window
+    * partition; the limit is a test/truncation tool in the reference, not a
+    * hot path, so a per-file shuffle is acceptable.
     */
   def lines(spark: SparkSession, path: String, limit: Option[Int] = None): DataFrame = {
     val df = spark.read.text(path).withColumn("path", input_file_name())
-    limit.fold(df)(df.limit)
+    limit.fold(df) { n =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("path").orderBy(col("__blk"), col("__seq"))
+      df.withColumn("__blk", input_file_block_start())
+        .withColumn("__seq", monotonically_increasing_id()) // rises in row order within a partition
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= n)
+        .drop("__blk", "__seq", "__rn")
+    }
   }
 
   /** Whole file as one row (copy-file / passthrough analog, and the document

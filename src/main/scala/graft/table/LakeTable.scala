@@ -384,8 +384,14 @@ final class LakeTable(val root: String, val numBuckets: Int) {
       }
     }
     val liveManifests: Set[String] = keptSnaps.flatMap(_.manifests.map(_.path)).toSet
+    // ".tmp-" files are torn writes (crash between temp write and atomic
+    // rename): unreachable by construction once any newer snapshot committed,
+    // so vacuum sweeps them along with masked-out/expired manifests.
     LakeTable.listing(Files.list(metaDir)) {
-      _.filter(_.getFileName.toString.startsWith("man-")).toSeq
+      _.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("man-") || n.startsWith(".tmp-")
+      }.toSeq
     }.foreach { p => if (!liveManifests.contains(p.toString)) Files.delete(p) }
     manifestCache.clear()
     expire.foreach(n => Files.delete(metaDir.resolve(n)))

@@ -183,6 +183,14 @@ class FunctionsSpec extends SparkSpecBase {
       one[String](Grel.phoneticCol(lit("Jose"), "soundex")))
     assert(one[String](Grel.phoneticCol(lit("Müller"), "metaphone")) ==
       one[String](Grel.phoneticCol(lit("Muller"), "metaphone")))
+    // \uXXXX and \xXX decode like commons-text unescapeEcmaScript (the
+    // reference's javascript-unescape backend); malformed hex is lenient
+    assert(one[String](Grel.unescapeCol(lit("Aé\\x42"), "javascript")) == "AéB")
+    assert(one[String](Grel.unescapeCol(lit("B=\\u0042"), "javascript")) == "B=B")
+    assert(one[String](Grel.unescapeCol(lit("\\u00 4\\uZZZZ\\x4"), "javascript")) ==
+      "\\u00 4\\uZZZZ\\x4")
+    assert(one[String](Grel.unescapeCol(lit("""say \"hi\""""), "javascript")) ==
+      "say \"hi\"")
   }
 
   test("json-hierarchy enrichment nulls out malformed/empty JSON instead of failing the job") {

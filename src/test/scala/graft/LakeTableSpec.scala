@@ -39,12 +39,19 @@ class LakeTableSpec extends SparkSpecBase {
     val orphan = table.commitDir(99, "crashed", 7)
     java.nio.file.Files.createDirectories(orphan)
     java.nio.file.Files.writeString(orphan.resolve("part-orphan.parquet"), "junk")
+    // plant torn meta writes (crash between temp write and atomic rename)
+    val meta = java.nio.file.Paths.get(table.root, "meta")
+    val tornMan = meta.resolve(".tmp-man-000000000099-1.json")
+    val tornSnap = meta.resolve(".tmp-snap-99-1.json")
+    java.nio.file.Files.writeString(tornMan, "{}")
+    java.nio.file.Files.writeString(tornSnap, "{}")
 
     val before = table.read(spark).collect().map(_.getAs[String]("text")).toSeq
     val deleted = table.vacuum(keepLast = 1)
     assert(deleted > 0)
     assert(table.versions() == Seq(3L))
     assert(!java.nio.file.Files.exists(orphan.resolve("part-orphan.parquet")))
+    assert(!java.nio.file.Files.exists(tornMan) && !java.nio.file.Files.exists(tornSnap))
     val after = table.read(spark).collect().map(_.getAs[String]("text")).toSeq
     assert(after == before && after == Seq("v2"))
     // table still writable after vacuum

@@ -28,4 +28,31 @@ class MultimodalSpec extends SparkSpecBase {
       .collect().map(f => f.media_id -> f.checksum).toMap
     assert(rows.forall(f => again(f.media_id) == f.checksum))
   }
+
+  test("real binary files via spark.read.format(binaryFile): downstream stages unchanged") {
+    val dir = tmpDir("mm-bin")
+    val payloads = Map(
+      "photo.jpg" -> Array.tabulate[Byte](257)(i => (i * 7).toByte),
+      "clip.wav" -> Array.tabulate[Byte](64)(i => (255 - i).toByte),
+      "notes.bin" -> "plain bytes".getBytes("UTF-8"))
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name), bytes)
+    }
+    val media = Multimodal.fromBinaryFiles(spark, dir)
+    assert(media.schema("payload").dataType.typeName == "binary")
+    // the SAME extract stage as the synthetic corpus — source-agnostic
+    val feats = Multimodal.extractFeatures(media, frameEveryMs = 40, partitions = 2)
+      .collect()
+    assert(feats.length == 3)
+    val kinds = feats.map(f => f.n_bytes -> f.kind).toMap
+    assert(kinds(257L) == "image" && kinds(64L) == "audio" && kinds(11L) == "binary")
+    payloads.values.foreach { bytes =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString
+      val f = feats.find(_.n_bytes == bytes.length.toLong).get
+      assert(f.checksum == md5)
+      assert(f.histogram.sum == bytes.length.toLong)
+      assert(f.frames_sampled == 1) // durationMs 0 until a real decode fills it
+    }
+  }
 }

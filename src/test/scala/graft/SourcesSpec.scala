@@ -55,6 +55,21 @@ class SourcesSpec extends SparkSpecBase {
     assert(kept.count() == 100)
   }
 
+  test("head-limit is PER FILE: 2 files x limit n reads 2n rows, each file's head (L1)") {
+    val dir = tmpDir("src-lines-pf")
+    write(s"$dir/a.txt", (1 to 100).map(i => s"a $i").mkString("\n") + "\n")
+    write(s"$dir/b.txt", (1 to 80).map(i => s"b $i").mkString("\n") + "\n")
+    val limited = Sources.lines(spark, s"$dir/*.txt", limit = Some(30))
+    val got = limited.collect().map(r => (r.getAs[String]("path"), r.getAs[String]("value")))
+    assert(got.length == 60) // 2 files x 30, not a global 30
+    // exactly the first 30 lines of EACH file (reference semantics,
+    // ConvertToRDFLambda.java:502-505)
+    val aLines = got.filter(_._1.endsWith("a.txt")).map(_._2).toSet
+    val bLines = got.filter(_._1.endsWith("b.txt")).map(_._2).toSet
+    assert(aLines == (1 to 30).map(i => s"a $i").toSet)
+    assert(bLines == (1 to 30).map(i => s"b $i").toSet)
+  }
+
   test("mapping router: include/exclude regex on path (F1)") {
     val dir = tmpDir("src-route")
     write(s"$dir/publications_2024.jsonl", """{"id":1}""")
