@@ -8,23 +8,38 @@ import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark. Prints ONE JSON line:
   * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
-  *  "cdc":{...},"scaling":{...}}
+  *  "cdc":{...},"scaling":{...},"recall":{...}}
   *
-  * Three sections:
+  * Measurement method (this virtualized host has minutes-scale hypervisor
+  * steal — load average 0.2→28 swings with zero local processes; the same
+  * binary measured 478k vs 55k ev/s two hours apart): steal is ONE-SIDED
+  * noise (it only adds wall time), so every published throughput is the
+  * per-mode MIN over ≥3 interleaved rounds, with every raw sample reported.
+  * Single-shot numbers are weather lottery and are not published.
+  *
+  * Sections:
   *   - queries: wall-time of every SparkEntry query on SPARK_GRAFT_SF_DIR
-  *   - cdc: the headline BASELINE.json metric — cold-start replay and
-  *     sustained streaming-tail apply throughput (change-events/sec) over a
-  *     synthetic changelog (zipf skew, out-of-order, deletes)
+  *   - cdc: the headline BASELINE.json metric — interleaved rounds of
+  *     {cold replay, COW tail, MOR tail, MOR tail + auto-compaction}; per
+  *     mode: min + samples array. MOR+auto also reports the max delta depth
+  *     the manifest list reached (the LSM steady state the 10^10 story
+  *     relies on).
   *   - scaling: the same replay job at local[N] vs local[4N] (default 4→16),
-  *     5 interleaved rounds, per-level min, all samples reported —
-  *     efficiency = thr(4N) / (4 × thr(N)); the sandbox evidence for the
-  *     N→4N ≥ 0.8 scaling rule (no real cluster here; BENCH.md documents
-  *     the method and why 4→16 rather than 8→32 on this host)
+  *     interleaved rounds, per-level min, ≥5 rounds, stability-based
+  *     stopping; a Spark-free CPU burn probe per round calibrates host
+  *     quietness. Efficiency = thr(4N) / (4 × thr(N)) — the sandbox evidence
+  *     for the N→4N ≥ 0.8 scaling rule (no real cluster here; BENCH.md has
+  *     the method and why 4→16 rather than 8→32 on this host). The JSON
+  *     carries `exit` (stable|cap|budget) and `marker`
+  *     (ok|host_never_quiet): a final efficiency outside [0.8, 1.05] is
+  *     published as evidence of host weather, never as an engine number.
   *
   * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-  * SPARK_GRAFT_BENCH_EVENTS (default 10M), SPARK_GRAFT_SCALING_EVENTS
-  * (default 2×), SPARK_GRAFT_SCALING_CORES ("4,16"), SPARK_GRAFT_SCALING=0
-  * to skip the scaling section, SPARK_GRAFT_ONLY_SCALING=1 for just it.
+  * SPARK_GRAFT_BENCH_EVENTS (default 10M), SPARK_GRAFT_CDC_ROUNDS (default
+  * 3), SPARK_GRAFT_SCALING_EVENTS (default 2×), SPARK_GRAFT_SCALING_CORES
+  * ("4,16"), SPARK_GRAFT_SCALING=0 to skip the scaling section,
+  * SPARK_GRAFT_ONLY_SCALING=1 for just it, SPARK_GRAFT_RECALL=0 to skip
+  * recall.
   */
 object Bench {
   private def session(cores: Int): SparkSession = {
@@ -59,6 +74,9 @@ object Bench {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  private def jsonArr(xs: Seq[Double]): String =
+    xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+
   /** The scaling workload: full cold-start replay (scan → LWW shuffle →
     * bucketed write → commit) of a pre-generated parquet changelog.
     */
@@ -69,10 +87,36 @@ object Bench {
     MergeApplier.replayFull(spark, table, changelog).batchRows
   }
 
+  private val burnSink = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Spark-free host-quietness probe: `threads` threads each run the same
+    * fixed arithmetic loop; on a quiet host with ≥ threads free cores the
+    * wall time is the single-thread loop time, and hypervisor steal inflates
+    * it proportionally. Relative probe times across rounds calibrate which
+    * scaling samples ran in quiet windows (BENCH.md "pure-CPU burn").
+    */
+  private def burnProbe(threads: Int, itersPerThread: Long = 300000000L): Double = {
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + t
+        var i = 0L
+        while (i < itersPerThread) {
+          x = x * 6364136223846793005L + 1442695040888963407L; i += 1
+        }
+        burnSink.addAndGet(x) // defeat dead-code elimination
+      })
+      th.setDaemon(true); th
+    }
+    val t0 = System.nanoTime()
+    ts.foreach(_.start()); ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "10000000").toLong
+    val cdcRounds = math.max(1, sys.env.getOrElse("SPARK_GRAFT_CDC_ROUNDS", "3").toInt)
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
     // Scaling pair N → 4N. Default 4→16 rather than 8→32: this host's own
     // pure-CPU ceiling at 8→32 is ~0.75 of ideal (hypervisor steal once all
@@ -108,12 +152,6 @@ object Bench {
     // ---- scaling: identical replay at N and 4N cores ----
     var scalingJson = "null"
     if (doScaling) {
-      // Interleaved rounds, per-level min: this virtualized host has
-      // minutes-scale hypervisor-steal weather, so each round runs low and
-      // high back-to-back and the per-level min across rounds is the
-      // host-idle estimate of engine cost (best-observed per-core rates at
-      // the two levels agree within ~2%, so the residual ratio IS engine
-      // scaling, not host noise).
       def one(cores: Int, warm: Boolean): Double = {
         val s = session(cores)
         if (warm) { progress(s"scaling: warmup local[$cores]"); replayJob(s, warmupDir) }
@@ -122,30 +160,42 @@ object Bench {
         s.stop()
         t
       }
-      // Adaptive sampling: hypervisor steal is one-sided noise (it only ADDS
-      // wall time), so the per-level min converges to the engine's host-idle
-      // cost as samples accrue. Run at least 3 interleaved rounds; keep
-      // sampling while the min-based estimate is still noise-dominated
-      // (outside the engine's known quiet-host band), up to 6 rounds or a
-      // 10-minute budget. ALL samples are reported — the stopping rule only
-      // chooses when to stop paying for more, never which samples count.
+      // Adaptive sampling: steal only ADDS wall time, so the per-level min
+      // converges to the engine's host-idle cost from above as samples
+      // accrue. ≥5 interleaved rounds; stop when the min-based estimate is
+      // STABLE (unchanged within eps across consecutive rounds — mins are
+      // monotone, so stability means new samples stopped improving either
+      // level), up to 8 rounds / a 15-minute budget. The stopping rule is
+      // estimate-independent (no acceptance band — round-2 advisor note):
+      // it decides only when to stop paying for more samples, never which
+      // samples count; ALL samples and per-round burn probes are reported.
       val rounds = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
       def effNow: Double = {
-        val r = (scalingEvents / rounds.map(_._2).min) /
+        (scalingEvents / rounds.map(_._2).min) /
           ((scalingEvents / rounds.map(_._1).min) * (highCores.toDouble / lowCores))
-        r
       }
-      // Keep sampling while the estimate is outside the engine's physically
-      // plausible band: < 0.82 (high side still steal-inflated) OR > 1.05
-      // (super-linear = the LOW side never saw a quiet window — efficiency
-      // above 1 is as much a noise symptom as below 0.8).
-      val budgetNs = System.nanoTime() + 10L * 60 * 1000000000L
-      while (rounds.size < 6 &&
-          (rounds.size < 3 ||
-            ((effNow < 0.82 || effNow > 1.05) && System.nanoTime() < budgetNs))) {
+      val minRounds = 5
+      val maxRounds = 8
+      val budgetNs = System.nanoTime() + 15L * 60 * 1000000000L
+      var effPrev = Double.NaN
+      var stableRounds = 0
+      var exit = ""
+      while (exit.isEmpty) {
+        probes += burnProbe(highCores)
         val warm = rounds.isEmpty
         rounds += ((one(lowCores, warm), one(highCores, warm)))
-        if (rounds.size >= 3) progress(f"scaling: round ${rounds.size}, min-based efficiency ${effNow}%.3f")
+        val e = effNow
+        if (rounds.size >= 2)
+          progress(f"scaling: round ${rounds.size}, min-based efficiency $e%.3f, burn ${probes.last}%.2fs")
+        // two consecutive non-improving rounds, not one: a single round that
+        // fails to beat either min is common under any noise level and must
+        // not freeze a storm-skewed estimate
+        stableRounds = if (math.abs(e - effPrev) < 0.015) stableRounds + 1 else 0
+        if (rounds.size >= minRounds && stableRounds >= 2) exit = "stable"
+        else if (rounds.size >= maxRounds) exit = "cap"
+        else if (System.nanoTime() > budgetNs && rounds.size >= 3) exit = "budget"
+        effPrev = e
       }
       val tLow = rounds.map(_._1).min
       val tHigh = rounds.map(_._2).min
@@ -153,7 +203,11 @@ object Bench {
       val thrLow = scalingEvents / tLow
       val thrHigh = scalingEvents / tHigh
       val eff = thrHigh / (thrLow * (highCores.toDouble / lowCores))
-      scalingJson = f"""{"events":$scalingEvents,"samples":$samples,"rounds":${rounds.size},"cores_low":$lowCores,"cores_high":$highCores,"sec_low":$tLow%.2f,"sec_high":$tHigh%.2f,"eventsPerSec_low":${thrLow.toLong},"eventsPerSec_high":${thrHigh.toLong},"efficiency":$eff%.3f}"""
+      // Plausibility annotation, not a gate: efficiency outside [0.8, 1.05]
+      // (super-linear = the slow level never saw a quiet window) marks the
+      // RECORD as host weather — it is never presented as an engine number.
+      val marker = if (eff >= 0.8 && eff <= 1.05) "ok" else "host_never_quiet"
+      scalingJson = f"""{"events":$scalingEvents,"samples":$samples,"burnProbesSec":${jsonArr(probes.toSeq)},"rounds":${rounds.size},"exit":"$exit","marker":"$marker","cores_low":$lowCores,"cores_high":$highCores,"sec_low":$tLow%.2f,"sec_high":$tHigh%.2f,"eventsPerSec_low":${thrLow.toLong},"eventsPerSec_high":${thrHigh.toLong},"efficiency":$eff%.3f}"""
     }
 
     if (sys.env.getOrElse("SPARK_GRAFT_ONLY_SCALING", "0") == "1") {
@@ -161,37 +215,60 @@ object Bench {
       return
     }
 
-    // ---- main session: CDC throughput + query sweep ----
+    // ---- main session: CDC throughput, interleaved min-based rounds ----
     val spark = session(cpus)
-    replayJob(spark, warmupDir) // warmup
+    replayJob(spark, warmupDir) // JIT/codegen warmup for the merge path
 
-    progress("cdc: replay")
-    val (replayRows, replaySec) = timed(replayJob(spark, changelogDir))
-    val replayThr = (benchEvents / replaySec).toLong
-
-    val tailTable = new LakeTable(tmp("bench-tail-table"), numBuckets = 32)
-    progress("cdc: tail")
-    val (_, tailSec) = timed {
-      CdcStream.runAvailableNow(spark, tailDir, tailTable, tmp("bench-tail-ckpt"),
-        maxFilesPerTrigger = tailMft)
-    }
     val tailEvents = benchEvents / 2
-    val tailThr = (tailEvents / tailSec).toLong
-
-    // merge-on-read tail: same input, delta appends + one final compaction
-    val morTable = new LakeTable(tmp("bench-mor-table"), numBuckets = 32)
-    progress("cdc: tail (merge-on-read)")
-    val (_, morSec) = timed {
-      CdcStream.runAvailableNow(spark, tailDir, morTable, tmp("bench-mor-ckpt"),
-        maxFilesPerTrigger = tailMft, mode = "mor")
+    val autoCompactEvery = 3
+    var replayRows = 0L
+    var morAutoMaxDepth = 0
+    var morAutoCompactions = 0L
+    var lastMorTable: LakeTable = null
+    val replayS = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val cowS = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val morS = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val morAutoS = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def runTail(mode: String, autoEvery: Int): (LakeTable, Double) = {
+      val t = new LakeTable(tmp(s"bench-$mode-table"), numBuckets = 32)
+      val (_, sec) = timed {
+        CdcStream.runAvailableNow(spark, tailDir, t, tmp(s"bench-$mode-ckpt"),
+          maxFilesPerTrigger = tailMft, mode = mode, autoCompactEvery = autoEvery)
+      }
+      (t, sec)
     }
+    (1 to cdcRounds).foreach { r =>
+      progress(s"cdc round $r/$cdcRounds: replay")
+      val (rows, sec) = timed(replayJob(spark, changelogDir))
+      replayRows = rows; replayS += sec
+      progress(s"cdc round $r/$cdcRounds: tail COW")
+      cowS += runTail("cow", 0)._2
+      progress(s"cdc round $r/$cdcRounds: tail MOR")
+      val (morT, morSec) = runTail("mor", 0)
+      morS += morSec; lastMorTable = morT
+      progress(s"cdc round $r/$cdcRounds: tail MOR + auto-compaction")
+      val (autoT, autoSec) = runTail("mor", autoCompactEvery)
+      morAutoS += autoSec
+      // steady-state evidence: deepest the manifest list ever got (post-hoc
+      // over the retained snapshot history — exact, no mid-run polling) and
+      // how many auto-compactions ran
+      val depths = autoT.versions().flatMap(autoT.snapshotAt)
+        .map(_.manifests.count(_.delta))
+      morAutoMaxDepth = math.max(morAutoMaxDepth, if (depths.isEmpty) 0 else depths.max)
+      morAutoCompactions += autoT.versions().flatMap(autoT.snapshotAt)
+        .count(_.metrics.contains("compactedRows"))
+    }
+    // final compaction cost of a raw-MOR table (the amortized read-side debt)
     val (_, compactSec) = timed {
-      MergeApplier.compact(spark, morTable,
+      MergeApplier.compact(spark, lastMorTable,
         java.sql.Timestamp.valueOf("2030-01-01 00:00:00"))
     }
-    val morThr = (tailEvents / morSec).toLong
+    val replaySec = replayS.min
+    val tailSec = cowS.min
+    val morSec = morS.min
+    val morAutoSec = morAutoS.min
     val tailBatches = (tailFiles + tailMft - 1) / tailMft // derived, not hardcoded
-    val cdcJson = f"""{"replayEvents":$benchEvents,"replaySec":$replaySec%.2f,"replayEventsPerSec":$replayThr,"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":$tailBatches,"tailSec":$tailSec%.2f,"tailEventsPerSec":$tailThr,"tailMorSec":$morSec%.2f,"tailMorEventsPerSec":$morThr,"morCompactSec":$compactSec%.2f}"""
+    val cdcJson = f"""{"rounds":$cdcRounds,"replayEvents":$benchEvents,"replaySamples":${jsonArr(replayS.toSeq)},"replaySec":$replaySec%.2f,"replayEventsPerSec":${(benchEvents / replaySec).toLong},"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":$tailBatches,"tailCowSamples":${jsonArr(cowS.toSeq)},"tailSec":$tailSec%.2f,"tailEventsPerSec":${(tailEvents / tailSec).toLong},"tailMorSamples":${jsonArr(morS.toSeq)},"tailMorSec":$morSec%.2f,"tailMorEventsPerSec":${(tailEvents / morSec).toLong},"tailMorAutoSamples":${jsonArr(morAutoS.toSeq)},"tailMorAutoSec":$morAutoSec%.2f,"tailMorAutoEventsPerSec":${(tailEvents / morAutoSec).toLong},"tailMorAutoMaxDeltaDepth":$morAutoMaxDepth,"tailMorAutoCompactions":$morAutoCompactions,"morCompactSec":$compactSec%.2f}"""
 
     // ---- query sweep (one warmup pass, then timed) ----
     progress("queries: warmup pass")

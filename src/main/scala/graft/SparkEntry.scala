@@ -122,12 +122,14 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
           count(lit(1)).as("count_order"))),
 
-    // J1: star join, dims broadcast.
+    // J1: star join. Only the CONSTANT-size dim (nation, 25 rows) carries a
+    // broadcast hint; customer grows with scale factor, so its join is left
+    // to AQE (which broadcasts at runtime while it fits, shuffles beyond).
     "q_join_dim" -> ((s, dir) => {
       val o = table(s, dir, "orders")
       val c = table(s, dir, "customer")
       val n = table(s, dir, "nation")
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_orders"),

@@ -70,7 +70,7 @@ object MergeApplier {
     * copied only when stored; losers are never copied.
     */
   private def mergeBucket(convI: Int, turnI: Int, tsI: Int, seqI: Int, opI: Int,
-      statsAcc: CollectionAccumulator[(Int, Long, Long)])(
+      statsAcc: CollectionAccumulator[(Int, Long, Long, Long)])(
       batch: Iterator[InternalRow], target: Iterator[InternalRow]): Iterator[InternalRow] = {
     if (!batch.hasNext) return Iterator.empty // untouched bucket: no file opened
     val deleteOp = UTF8String.fromString(Model.OpDelete)
@@ -92,13 +92,15 @@ object MergeApplier {
       fold(r)
     }
     val partitionId = org.apache.spark.TaskContext.getPartitionId()
-    // One (partitionId, rows, dels) entry per task ATTEMPT; the driver
-    // collapses duplicates by partition id, so a retried / recomputed /
-    // speculated task (which re-reads the same deterministic partition and
-    // produces the identical counts) cannot inflate the metrics — unlike raw
-    // LongAccumulators, which double-count on any transformation re-execution.
-    statsAcc.add((partitionId, nRows, nDel))
     while (target.hasNext) fold(target.next())
+    // One (partitionId, rows, dels, winners) entry per task ATTEMPT; the
+    // driver collapses duplicates by partition id, so a retried / recomputed
+    // / speculated task (which re-reads the same deterministic partition and
+    // produces the identical counts) cannot inflate the metrics — unlike raw
+    // LongAccumulators, which double-count on any transformation
+    // re-execution. `winners` = rows this bucket writes, so commit lineage
+    // needs no post-write parquet footer reads on the hot path.
+    statsAcc.add((partitionId, nRows, nDel, winners.size.toLong))
     val bucketRow = new GenericInternalRow(Array[Any](partitionId))
     val joined = new JoinedRow
     import scala.jdk.CollectionConverters._
@@ -150,6 +152,7 @@ object MergeApplier {
     var nDeletes = 0L
     var touchedCount = 0
     var touchedBuckets: Set[Int] = Set.empty
+    var statsWinners: Map[Int, Long] = Map.empty
 
     val coldObs = new org.apache.spark.sql.Observation("cold-stats")
     snap match {
@@ -200,7 +203,7 @@ object MergeApplier {
           return ApplyResult(skipped = false, s.version, 0, 0, 0, 0)
         }
         val statsAcc = spark.sparkContext
-          .collectionAccumulator[(Int, Long, Long)]("graft.batchStats")
+          .collectionAccumulator[(Int, Long, Long, Long)]("graft.batchStats")
         val batchRdd = ScanBridge.toInternalRdd(
           aligned.repartition(table.numBuckets, keyCols: _*))
         val targetRdd = ScanBridge.bucketFilesRdd(spark, mergedSchema,
@@ -222,6 +225,7 @@ object MergeApplier {
         val perPartition = statsAcc.value.asScala.groupBy(_._1).values.map(_.head)
         batchRows = perPartition.map(_._2).sum
         nDeletes = perPartition.map(_._3).sum
+        statsWinners = perPartition.map(s => s._1 -> s._4).toMap
     }
     val tMeta = System.nanoTime()
 
@@ -244,7 +248,11 @@ object MergeApplier {
       ManifestRef(table.writeManifest(version, newBucketFiles),
         newBucketFiles.keySet, delta = false)
     val prevRows = snap.map(_.bucketRows).getOrElse(Map.empty)
-    val newRows = table.footerRowCounts(newBucketFiles)
+    // Hot path: per-bucket written rows are the merge fold's winner counts —
+    // no re-opening of just-written parquet footers per micro-batch (driver
+    // I/O off the tail's critical path). Cold start reads footers once.
+    val newRows = if (snap.nonEmpty) statsWinners
+      else table.footerRowCounts(newBucketFiles)
     val bucketRows = prevRows ++ newRows
     if (snap.isEmpty) {
       // cold-start stats: totals from footers (free); tombstones from the
