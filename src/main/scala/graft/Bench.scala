@@ -140,12 +140,16 @@ object Bench {
     val warmupDir = tmp("bench-warmup")
     Generator.events(prep, benchEvents / 10, numConvs / 10, turnsPerConv = 25, seed = 99)
       .write.mode("overwrite").parquet(warmupDir)
-    // tail input: chunks in arrival order
+    // tail input: chunks in arrival order, each chunk physically 16 part
+    // files (a real binlog tail pulls many files per trigger — one fat file
+    // per chunk would starve the merge's map side to 2 tasks and measure the
+    // miniature, not the engine)
     val tailFiles = 10
-    val tailMft = 2
+    val tailParts = 16
+    val tailMft = 2 * tailParts // 2 chunks per trigger, as before
     val tailDir = tmp("bench-tail")
     Generator.writeChangelog(prep, tailDir, benchEvents / 2, numConvs,
-      turnsPerConv = 25, numFiles = tailFiles, seed = 555)
+      turnsPerConv = 25, numFiles = tailFiles, seed = 555, partsPerChunk = tailParts)
     prep.stop()
     progress("prep done")
 
@@ -267,7 +271,7 @@ object Bench {
     val tailSec = cowS.min
     val morSec = morS.min
     val morAutoSec = morAutoS.min
-    val tailBatches = (tailFiles + tailMft - 1) / tailMft // derived, not hardcoded
+    val tailBatches = (tailFiles * tailParts + tailMft - 1) / tailMft // derived, not hardcoded
     val cdcJson = f"""{"rounds":$cdcRounds,"replayEvents":$benchEvents,"replaySamples":${jsonArr(replayS.toSeq)},"replaySec":$replaySec%.2f,"replayEventsPerSec":${(benchEvents / replaySec).toLong},"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":$tailBatches,"tailCowSamples":${jsonArr(cowS.toSeq)},"tailSec":$tailSec%.2f,"tailEventsPerSec":${(tailEvents / tailSec).toLong},"tailMorSamples":${jsonArr(morS.toSeq)},"tailMorSec":$morSec%.2f,"tailMorEventsPerSec":${(tailEvents / morSec).toLong},"tailMorAutoSamples":${jsonArr(morAutoS.toSeq)},"tailMorAutoSec":$morAutoSec%.2f,"tailMorAutoEventsPerSec":${(tailEvents / morAutoSec).toLong},"tailMorAutoMaxDeltaDepth":$morAutoMaxDepth,"tailMorAutoCompactions":$morAutoCompactions,"morCompactSec":$compactSec%.2f}"""
 
     // ---- query sweep (one warmup pass, then timed) ----

@@ -59,14 +59,21 @@ object Generator {
       i.as("seq"))
   }
 
-  /** Write a changelog as `numFiles` parquet files under `dir`, ordered by
-    * seq ranges (arrival order) — the stream tail consumes them as the
-    * binlog. Events with seq < evolveAt are written WITHOUT the `tool`
-    * column (schema v1); later files carry the evolved schema.
+  /** Write a changelog as `numFiles` arrival chunks of parquet under `dir`,
+    * ordered by seq ranges (arrival order) — the stream tail consumes them
+    * as the binlog. Events with seq < evolveAt are written WITHOUT the
+    * `tool` column (schema v1); later files carry the evolved schema.
+    *
+    * `partsPerChunk` controls the PHYSICAL file count per arrival chunk
+    * (chunk f → chunk_f_pNNN.parquet × parts). A real binlog tail at 10^10
+    * scale pulls many files per trigger, so the merge's map side has natural
+    * parallelism; a miniature with one fat file per chunk would starve the
+    * batch scan to partsPerChunk map tasks (parquet files with a single row
+    * group do not split) and measure the miniature, not the engine.
     */
   def writeChangelog(spark: SparkSession, dir: String, n: Long, numConvs: Int,
       turnsPerConv: Int, numFiles: Int, seed: Long = 42L,
-      evolveAt: Long = -1L): Unit = {
+      evolveAt: Long = -1L, partsPerChunk: Int = 1): Unit = {
     val ev = events(spark, n, numConvs, turnsPerConv, seed)
     val perFile = math.max(1L, n / numFiles)
     val fileId = least(floor(col("seq") / perFile), lit(numFiles - 1)).cast("int")
@@ -77,21 +84,30 @@ object Generator {
       val lo = f * perFile
       val slice = withFile.filter(col("__file") === f).drop("__file")
       val out = if (evolveAt >= 0 && lo + perFile <= evolveAt) slice.drop("tool") else slice
-      // one flat file per slice, named in arrival order so the file source
-      // tails them deterministically (lexicographic = seq order)
+      // flat files named in arrival order so the file source tails them
+      // deterministically (lexicographic = seq order; parts of a chunk sort
+      // inside their chunk)
       val tmp = s"$dir/.tmp_$f"
-      out.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).iterator()
-      var moved = false
-      while (part.hasNext && !moved) {
-        val p = part.next()
-        if (p.getFileName.toString.endsWith(".parquet")) {
-          Files.move(p, Paths.get(f"$dir/chunk_$f%05d.parquet"),
-            StandardCopyOption.REPLACE_EXISTING)
-          moved = true
-        }
+      (if (partsPerChunk == 1) out.coalesce(1) else out.repartition(partsPerChunk))
+        .write.mode("overwrite").parquet(tmp)
+      var p = 0
+      LakeTableListing.sortedParquet(tmp).foreach { part =>
+        Files.move(part, Paths.get(f"$dir/chunk_$f%05d_p$p%03d.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        p += 1
       }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  private object LakeTableListing {
+    def sortedParquet(dir: String): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString)
+      } finally s.close()
     }
   }
 

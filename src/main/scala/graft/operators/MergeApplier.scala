@@ -107,6 +107,15 @@ object MergeApplier {
     winners.values().iterator().asScala.map(r => joined(r, bucketRow))
   }
 
+  private def deleteDir(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally s.close()
+    }
+  }
+
   /** Normalize an incoming changelog batch to the merged (evolved) schema. */
   private def evolve(table: LakeTable, batch: DataFrame): (DataFrame, StructType) = {
     val current = table.currentSnapshot().map(_.schema)
@@ -196,12 +205,6 @@ object MergeApplier {
         // partition id on the driver — exact even under task retry, stage
         // recompute, or speculation (a re-executed task re-emits the same
         // deterministic counts, which collapse).
-        // Cheap emptiness guard (first-nonempty-partition scan): idle
-        // triggers must not run the merge job nor accrete orphan commit
-        // dirs; replay of an empty batch is trivially idempotent.
-        if (aligned.isEmpty) {
-          return ApplyResult(skipped = false, s.version, 0, 0, 0, 0)
-        }
         val statsAcc = spark.sparkContext
           .collectionAccumulator[(Int, Long, Long, Long)]("graft.batchStats")
         val batchRdd = ScanBridge.toInternalRdd(
@@ -226,6 +229,17 @@ object MergeApplier {
         batchRows = perPartition.map(_._2).sum
         nDeletes = perPartition.map(_._3).sum
         statsWinners = perPartition.map(s => s._1 -> s._4).toMap
+        if (batchRows == 0) {
+          // Idle trigger: nothing arrived. Emptiness detection piggybacks on
+          // the merge job itself — an empty batch side makes every mergeBucket
+          // task a no-op (no table file opened, no row written), so the job
+          // costs one empty task wave. The former up-front `batch.isEmpty`
+          // probe spent a separate Spark job on EVERY batch to spare only the
+          // idle ones. Drop the empty output dir rather than commit an orphan
+          // version; replay of an empty batch is trivially idempotent.
+          deleteDir(outDir)
+          return ApplyResult(skipped = false, s.version, 0, 0, 0, 0)
+        }
     }
     val tMeta = System.nanoTime()
 

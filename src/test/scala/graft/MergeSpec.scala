@@ -38,6 +38,27 @@ class MergeSpec extends SparkSpecBase {
     assert(finalState(table) == oracle)
   }
 
+  test("idle trigger: empty batch commits no version, leaves no orphan dir") {
+    val table = new LakeTable(tmpDir("merge-idle"), numBuckets = 4)
+    MergeApplier.applyBatch(spark, table, spark.createDataset(Seq(
+      ev("c1", 0, "x", "2025-01-01 00:00:00", Model.OpInsert, 1))).toDF(), "w", 0L)
+    val before = table.versions()
+    val r = MergeApplier.applyBatch(spark, table,
+      spark.createDataset(Seq.empty[ChangeEvent]).toDF(), "w", 1L)
+    assert(!r.skipped && r.batchRows == 0 && r.touchedBuckets == 0)
+    assert(table.versions() == before)
+    // the empty merge output dir was cleaned up, not left as an orphan
+    val dataDir = java.nio.file.Paths.get(table.root, "data")
+    val dirs = { val s = java.nio.file.Files.list(dataDir)
+      try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toSet } finally s.close() }
+    assert(dirs.size == 1) // only the v1 commit dir
+    // and a real batch after the idle one still applies
+    MergeApplier.applyBatch(spark, table, spark.createDataset(Seq(
+      ev("c1", 1, "y", "2025-01-01 00:01:00", Model.OpInsert, 2))).toDF(), "w", 2L)
+    assert(finalState(table).keySet == Set(("c1", 0), ("c1", 1)))
+  }
+
   test("golden: out-of-order batch split converges to the same state") {
     val all = Generator.events(spark, 6000, numConvs = 25, turnsPerConv = 6, seed = 23)
       .as[ChangeEvent].collect().toSeq
