@@ -50,6 +50,29 @@ class SimilaritySpec extends SparkSpecBase {
     assert(hits >= lsh.length / 2, s"LSH overlap too low: $hits/${lsh.length}")
   }
 
+  test("candidate dedup carries ids only — no embedding payload through the distinct") {
+    // The band-collision distinct must group on id columns alone; a vector
+    // colliding in m bands would otherwise shuffle its embedding m times.
+    // Pin the plan shape: no HashAggregate (the distinct) may reference the
+    // vector-carrying attributes (va/vb/qv/cv) — they join back only AFTER.
+    def aggLines(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.toString.linesIterator
+        .filter(l => l.contains("Aggregate")).toSeq
+    val nd = Similarity.embeddingNearDupPairs(emb, minCos = 0.3, bands = 4, bitsPerBand = 4)
+    assert(aggLines(nd).nonEmpty)
+    aggLines(nd).foreach { l =>
+      assert(!l.contains("va#") && !l.contains("vb#") && !l.contains(" v#"),
+        s"distinct shuffles embedding payload: $l")
+    }
+    val queries = emb.filter($"vec_id" < 2)
+    val topk = Similarity.lshTopK(emb, queries, k = 3, bands = 4, bitsPerBand = 4)
+    assert(aggLines(topk).nonEmpty)
+    aggLines(topk).foreach { l =>
+      assert(!l.contains("qv#") && !l.contains("cv#"),
+        s"distinct shuffles embedding payload: $l")
+    }
+  }
+
   test("IVF plan size is constant in nLists (centroids broadcast, never plan literals)") {
     val queries = emb.filter($"vec_id" < 2)
     // NB: ivfTopK executes its Lloyd/seeding jobs eagerly (localCheckpoint),
