@@ -49,6 +49,46 @@ class LwwPropertySpec extends SparkSpecBase {
     })
   }
 
+  test("property: random COW/MOR interleavings with empty batches and compactions converge") {
+    // the strongest end-to-end guarantee: ANY interleaving of copy-on-write
+    // merges, merge-on-read delta appends, idle (empty) batches, and
+    // tombstone-retaining compactions reads back as the oracle fold
+    check(5)(Prop.forAll(
+        Gen.listOfN(60, eventGen), Gen.choose(2, 5),
+        Gen.listOfN(8, Gen.oneOf("cow", "mor")),
+        Gen.listOfN(8, Gen.oneOf(true, false))) { (events, nBatches, modes, maint) =>
+      events.isEmpty || {
+        val distinctSeq = events.zipWithIndex.map { case (e, i) => e.copy(seq = i.toLong) }
+        val table = new LakeTable(tmpDir("prop-mm"), numBuckets = 4)
+        val size = math.max(1, distinctSeq.size / nBatches)
+        var batchId = 0L
+        var versionsAfterEmpty = true
+        distinctSeq.grouped(size).zipWithIndex.foreach { case (chunk, i) =>
+          val df = spark.createDataset(chunk).toDF()
+          if (modes(i % modes.size) == "cow")
+            MergeApplier.applyBatch(spark, table, df, "w", batchId)
+          else
+            MergeApplier.applyBatchMor(spark, table, df, "w", batchId)
+          batchId += 1
+          if (maint(i % maint.size)) {
+            // idle batch: must commit no version...
+            val before = table.currentSnapshot().get.version
+            MergeApplier.applyBatch(spark, table,
+              spark.createDataset(Seq.empty[ChangeEvent]).toDF(), "w", batchId)
+            batchId += 1
+            versionsAfterEmpty &&= table.currentSnapshot().get.version == before
+            // ...and compaction must preserve state (tombstones retained)
+            MergeApplier.compactRetainTombstones(spark, table)
+          }
+        }
+        val got = table.read(spark).collect()
+          .map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx")) ->
+            ((r.getAs[String]("text"), r.getAs[Long]("seq")))).toMap
+        versionsAfterEmpty && got == fold(distinctSeq)
+      }
+    })
+  }
+
   test("property: any batch split replays to the same final table state") {
     check(5)(Prop.forAll(Gen.listOfN(60, eventGen), Gen.choose(1, 5)) {
       (events, nBatches) =>
