@@ -244,6 +244,12 @@ object MergeApplier {
     val tMeta = System.nanoTime()
 
     val newBucketFiles = table.listBucketFiles(outDir)
+    if (snap.isEmpty && newBucketFiles.isEmpty) {
+      // Empty FIRST batch on a cold table: same no-orphan-version contract as
+      // the hot path's idle-trigger handling — commit nothing.
+      deleteDir(outDir)
+      return ApplyResult(skipped = false, 0, 0, 0, 0, 0)
+    }
     if (snap.nonEmpty) {
       // every touched bucket emits >=1 winner (tombstones retained), so the
       // written bucket set IS the touched set
