@@ -77,14 +77,22 @@ object Bench {
   private def jsonArr(xs: Seq[Double]): String =
     xs.map(x => f"$x%.2f").mkString("[", ",", "]")
 
+  private def rmDir(path: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+
   /** The scaling workload: full cold-start replay (scan → LWW shuffle →
     * bucketed write → commit) of a pre-generated parquet changelog.
+    * Returns (rows, sec); the throwaway table is deleted AFTER timing so the
+    * multi-round bench (up to ~20 replays) does not fill /tmp.
     */
-  private def replayJob(spark: SparkSession, changelogDir: String): Long = {
-    val table = new LakeTable(tmp("bench-table"), numBuckets = 32)
+  private def replayJob(spark: SparkSession, changelogDir: String): (Long, Double) = {
+    val dir = tmp("bench-table")
+    val table = new LakeTable(dir, numBuckets = 32)
     val changelog = spark.read
       .schema(graft.model.Model.changeEventSchema).parquet(changelogDir)
-    MergeApplier.replayFull(spark, table, changelog).batchRows
+    val r = timed(MergeApplier.replayFull(spark, table, changelog).batchRows)
+    rmDir(dir)
+    r
   }
 
   private val burnSink = new java.util.concurrent.atomic.AtomicLong(0)
@@ -160,7 +168,7 @@ object Bench {
         val s = session(cores)
         if (warm) { progress(s"scaling: warmup local[$cores]"); replayJob(s, warmupDir) }
         progress(s"scaling: measuring local[$cores]")
-        val t = timed(replayJob(s, scalingDir))._2
+        val t = replayJob(s, scalingDir)._2
         s.stop()
         t
       }
@@ -233,40 +241,45 @@ object Bench {
     val cowS = scala.collection.mutable.ArrayBuffer.empty[Double]
     val morS = scala.collection.mutable.ArrayBuffer.empty[Double]
     val morAutoS = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def runTail(mode: String, autoEvery: Int): (LakeTable, Double) = {
+    def runTail(mode: String, autoEvery: Int): (LakeTable, String, Double) = {
       val t = new LakeTable(tmp(s"bench-$mode-table"), numBuckets = 32)
+      val ckpt = tmp(s"bench-$mode-ckpt")
       val (_, sec) = timed {
-        CdcStream.runAvailableNow(spark, tailDir, t, tmp(s"bench-$mode-ckpt"),
+        CdcStream.runAvailableNow(spark, tailDir, t, ckpt,
           maxFilesPerTrigger = tailMft, mode = mode, autoCompactEvery = autoEvery)
       }
-      (t, sec)
+      (t, ckpt, sec)
     }
     (1 to cdcRounds).foreach { r =>
       progress(s"cdc round $r/$cdcRounds: replay")
-      val (rows, sec) = timed(replayJob(spark, changelogDir))
+      val (rows, sec) = replayJob(spark, changelogDir)
       replayRows = rows; replayS += sec
       progress(s"cdc round $r/$cdcRounds: tail COW")
-      cowS += runTail("cow", 0)._2
+      val (cowT, cowCk, cowSec) = runTail("cow", 0)
+      cowS += cowSec; rmDir(cowT.root); rmDir(cowCk)
       progress(s"cdc round $r/$cdcRounds: tail MOR")
-      val (morT, morSec) = runTail("mor", 0)
-      morS += morSec; lastMorTable = morT
+      val (morT, morCk, morSec) = runTail("mor", 0)
+      morS += morSec; rmDir(morCk)
+      if (lastMorTable != null) rmDir(lastMorTable.root) // only the last survives
+      lastMorTable = morT
       progress(s"cdc round $r/$cdcRounds: tail MOR + auto-compaction")
-      val (autoT, autoSec) = runTail("mor", autoCompactEvery)
+      val (autoT, autoCk, autoSec) = runTail("mor", autoCompactEvery)
       morAutoS += autoSec
       // steady-state evidence: deepest the manifest list ever got (post-hoc
       // over the retained snapshot history — exact, no mid-run polling) and
       // how many auto-compactions ran
-      val depths = autoT.versions().flatMap(autoT.snapshotAt)
-        .map(_.manifests.count(_.delta))
+      val autoSnaps = autoT.versions().flatMap(autoT.snapshotAt)
+      val depths = autoSnaps.map(_.manifests.count(_.delta))
       morAutoMaxDepth = math.max(morAutoMaxDepth, if (depths.isEmpty) 0 else depths.max)
-      morAutoCompactions += autoT.versions().flatMap(autoT.snapshotAt)
-        .count(_.metrics.contains("compactedRows"))
+      morAutoCompactions += autoSnaps.count(_.metrics.contains("compactedRows"))
+      rmDir(autoT.root); rmDir(autoCk)
     }
     // final compaction cost of a raw-MOR table (the amortized read-side debt)
     val (_, compactSec) = timed {
       MergeApplier.compact(spark, lastMorTable,
         java.sql.Timestamp.valueOf("2030-01-01 00:00:00"))
     }
+    rmDir(lastMorTable.root)
     val replaySec = replayS.min
     val tailSec = cowS.min
     val morSec = morS.min
@@ -355,6 +368,7 @@ object Bench {
     }
 
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdcJson,"scaling":$scalingJson,"recall":$recallJson}""")
+    Seq(changelogDir, scalingDir, warmupDir, tailDir).foreach(rmDir)
     spark.stop()
   }
 }

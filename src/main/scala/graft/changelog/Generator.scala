@@ -91,7 +91,7 @@ object Generator {
       (if (partsPerChunk == 1) out.coalesce(1) else out.repartition(partsPerChunk))
         .write.mode("overwrite").parquet(tmp)
       var p = 0
-      LakeTableListing.sortedParquet(tmp).foreach { part =>
+      sortedParquet(tmp).foreach { part =>
         Files.move(part, Paths.get(f"$dir/chunk_$f%05d_p$p%03d.parquet"),
           StandardCopyOption.REPLACE_EXISTING)
         p += 1
@@ -100,15 +100,14 @@ object Generator {
     }
   }
 
-  private object LakeTableListing {
-    def sortedParquet(dir: String): Seq[java.nio.file.Path] = {
-      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet"))
-          .toSeq.sortBy(_.getFileName.toString)
-      } finally s.close()
-    }
+  /** Parquet part files of a write dir, name-sorted (deterministic rename). */
+  private def sortedParquet(dir: String): Seq[java.nio.file.Path] = {
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+    } finally s.close()
   }
 
   /** The oracle: an in-memory fold of the changelog in (ts, seq) LWW order —

@@ -107,8 +107,17 @@ object Reinterpret {
   * regexp replaces cannot decode backslash escapes correctly (the tail byte
   * of an escaped backslash gets re-read as the start of "\n"), and a
   * sentinel-character workaround silently corrupts inputs that already
-  * contain the sentinel. A linear scan has neither problem. Unknown escape
-  * sequences pass through verbatim (lenient, like commons-text).
+  * contain the sentinel. A linear scan has neither problem.
+  *
+  * Semantics match commons-text 1.14 `unescapeEcmaScript` (the reference's
+  * backend via io.fno.grel StringFunctions), verified empirically against
+  * that library: named escapes, `\uXXXX`, octal `\0`–`\377` (3rd digit only
+  * when the first is ≤ 3), unknown escapes DROP the backslash (`\q` → `q`,
+  * `\x42` → `x42` — commons-text does NOT hex-decode \x), and a trailing
+  * backslash is dropped. ONE deliberate deviation: malformed `\uXXXX`
+  * passes through verbatim where commons-text throws
+  * IllegalArgumentException — a pipeline must not fail the job on one bad
+  * string (same lenient contract as the rest of the GREL surface).
   */
 object UnescapeJs {
   /** Parse `n` hex digits at `from`; -1 if any is not a hex digit. */
@@ -124,6 +133,8 @@ object UnescapeJs {
     }
     v
   }
+
+  private def isOct(c: Char): Boolean = c >= '0' && c <= '7'
 
   def unescape(s: UTF8String): UTF8String = {
     val in = s.toString
@@ -143,19 +154,24 @@ object UnescapeJs {
           case '\'' => sb.append('\''); i += 2
           case '\\' => sb.append('\\'); i += 2
           case '/' => sb.append('/'); i += 2
-          // \uXXXX and \xXX, as commons-text unescapeEcmaScript (the
-          // reference's unescape(s,"javascript") backend) decodes them;
-          // malformed hex falls through verbatim (lenient contract).
           case 'u' =>
             val cp = hex(in, i + 2, 4)
             if (cp >= 0) { sb.append(cp.toChar); i += 6 }
-            else { sb.append(ch).append('u'); i += 2 }
-          case 'x' =>
-            val cp = hex(in, i + 2, 2)
-            if (cp >= 0) { sb.append(cp.toChar); i += 4 }
-            else { sb.append(ch).append('x'); i += 2 }
-          case other => sb.append(ch).append(other); i += 2
+            else { sb.append(ch).append('u'); i += 2 } // deviation: lenient
+          case d if isOct(d) =>
+            var v = d - '0'
+            var len = 1
+            if (i + 2 < in.length && isOct(in.charAt(i + 2))) {
+              v = v * 8 + (in.charAt(i + 2) - '0'); len = 2
+              if (d <= '3' && i + 3 < in.length && isOct(in.charAt(i + 3))) {
+                v = v * 8 + (in.charAt(i + 3) - '0'); len = 3
+              }
+            }
+            sb.append(v.toChar); i += 1 + len
+          case other => sb.append(other); i += 2 // unknown: backslash dropped
         }
+      } else if (ch == '\\') {
+        i += 1 // trailing backslash dropped (commons-text)
       } else { sb.append(ch); i += 1 }
     }
     UTF8String.fromString(sb.toString)

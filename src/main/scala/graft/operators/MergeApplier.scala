@@ -343,6 +343,8 @@ object MergeApplier {
     val batchRows = obs.get("rows").asInstanceOf[Long]
     val nDeletes = obs.get("dels").asInstanceOf[Long]
     if (batchRows == 0) {
+      // same no-orphan contract as the COW idle path: drop the empty dir
+      deleteDir(outDir)
       return ApplyResult(skipped = false, snap.map(_.version).getOrElse(0L), 0, 0, 0, 0)
     }
     val tMeta = System.nanoTime()

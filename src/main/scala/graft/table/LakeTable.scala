@@ -362,37 +362,49 @@ final class LakeTable(val root: String, val numBuckets: Int) {
   /** Vacuum: delete data files not referenced by the newest `keepLast`
     * snapshots, then drop the older snapshot JSONs and any manifest file no
     * kept snapshot points at (masked-out or expired manifests, plus torn
-    * manifest writes). Returns deleted data-file count. Mirrors Iceberg's
-    * expire-snapshots + orphan-file cleanup; also sweeps half-written commit
-    * dirs left by crashes (never referenced).
+    * manifest/snapshot writes). Returns deleted data-file count. Mirrors
+    * Iceberg's expire-snapshots + orphan-file cleanup; also sweeps
+    * half-written commit dirs left by crashes (never referenced).
+    *
+    * `graceMs` (default 1 h): an UNREFERENCED file younger than the grace
+    * window is spared — it may belong to an IN-FLIGHT commit from a live
+    * writer (data files and the manifest are written BEFORE the snapshot
+    * rename publishes them; `.tmp-` files exist between temp write and
+    * atomic rename). Deleting those would crash the writer's commit. This
+    * is Iceberg's `olderThan` contract for orphan cleanup. Pass 0 only when
+    * no writer can be live (tests, decommission).
     */
-  def vacuum(keepLast: Int = 1): Int = {
+  def vacuum(keepLast: Int = 1, graceMs: Long = 3600000L): Int = {
     val names = snapshotFiles()
     if (names.isEmpty) return 0
+    val cutoff = System.currentTimeMillis() - graceMs
+    def expendable(p: Path): Boolean =
+      try Files.getLastModifiedTime(p).toMillis < cutoff
+      catch { case _: java.io.IOException => false } // raced away: not ours
     val (expire, keep) = names.splitAt(math.max(0, names.size - keepLast))
     val keptSnaps = keep.map(n => readSnapshot(metaDir.resolve(n)))
     val referenced: Set[String] = keptSnaps.flatMap(allFiles).toSet
     var deleted = 0
     if (Files.isDirectory(dataDir)) {
       LakeTable.listing(Files.walk(dataDir))(_.toSeq).reverse.foreach { p =>
-        if (Files.isRegularFile(p) && !referenced.contains(p.toString)) {
+        if (Files.isRegularFile(p) && !referenced.contains(p.toString) &&
+            expendable(p)) {
           Files.delete(p); deleted += 1
-        } else if (Files.isDirectory(p) && p != dataDir &&
+        } else if (Files.isDirectory(p) && p != dataDir && expendable(p) &&
             LakeTable.listing(Files.list(p))(_.take(1).toSeq).isEmpty) {
           Files.delete(p)
         }
       }
     }
     val liveManifests: Set[String] = keptSnaps.flatMap(_.manifests.map(_.path)).toSet
-    // ".tmp-" files are torn writes (crash between temp write and atomic
-    // rename): unreachable by construction once any newer snapshot committed,
-    // so vacuum sweeps them along with masked-out/expired manifests.
     LakeTable.listing(Files.list(metaDir)) {
       _.filter { p =>
         val n = p.getFileName.toString
         n.startsWith("man-") || n.startsWith(".tmp-")
       }.toSeq
-    }.foreach { p => if (!liveManifests.contains(p.toString)) Files.delete(p) }
+    }.foreach { p =>
+      if (!liveManifests.contains(p.toString) && expendable(p)) Files.delete(p)
+    }
     manifestCache.clear()
     expire.foreach(n => Files.delete(metaDir.resolve(n)))
     deleted

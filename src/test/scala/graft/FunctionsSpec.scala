@@ -183,12 +183,17 @@ class FunctionsSpec extends SparkSpecBase {
       one[String](Grel.phoneticCol(lit("Jose"), "soundex")))
     assert(one[String](Grel.phoneticCol(lit("Müller"), "metaphone")) ==
       one[String](Grel.phoneticCol(lit("Muller"), "metaphone")))
-    // \uXXXX and \xXX decode like commons-text unescapeEcmaScript (the
-    // reference's javascript-unescape backend); malformed hex is lenient
-    assert(one[String](Grel.unescapeCol(lit("Aé\\x42"), "javascript")) == "AéB")
+    // decode semantics verified against commons-text unescapeEcmaScript (the
+    // reference's javascript-unescape backend): \uXXXX and octal decode;
+    // \x is NOT hex (backslash dropped: \x42 -> x42); unknown escapes drop
+    // the backslash; trailing backslash dropped. One deviation: malformed
+    // \uXXXX stays verbatim where commons-text throws.
     assert(one[String](Grel.unescapeCol(lit("B=\\u0042"), "javascript")) == "B=B")
-    assert(one[String](Grel.unescapeCol(lit("\\u00 4\\uZZZZ\\x4"), "javascript")) ==
-      "\\u00 4\\uZZZZ\\x4")
+    assert(one[String](Grel.unescapeCol(lit("\\101\\47"), "javascript")) == "A'")
+    assert(one[String](Grel.unescapeCol(lit("Aé\\x42"), "javascript")) == "Aéx42")
+    assert(one[String](Grel.unescapeCol(lit("\\q A\\"), "javascript")) == "q A")
+    assert(one[String](Grel.unescapeCol(lit("\\u00 4\\uZZZZ"), "javascript")) ==
+      "\\u00 4\\uZZZZ")
     assert(one[String](Grel.unescapeCol(lit("""say \"hi\""""), "javascript")) ==
       "say \"hi\"")
   }

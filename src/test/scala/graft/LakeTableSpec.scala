@@ -47,7 +47,13 @@ class LakeTableSpec extends SparkSpecBase {
     java.nio.file.Files.writeString(tornSnap, "{}")
 
     val before = table.read(spark).collect().map(_.getAs[String]("text")).toSeq
-    val deleted = table.vacuum(keepLast = 1)
+    // default grace window: fresh unreferenced files are spared — they may
+    // belong to an IN-FLIGHT commit of a live writer
+    assert(table.vacuum(keepLast = 1) == 0)
+    assert(java.nio.file.Files.exists(orphan.resolve("part-orphan.parquet")))
+    assert(java.nio.file.Files.exists(tornMan))
+    // grace 0 (no live writer): everything unreferenced goes
+    val deleted = table.vacuum(keepLast = 1, graceMs = 0L)
     assert(deleted > 0)
     assert(table.versions() == Seq(3L))
     assert(!java.nio.file.Files.exists(orphan.resolve("part-orphan.parquet")))

@@ -114,7 +114,7 @@ class ManifestSpec extends SparkSpecBase {
     MergeApplier.applyBatch(spark, table, spark.createDataset(Seq(
       ev("c2", 0, "next", "2025-01-01 00:01:00", 2))).toDF(), "w", 1L)
     assert(table.read(spark).count() == 2)
-    table.vacuum(keepLast = 1)
+    table.vacuum(keepLast = 1, graceMs = 0L) // grace 0: no live writer here
     val live = table.currentSnapshot().get.manifests.map(_.path).toSet
     assert(metaFiles(table, "man-").map(_.toString).toSet == live,
       "orphan manifest must be swept")
@@ -128,7 +128,7 @@ class ManifestSpec extends SparkSpecBase {
         ev("c1", 0, s"v$i", f"2025-01-01 00:0$i%d:00", i.toLong))).toDF(), "w", i.toLong)
     }
     assert(metaFiles(table, "man-").size == 3)
-    table.vacuum(keepLast = 1)
+    table.vacuum(keepLast = 1, graceMs = 0L) // grace 0: no live writer here
     val live = table.currentSnapshot().get.manifests.map(_.path).toSet
     assert(metaFiles(table, "man-").map(_.toString).toSet == live)
     assert(table.read(spark).collect().map(_.getAs[String]("text")).toSeq == Seq("v2"))

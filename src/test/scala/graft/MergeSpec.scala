@@ -47,6 +47,11 @@ class MergeSpec extends SparkSpecBase {
       spark.createDataset(Seq.empty[ChangeEvent]).toDF(), "w", 1L)
     assert(!r.skipped && r.batchRows == 0 && r.touchedBuckets == 0)
     assert(table.versions() == before)
+    // same contract on the MOR path
+    val rm = MergeApplier.applyBatchMor(spark, table,
+      spark.createDataset(Seq.empty[ChangeEvent]).toDF(), "w", 1L)
+    assert(!rm.skipped && rm.batchRows == 0)
+    assert(table.versions() == before)
     // the empty merge output dir was cleaned up, not left as an orphan
     val dataDir = java.nio.file.Paths.get(table.root, "data")
     val dirs = { val s = java.nio.file.Files.list(dataDir)
