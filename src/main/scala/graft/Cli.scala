@@ -76,8 +76,11 @@ object Cli {
 
     case "vacuum" :: tableDir :: rest =>
       val keep = rest.headOption.map(_.toInt).getOrElse(1)
-      val deleted = LakeTable.open(tableDir).vacuum(keep)
-      println(s"""{"mode":"vacuum","deletedFiles":$deleted,"keptSnapshots":$keep}""")
+      // optional grace-window override (ms); default 1 h spares files that
+      // may belong to an in-flight commit of a live writer
+      val graceMs = rest.lift(1).map(_.toLong).getOrElse(3600000L)
+      val deleted = LakeTable.open(tableDir).vacuum(keep, graceMs)
+      println(s"""{"mode":"vacuum","deletedFiles":$deleted,"keptSnapshots":$keep,"graceMs":$graceMs}""")
 
     case "compact" :: tableDir :: wm :: Nil =>
       val table = LakeTable.open(tableDir)
