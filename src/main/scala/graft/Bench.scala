@@ -158,6 +158,15 @@ object Bench {
     val tailDir = tmp("bench-tail")
     Generator.writeChangelog(prep, tailDir, benchEvents / 2, numConvs,
       turnsPerConv = 25, numFiles = tailFiles, seed = 555, partsPerChunk = tailParts)
+    // big-table regime input: a SMALL event stream (benchEvents/20 in 5
+    // batches) tailed into a PRELOADED table — the 10^10 steady state where
+    // table ≫ batch, which is where MOR's O(batch) appends beat COW's
+    // O(touched-bucket) rewrites (at the main tail's ~1:1 table/batch ratio
+    // the two modes converge by construction)
+    val bigTailEvents = benchEvents / 20
+    val bigTailDir = tmp("bench-bigtail")
+    Generator.writeChangelog(prep, bigTailDir, bigTailEvents, numConvs,
+      turnsPerConv = 25, numFiles = tailFiles, seed = 777, partsPerChunk = 4)
     prep.stop()
     progress("prep done")
 
@@ -250,6 +259,24 @@ object Bench {
       }
       (t, ckpt, sec)
     }
+    var bigTableRows = 0L
+    val bigCowS = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val bigMorS = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def runBigTail(mode: String): Double = {
+      val dir = tmp(s"bench-big-$mode-table")
+      val t = new LakeTable(dir, numBuckets = 32)
+      // preload OUTSIDE the timed window: this is the pre-existing table
+      bigTableRows = MergeApplier.replayFull(spark, t,
+        spark.read.schema(graft.model.Model.changeEventSchema)
+          .parquet(changelogDir), "preload").batchRows
+      val ckpt = tmp(s"bench-big-$mode-ckpt")
+      val (_, sec) = timed {
+        CdcStream.runAvailableNow(spark, bigTailDir, t, ckpt,
+          maxFilesPerTrigger = 8, mode = mode) // 10 chunks × 4 parts → 5 batches
+      }
+      rmDir(dir); rmDir(ckpt)
+      sec
+    }
     (1 to cdcRounds).foreach { r =>
       progress(s"cdc round $r/$cdcRounds: replay")
       val (rows, sec) = replayJob(spark, changelogDir)
@@ -273,6 +300,10 @@ object Bench {
       morAutoMaxDepth = math.max(morAutoMaxDepth, if (depths.isEmpty) 0 else depths.max)
       morAutoCompactions += autoSnaps.count(_.metrics.contains("compactedRows"))
       rmDir(autoT.root); rmDir(autoCk)
+      progress(s"cdc round $r/$cdcRounds: big-table tail COW")
+      bigCowS += runBigTail("cow")
+      progress(s"cdc round $r/$cdcRounds: big-table tail MOR")
+      bigMorS += runBigTail("mor")
     }
     // final compaction cost of a raw-MOR table (the amortized read-side debt)
     val (_, compactSec) = timed {
@@ -284,8 +315,10 @@ object Bench {
     val tailSec = cowS.min
     val morSec = morS.min
     val morAutoSec = morAutoS.min
+    val bigCowSec = bigCowS.min
+    val bigMorSec = bigMorS.min
     val tailBatches = (tailFiles * tailParts + tailMft - 1) / tailMft // derived, not hardcoded
-    val cdcJson = f"""{"rounds":$cdcRounds,"replayEvents":$benchEvents,"replaySamples":${jsonArr(replayS.toSeq)},"replaySec":$replaySec%.2f,"replayEventsPerSec":${(benchEvents / replaySec).toLong},"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":$tailBatches,"tailCowSamples":${jsonArr(cowS.toSeq)},"tailSec":$tailSec%.2f,"tailEventsPerSec":${(tailEvents / tailSec).toLong},"tailMorSamples":${jsonArr(morS.toSeq)},"tailMorSec":$morSec%.2f,"tailMorEventsPerSec":${(tailEvents / morSec).toLong},"tailMorAutoSamples":${jsonArr(morAutoS.toSeq)},"tailMorAutoSec":$morAutoSec%.2f,"tailMorAutoEventsPerSec":${(tailEvents / morAutoSec).toLong},"tailMorAutoMaxDeltaDepth":$morAutoMaxDepth,"tailMorAutoCompactions":$morAutoCompactions,"morCompactSec":$compactSec%.2f}"""
+    val cdcJson = f"""{"rounds":$cdcRounds,"replayEvents":$benchEvents,"replaySamples":${jsonArr(replayS.toSeq)},"replaySec":$replaySec%.2f,"replayEventsPerSec":${(benchEvents / replaySec).toLong},"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":$tailBatches,"tailCowSamples":${jsonArr(cowS.toSeq)},"tailSec":$tailSec%.2f,"tailEventsPerSec":${(tailEvents / tailSec).toLong},"tailMorSamples":${jsonArr(morS.toSeq)},"tailMorSec":$morSec%.2f,"tailMorEventsPerSec":${(tailEvents / morSec).toLong},"tailMorAutoSamples":${jsonArr(morAutoS.toSeq)},"tailMorAutoSec":$morAutoSec%.2f,"tailMorAutoEventsPerSec":${(tailEvents / morAutoSec).toLong},"tailMorAutoMaxDeltaDepth":$morAutoMaxDepth,"tailMorAutoCompactions":$morAutoCompactions,"morCompactSec":$compactSec%.2f,"bigTailTableRows":$bigTableRows,"bigTailEvents":$bigTailEvents,"bigTailCowSamples":${jsonArr(bigCowS.toSeq)},"bigTailCowSec":$bigCowSec%.2f,"bigTailCowEventsPerSec":${(bigTailEvents / bigCowSec).toLong},"bigTailMorSamples":${jsonArr(bigMorS.toSeq)},"bigTailMorSec":$bigMorSec%.2f,"bigTailMorEventsPerSec":${(bigTailEvents / bigMorSec).toLong}}"""
 
     // ---- query sweep (one warmup pass, then timed) ----
     progress("queries: warmup pass")
@@ -368,7 +401,7 @@ object Bench {
     }
 
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdcJson,"scaling":$scalingJson,"recall":$recallJson}""")
-    Seq(changelogDir, scalingDir, warmupDir, tailDir).foreach(rmDir)
+    Seq(changelogDir, scalingDir, warmupDir, tailDir, bigTailDir).foreach(rmDir)
     spark.stop()
   }
 }
