@@ -133,13 +133,16 @@ object Bench {
     val Array(lowCores, highCores) = sys.env.getOrElse("SPARK_GRAFT_SCALING_CORES",
       s"${math.max(1, cpus / 8)},${math.max(4, cpus / 2)}").split(",").map(_.toInt)
 
+    val onlyScaling = sys.env.getOrElse("SPARK_GRAFT_ONLY_SCALING", "0") == "1"
+
     // ---- prepare shared synthetic changelog (excluded from timings) ----
     progress("prep: generating changelogs")
     val prep = session(cpus)
     val changelogDir = tmp("bench-changelog")
     val numConvs = math.max(1000, (benchEvents / 200).toInt)
-    Generator.events(prep, benchEvents, numConvs, turnsPerConv = 25, seed = 1234)
-      .write.mode("overwrite").parquet(changelogDir)
+    if (!onlyScaling)
+      Generator.events(prep, benchEvents, numConvs, turnsPerConv = 25, seed = 1234)
+        .write.mode("overwrite").parquet(changelogDir)
     val scalingEvents = sys.env.getOrElse("SPARK_GRAFT_SCALING_EVENTS",
       (2 * benchEvents).toString).toLong
     val scalingDir = tmp("bench-scaling")
@@ -156,8 +159,9 @@ object Bench {
     val tailParts = 16
     val tailMft = 2 * tailParts // 2 chunks per trigger, as before
     val tailDir = tmp("bench-tail")
-    Generator.writeChangelog(prep, tailDir, benchEvents / 2, numConvs,
-      turnsPerConv = 25, numFiles = tailFiles, seed = 555, partsPerChunk = tailParts)
+    if (!onlyScaling)
+      Generator.writeChangelog(prep, tailDir, benchEvents / 2, numConvs,
+        turnsPerConv = 25, numFiles = tailFiles, seed = 555, partsPerChunk = tailParts)
     // big-table regime input: a SMALL event stream (benchEvents/20 in 5
     // batches) tailed into a PRELOADED table — the 10^10 steady state where
     // table ≫ batch, which is where MOR's O(batch) appends beat COW's
@@ -165,10 +169,12 @@ object Bench {
     // the two modes converge by construction)
     val bigTailEvents = benchEvents / 20
     val bigTailDir = tmp("bench-bigtail")
-    Generator.writeChangelog(prep, bigTailDir, bigTailEvents, numConvs,
-      turnsPerConv = 25, numFiles = tailFiles, seed = 777, partsPerChunk = 4)
+    if (!onlyScaling)
+      Generator.writeChangelog(prep, bigTailDir, bigTailEvents, numConvs,
+        turnsPerConv = 25, numFiles = tailFiles, seed = 777, partsPerChunk = 4)
     prep.stop()
     progress("prep done")
+    val inputDirs = Seq(changelogDir, scalingDir, warmupDir, tailDir, bigTailDir)
 
     // ---- scaling: identical replay at N and 4N cores ----
     var scalingJson = "null"
@@ -231,8 +237,9 @@ object Bench {
       scalingJson = f"""{"events":$scalingEvents,"samples":$samples,"burnProbesSec":${jsonArr(probes.toSeq)},"rounds":${rounds.size},"exit":"$exit","marker":"$marker","cores_low":$lowCores,"cores_high":$highCores,"sec_low":$tLow%.2f,"sec_high":$tHigh%.2f,"eventsPerSec_low":${thrLow.toLong},"eventsPerSec_high":${thrHigh.toLong},"efficiency":$eff%.3f}"""
     }
 
-    if (sys.env.getOrElse("SPARK_GRAFT_ONLY_SCALING", "0") == "1") {
+    if (onlyScaling) {
       println(s"""{"metric":"scaling","scaling":$scalingJson}""")
+      inputDirs.foreach(rmDir)
       return
     }
 
@@ -401,7 +408,7 @@ object Bench {
     }
 
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdcJson,"scaling":$scalingJson,"recall":$recallJson}""")
-    Seq(changelogDir, scalingDir, warmupDir, tailDir, bigTailDir).foreach(rmDir)
+    inputDirs.foreach(rmDir)
     spark.stop()
   }
 }

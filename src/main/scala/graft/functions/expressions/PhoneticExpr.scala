@@ -111,7 +111,8 @@ object Reinterpret {
   *
   * Semantics match commons-text 1.14 `unescapeEcmaScript` (the reference's
   * backend via io.fno.grel StringFunctions), verified empirically against
-  * that library: named escapes, `\uXXXX`, octal `\0`–`\377` (3rd digit only
+  * that library: named escapes, `\uXXXX` (including the multi-u and plus
+  * forms `\uuXXXX` / `\u+XXXX`), octal `\0`–`\377` (3rd digit only
   * when the first is ≤ 3), unknown escapes DROP the backslash (`\q` → `q`,
   * `\x42` → `x42` — commons-text does NOT hex-decode \x), and a trailing
   * backslash is dropped. ONE deliberate deviation: malformed `\uXXXX`
@@ -155,8 +156,13 @@ object UnescapeJs {
           case '\\' => sb.append('\\'); i += 2
           case '/' => sb.append('/'); i += 2
           case 'u' =>
-            val cp = hex(in, i + 2, 4)
-            if (cp >= 0) { sb.append(cp.toChar); i += 6 }
+            // commons-text accepts a run of 'u's then one optional '+'
+            // before the 4 hex digits (\uu0041, \u+0041 → 'A') — verified
+            var j = i + 2
+            while (j < in.length && in.charAt(j) == 'u') j += 1
+            if (j < in.length && in.charAt(j) == '+') j += 1
+            val cp = hex(in, j, 4)
+            if (cp >= 0) { sb.append(cp.toChar); i = j + 4 }
             else { sb.append(ch).append('u'); i += 2 } // deviation: lenient
           case d if isOct(d) =>
             var v = d - '0'

@@ -107,14 +107,8 @@ object MergeApplier {
     winners.values().iterator().asScala.map(r => joined(r, bucketRow))
   }
 
-  private def deleteDir(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      val s = java.nio.file.Files.walk(p)
-      try s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
-      finally s.close()
-    }
-  }
+  private def deleteDir(p: java.nio.file.Path): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
 
   /** Normalize an incoming changelog batch to the merged (evolved) schema. */
   private def evolve(table: LakeTable, batch: DataFrame): (DataFrame, StructType) = {

@@ -390,9 +390,14 @@ final class LakeTable(val root: String, val numBuckets: Int) {
         if (Files.isRegularFile(p) && !referenced.contains(p.toString) &&
             expendable(p)) {
           Files.delete(p); deleted += 1
-        } else if (Files.isDirectory(p) && p != dataDir && expendable(p) &&
+        } else if (Files.isDirectory(p) && p != dataDir &&
             LakeTable.listing(Files.list(p))(_.take(1).toSeq).isEmpty) {
-          Files.delete(p)
+          // empty dirs carry no data: no age guard (deleting files above
+          // refreshes the parent's mtime, so an age check would keep
+          // just-emptied dirs forever). A writer racing a file into the dir
+          // makes this delete fail non-empty — ignored, the dir survives
+          // (local FS creates parents on write anyway).
+          try Files.delete(p) catch { case _: java.io.IOException => }
         }
       }
     }

@@ -189,6 +189,7 @@ class FunctionsSpec extends SparkSpecBase {
     // the backslash; trailing backslash dropped. One deviation: malformed
     // \uXXXX stays verbatim where commons-text throws.
     assert(one[String](Grel.unescapeCol(lit("B=\\u0042"), "javascript")) == "B=B")
+    assert(one[String](Grel.unescapeCol(lit("\\uu0041\\u+0041"), "javascript")) == "AA")
     assert(one[String](Grel.unescapeCol(lit("\\101\\47"), "javascript")) == "A'")
     assert(one[String](Grel.unescapeCol(lit("Aé\\x42"), "javascript")) == "Aéx42")
     assert(one[String](Grel.unescapeCol(lit("\\q A\\"), "javascript")) == "q A")

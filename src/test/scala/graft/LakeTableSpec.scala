@@ -57,6 +57,9 @@ class LakeTableSpec extends SparkSpecBase {
     assert(deleted > 0)
     assert(table.versions() == Seq(3L))
     assert(!java.nio.file.Files.exists(orphan.resolve("part-orphan.parquet")))
+    // the emptied orphan dir itself goes too (no age guard on empty dirs —
+    // deleting its file just refreshed its mtime)
+    assert(!java.nio.file.Files.exists(orphan))
     assert(!java.nio.file.Files.exists(tornMan) && !java.nio.file.Files.exists(tornSnap))
     val after = table.read(spark).collect().map(_.getAs[String]("text")).toSeq
     assert(after == before && after == Seq("v2"))
