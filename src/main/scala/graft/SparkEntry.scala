@@ -219,6 +219,15 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3,
         minJaccard = 0.8, maxDocFreq = 50)),
 
+    // Cluster assignment over the oracle-parity jaccard pair graph: the
+    // dedup DELIVERABLE (one keeper per near-dup cluster). DuckDB mirrors
+    // with a recursive transitive closure; min reachable id = cluster id.
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.connectedComponents(docs,
+        Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.8, maxDocFreq = 1000000))
+    }),
+
     // NEAR-EXHAUSTIVE banding (32 bands × 2 hashes): a jaccard≥0.7 pair is
     // missed only if every band's 2-hash key differs — p ≤ (1-0.7²)^32 ≈
     // 4.5e-10 — so the full LSH path (signature, banding, bucket join, exact
@@ -485,6 +494,36 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.8""".stripMargin,
+
+    // components of the jaccard≥0.8 pair graph via recursive transitive
+    // closure; cluster id = min reachable doc id (symmetric edges), and
+    // every document appears (singletons cluster to themselves)
+    "dedup_clusters" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |  FROM words WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle FROM idx),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        |SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin,
 
     // capped variant: shingles with df > 50 leave the representation — sizes
     // AND intersections both use the capped shingle sets (true set jaccard).

@@ -79,6 +79,44 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over a near-dup pair graph: assign every document
+    * the MIN doc id reachable through pairs (its cluster id); singletons
+    * cluster to themselves. This is the training-data DELIVERABLE of dedup —
+    * keep one representative per cluster, drop the rest.
+    *
+    * Iterative min-label propagation: label(v) ← min(label(v), neighbors'
+    * labels), to fixpoint. Each round is one shuffle join + hash
+    * aggregation; round count = O(max component diameter) — near-dup
+    * clusters are shallow duplicate groups, not social graphs, so a handful
+    * of rounds. The per-round driver `count()` is the convergence test of a
+    * classic iterative Spark algorithm (cf. the Lloyd loop in
+    * Similarity.ivfTopK), not a data collect. For adversarial diameters,
+    * swap in star contraction (alternating large-star/small-star) — the
+    * same join shape, fewer rounds.
+    */
+  def connectedComponents(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val fwd = pairs.select(col("id_a"), col("id_b"))
+    val edges = fwd.union(fwd.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint(true) // symmetric adjacency, scanned every round
+    var labels = docs.select(col(idCol).as("id")).withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("id_b"), col("label").as("nl")), "id_b")
+        .groupBy(col("id_a").as("id")).agg(min("nl").as("mnl"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("mnl"), col("label"))).as("label"))
+        .localCheckpoint(true) // cut per-round lineage
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+    }
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
   /** MinHash signature: k independent permutations approximated by seeded
     * xxhash64; sig[i] = min over distinct shingles of hash(shingle, seed=i).
     * Native codegen'd expression (TextExprs) — the higher-order-function

@@ -15,6 +15,26 @@ class DedupSpec extends SparkSpecBase {
     (5L, "spark query engines and shuffles are described in different text here")
   ).toDF("doc_id", "text")
 
+  test("connected components: min-label clusters, singletons self-cluster, deep chains converge") {
+    val ids = (1L to 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(ids, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // a 7-node chain needs multiple propagation rounds to converge
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+      .toDF("id_a", "id_b")
+    val one = Dedup.connectedComponents(ids, chain).collect()
+      .map(_.getAs[Long]("cluster_id")).toSet
+    assert(one == Set(1L))
+    // clusters over the real near-dup pair graph: 0,1,3 are one cluster
+    val real = Dedup.connectedComponents(docs,
+      Dedup.ngramJaccardPairs(docs, minJaccard = 0.8, maxDocFreq = 1000000))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(real(0L) == 0L && real(1L) == 0L && real(3L) == 0L)
+    assert(real(2L) == 2L && real(4L) == 4L)
+  }
+
   test("exact dedup groups identical texts") {
     val out = Dedup.exact(docs).collect()
       .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
