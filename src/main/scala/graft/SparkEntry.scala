@@ -219,13 +219,14 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3,
         minJaccard = 0.8, maxDocFreq = 50)),
 
-    // Cluster assignment over the oracle-parity jaccard pair graph: the
-    // dedup DELIVERABLE (one keeper per near-dup cluster). DuckDB mirrors
-    // with a recursive transitive closure; min reachable id = cluster id.
+    // Cluster assignment over the CAPPED jaccard pair graph (df≤50 — the
+    // scale-safe config, mirrored exactly by the oracle): the dedup
+    // DELIVERABLE (one keeper per near-dup cluster). DuckDB mirrors with a
+    // recursive transitive closure; min reachable id = cluster id.
     "dedup_clusters" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       Dedup.connectedComponents(docs,
-        Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.8, maxDocFreq = 1000000))
+        Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.8, maxDocFreq = 50))
     }),
 
     // NEAR-EXHAUSTIVE banding (32 bands × 2 hashes): a jaccard≥0.7 pair is
@@ -495,9 +496,9 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.8""".stripMargin,
 
-    // components of the jaccard≥0.8 pair graph via recursive transitive
-    // closure; cluster id = min reachable doc id (symmetric edges), and
-    // every document appears (singletons cluster to themselves)
+    // components of the CAPPED (df≤50) jaccard≥0.8 pair graph via recursive
+    // transitive closure; cluster id = min reachable doc id (symmetric
+    // edges), and every document appears (singletons cluster to themselves)
     "dedup_clusters" ->
       """WITH RECURSIVE words AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
@@ -505,7 +506,10 @@ object SparkEntry {
         |idx AS (
         |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
         |  FROM words WHERE len(w) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle FROM idx),
+        |sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle FROM idx),
+        |dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle),
+        |sh AS (SELECT s.doc_id, s.shingle FROM sh0 s
+        |       JOIN dfreq USING (shingle) WHERE df <= 50),
         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
