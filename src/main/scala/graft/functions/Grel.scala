@@ -99,37 +99,32 @@ object Grel {
     }
   }
 
-  /** escape — :602-612: modes html | xml | csv | url | javascript (the
-    * reference delegates to commons-style escapers; these Column chains
-    * cover the same entity/quote/percent semantics).
+  /** escape — :602-612: modes html | xml | csv | url | javascript. The
+    * html/xml/javascript modes delegate to commons-text — the reference's
+    * OWN backend (GRELFunctions.java:608 → io.fno.grel → StringEscapeUtils),
+    * so the full HTML4 entity table and ecmascript \uXXXX escaping match
+    * exactly; csv and url stay Column-native (identical semantics:
+    * escapeCsv's wrap-and-double rule, URLEncoder == url_encode).
     */
   def escapeCol(c: Column, mode: String): Column = mode match {
-    case "html" =>
-      replaceCol(replaceCol(replaceCol(replaceCol(
-        c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;"), "\"", "&quot;")
-    case "xml" =>
-      replaceCol(replaceCol(replaceCol(replaceCol(replaceCol(
-        c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;"), "\"", "&quot;"), "'", "&apos;")
+    case "html" | "xml" | "javascript" =>
+      graft.functions.expressions.EscapeTextExpr.escapeCol(c, mode)
     case "csv" =>
       when(c.rlike("[\",\n\r]"),
         concat(lit("\""), replaceCol(c, "\"", "\"\""), lit("\"")))
         .otherwise(c)
     case "url" => url_encode(c)
-    case "javascript" =>
-      replaceCol(replaceCol(replaceCol(replaceCol(replaceCol(replaceCol(
-        c, "\\", "\\\\"), "\"", "\\\""), "'", "\\'"),
-        "\n", "\\n"), "\r", "\\r"), "\t", "\\t")
     case other => throw new IllegalArgumentException(s"unknown escape mode: $other")
   }
 
-  /** unescape — :614-623: inverse of [[escapeCol]] per mode. */
+  /** unescape — :614-623: inverse of [[escapeCol]] per mode; html/xml decode
+    * the full named + numeric entity tables via commons-text (reference
+    * backend). NB html4 deliberately does NOT decode `&apos;` (not an HTML4
+    * entity) — xml does.
+    */
   def unescapeCol(c: Column, mode: String): Column = mode match {
-    case "html" =>
-      replaceCol(replaceCol(replaceCol(replaceCol(
-        c, "&quot;", "\""), "&gt;", ">"), "&lt;", "<"), "&amp;", "&")
-    case "xml" =>
-      replaceCol(replaceCol(replaceCol(replaceCol(replaceCol(
-        c, "&apos;", "'"), "&quot;", "\""), "&gt;", ">"), "&lt;", "<"), "&amp;", "&")
+    case "html" | "xml" =>
+      graft.functions.expressions.EscapeTextExpr.unescapeCol(c, mode)
     case "csv" =>
       // (?s): the quoted content may contain newlines — that is precisely
       // what CSV quoting exists for; without DOTALL the guard regex fails

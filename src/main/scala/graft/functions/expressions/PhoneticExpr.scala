@@ -103,6 +103,72 @@ object Reinterpret {
   }
 }
 
+/** GREL escape/unescape for html | xml | javascript via commons-text — the
+  * reference's own backend chain (GRELFunctions.java:602-623 → io.fno.grel
+  * StringFunctions → commons-text StringEscapeUtils), which already ships
+  * on Spark's classpath. Chained entity replaces cannot reproduce
+  * escapeHtml4's full HTML4 entity table ("é" → "&eacute;"), ecmascript's
+  * \uXXXX/non-ASCII escaping, or numeric-entity decoding — delegating to
+  * the exact library the reference calls makes divergence impossible.
+  * unescape("javascript") stays on [[UnescapeJs]]: commons-text throws on
+  * malformed \uXXXX, and the pipeline contract is lenient. The translator
+  * objects behind the static methods are immutable — thread-safe.
+  */
+object EscapeText {
+  import org.apache.commons.text.StringEscapeUtils
+  def validate(mode: String, un: Boolean): Unit = mode match {
+    case "html" | "xml" => ()
+    case "javascript" if !un => ()
+    case other => throw new IllegalArgumentException(
+      s"unsupported EscapeText mode: $other (un=$un)")
+  }
+  def escape(s: UTF8String, mode: UTF8String): UTF8String = {
+    val str = s.toString
+    val out = mode.toString match {
+      case "html" => StringEscapeUtils.escapeHtml4(str)
+      case "xml" => StringEscapeUtils.escapeXml11(str)
+      case "javascript" => StringEscapeUtils.escapeEcmaScript(str)
+    }
+    UTF8String.fromString(out)
+  }
+  def unescape(s: UTF8String, mode: UTF8String): UTF8String = {
+    val str = s.toString
+    val out = mode.toString match {
+      case "html" => StringEscapeUtils.unescapeHtml4(str)
+      case "xml" => StringEscapeUtils.unescapeXml(str)
+    }
+    UTF8String.fromString(out)
+  }
+}
+
+case class EscapeTextExpr(child: Expression, mode: String, un: Boolean)
+    extends UnaryExpression {
+  EscapeText.validate(mode, un)
+  override def dataType: DataType = StringType
+  private def fn = if (un) "unescape" else "escape"
+  override def nullSafeEval(input: Any): Any = {
+    val m = UTF8String.fromString(mode)
+    val s = input.asInstanceOf[UTF8String]
+    if (un) EscapeText.unescape(s, m) else EscapeText.escape(s, m)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modeRef = ctx.addReferenceObj("escapeMode",
+      UTF8String.fromString(mode), classOf[UTF8String].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.EscapeText.$fn($c, $modeRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): EscapeTextExpr =
+    copy(child = newChild)
+}
+
+object EscapeTextExpr {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+  def escapeCol(c: Column, mode: String): Column =
+    column(EscapeTextExpr(expression(c), mode, un = false))
+  def unescapeCol(c: Column, mode: String): Column =
+    column(EscapeTextExpr(expression(c), mode, un = true))
+}
+
 /** GREL `unescape(s, "javascript")` — a real single-pass decoder. Chained
   * regexp replaces cannot decode backslash escapes correctly (the tail byte
   * of an escaped backslash gets re-read as the start of "\n"), and a

@@ -136,6 +136,16 @@ class FunctionsSpec extends SparkSpecBase {
     }
     // spot-check exact escapes
     assert(one[String](Grel.escapeCol(lit("a&b<c"), "html")) == "a&amp;b&lt;c")
+    // commons-text parity (the reference's backend): full HTML4 entity
+    // table, ecmascript \uXXXX + \/ escaping, numeric-entity decoding;
+    // html4 does NOT decode &apos; (not an HTML4 entity) but xml does
+    assert(one[String](Grel.escapeCol(lit("café"), "html")) == "caf&eacute;")
+    assert(one[String](Grel.escapeCol(lit("it's"), "html")) == "it's")
+    assert(one[String](Grel.escapeCol(lit("é/"), "javascript")) == "\\u00E9\\/")
+    assert(one[String](Grel.unescapeCol(lit("&#233;&eacute;"), "html")) == "éé")
+    assert(one[String](Grel.unescapeCol(lit("&apos;&#233;"), "html")) == "&apos;é")
+    assert(one[String](Grel.unescapeCol(lit("&apos;&#233;"), "xml")) == "'é")
+    assert(one[String](Grel.unescapeCol(lit("\\u00E9\\/"), "javascript")) == "é/")
     assert(one[String](Grel.escapeCol(lit("a,b"), "csv")) == "\"a,b\"")
     assert(one[String](Grel.escapeCol(lit("plain"), "csv")) == "plain")
     assert(one[String](Grel.escapeCol(lit("a b"), "url")) == "a+b")
