@@ -151,10 +151,13 @@ object Grel {
       substring(c, offsets(i) + 1, lengths(i))): _*)
   }
 
-  /** splitByCharType — :482-499: split into runs of letter/digit/space/other. */
+  /** splitByCharType — :482-499: split into runs of the same character
+    * TYPE via commons-lang3 (the reference's backend): uppercase and
+    * lowercase are distinct types, so "HenryCTaylor" → [H, enry, CT,
+    * aylor] — a regex letter-run class cannot express that.
+    */
   def splitByCharType(c: Column): Column =
-    regexp_extract_all(c,
-      lit("[A-Za-z]+|[0-9]+|\\s+|[^A-Za-z0-9\\s]+"), lit(0))
+    graft.functions.expressions.LangExprs.splitByCharTypeCol(c)
 
   /** phonetic — :655-670: soundex | metaphone | doublemetaphone | cologne
     * (commons-codec encoders from Spark's own classpath, wrapped in a
@@ -180,17 +183,9 @@ object Grel {
     transform(filter(split(c, ""), ch => length(ch) > 0), ch => ascii(ch))
 
   /** diff — :588-593 (string variant): the suffix of `b` from the first
-    * position where it diverges from `a`; null when equal.
+    * position where it diverges from `a`; "" (not null) when equal —
+    * commons-lang3 StringUtils.difference, the reference's backend.
     */
-  def diffCol(a: Column, b: Column): Column = {
-    // common-prefix length via aggregate over char positions
-    val maxLen = greatest(length(a), length(b))
-    val common = aggregate(
-      sequence(lit(1), maxLen),
-      lit(0),
-      (acc, i) => when(acc === i - 1 &&
-        substring(a, i, lit(1)) === substring(b, i, lit(1)), i).otherwise(acc))
-    when(a === b, lit(null).cast("string"))
-      .otherwise(substring(b, common + 1, lit(Int.MaxValue)))
-  }
+  def diffCol(a: Column, b: Column): Column =
+    graft.functions.expressions.LangExprs.diffCol(a, b)
 }

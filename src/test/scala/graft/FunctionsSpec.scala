@@ -79,10 +79,15 @@ class FunctionsSpec extends SparkSpecBase {
     val runs = Seq("abc123 !?x").toDF("s")
       .select(Grel.splitByCharType($"s")).collect().head.getSeq[String](0)
     assert(runs == Seq("abc", "123", " ", "!?", "x"))
+    // commons-lang3 parity: case runs are distinct character types
+    val camel = Seq("HenryCTaylor").toDF("s")
+      .select(Grel.splitByCharType($"s")).collect().head.getSeq[String](0)
+    assert(camel == Seq("H", "enry", "CT", "aylor"))
+    // commons-lang3 parity: equal strings diff to "" (not null)
     val d = Seq(("cologne", "cologne cathedral"), ("same", "same"))
       .toDF("a", "b")
       .select(Grel.diffCol($"a", $"b")).collect().map(_.getString(0)).toSeq
-    assert(d == Seq(" cathedral", null))
+    assert(d == Seq(" cathedral", ""))
   }
 
   test("GREL partition parts") {
