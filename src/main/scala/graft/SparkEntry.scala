@@ -188,11 +188,18 @@ object SparkEntry {
     // quote/brace-rich column (events.props is JSON text).
     "q_grel_escape" -> ((s, dir) => {
       val (rb, rs, ra) = Grel.rpartitionParts(col("props"), ":")
+      // Probe suffix pins the commons-text entity semantics in the gate:
+      // props is plain ASCII JSON, so without it the hash could not tell
+      // the full HTML4 entity table / ecmascript \uXXXX escaping from a
+      // naive replace chain. The oracle mirrors the CONSTANT's escape.
+      val probe = concat(col("props"), lit("é<'"))
       table(s, dir, "events").select(
         col("event_id"),
-        Grel.escapeCol(col("props"), "html").as("esc_html"),
+        Grel.escapeCol(probe, "html").as("esc_html"),
         Grel.escapeCol(col("props"), "csv").as("esc_csv"),
-        Grel.unescapeCol(Grel.escapeCol(col("props"), "xml"), "xml").as("xml_rt"),
+        Grel.escapeCol(probe, "javascript").as("esc_js"),
+        Grel.unescapeCol(Grel.escapeCol(probe, "xml"), "xml").as("xml_rt"),
+        Grel.unescapeCol(Grel.escapeCol(probe, "javascript"), "javascript").as("js_rt"),
         rb.as("rp_before"), rs.as("rp_sep"), ra.as("rp_after"),
         Grel.strip(col("props")).as("stripped"))
     }),
@@ -451,20 +458,25 @@ object SparkEntry {
         |  contains(o_orderpriority, 'URGENT') AS is_urgent
         |FROM orders""".stripMargin,
 
+    // the || '...' tails mirror the probe constant's escape under the
+    // reference backend (commons-text): "é<'" → html "&eacute;&lt;'",
+    // ecmascript "é<\'" (@U@ dodges Scala's \u lexer processing)
     "q_grel_escape" ->
       """SELECT event_id,
         |  replace(replace(replace(replace(props, '&', '&amp;'), '<', '&lt;'),
-        |    '>', '&gt;'), '"', '&quot;') AS esc_html,
+        |    '>', '&gt;'), '"', '&quot;') || '&eacute;&lt;''' AS esc_html,
         |  CASE WHEN regexp_matches(props, '[",\\n\\r]')
         |       THEN '"' || replace(props, '"', '""') || '"' ELSE props END AS esc_csv,
-        |  props AS xml_rt,
+        |  replace(props, '"', '\"') || '@U@00E9<\''' AS esc_js,
+        |  props || 'é<''' AS xml_rt,
+        |  props || 'é<''' AS js_rt,
         |  CASE WHEN contains(props, ':')
         |       THEN regexp_extract(props, '^(.*):', 1) ELSE props END AS rp_before,
         |  CASE WHEN contains(props, ':') THEN ':' END AS rp_sep,
         |  CASE WHEN contains(props, ':')
         |       THEN regexp_extract(props, '^.*:(.*)$', 1) END AS rp_after,
         |  trim(props) AS stripped
-        |FROM events""".stripMargin,
+        |FROM events""".stripMargin.replace("@U@", "\\u"),
 
     "cdc_props_extract" ->
       """SELECT event_id,

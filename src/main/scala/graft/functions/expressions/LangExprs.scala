@@ -1,8 +1,10 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -39,13 +41,39 @@ case class SplitByCharTypeExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Null semantics follow commons-lang3 `difference`, which the reference
+  * forwards nulls into (GRELFunctions.java:588-593 — "diff can handle null
+  * values"): difference(null, b) = b, difference(a, null) = a, both null →
+  * null. That is NOT the default null-intolerant contract, hence the custom
+  * eval/codegen instead of nullSafeEval.
+  */
 case class StringDiffExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = StringType
-  override def nullSafeEval(a: Any, b: Any): Any =
-    LangText.difference(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.expressions.LangText.difference($a, $b)")
+  override def nullable: Boolean = left.nullable && right.nullable
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input).asInstanceOf[UTF8String]
+    val b = right.eval(input).asInstanceOf[UTF8String]
+    if (a == null && b == null) null
+    else if (a == null) b
+    else if (b == null) a
+    else LangText.difference(a, b)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val u = "org.apache.spark.unsafe.types.UTF8String"
+    ev.copy(code = code"""
+      ${l.code}
+      ${r.code}
+      boolean ${ev.isNull} = ${l.isNull} && ${r.isNull};
+      $u ${ev.value} = null;
+      if (!${ev.isNull}) {
+        if (${l.isNull}) { ${ev.value} = ${r.value}; }
+        else if (${r.isNull}) { ${ev.value} = ${l.value}; }
+        else { ${ev.value} =
+          graft.functions.expressions.LangText.difference(${l.value}, ${r.value}); }
+      }""")
+  }
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): StringDiffExpr = copy(left = newLeft, right = newRight)
 }

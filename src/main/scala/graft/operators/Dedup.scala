@@ -90,9 +90,16 @@ object Dedup {
     * clusters are shallow duplicate groups, not social graphs, so a handful
     * of rounds. The per-round driver `count()` is the convergence test of a
     * classic iterative Spark algorithm (cf. the Lloyd loop in
-    * Similarity.ivfTopK), not a data collect. For adversarial diameters,
-    * swap in star contraction (alternating large-star/small-star) — the
-    * same join shape, fewer rounds.
+    * Similarity.ivfTopK — like it, CONSTRUCTION executes the loop's jobs
+    * eagerly; the returned DataFrame is the materialized result). For
+    * adversarial diameters, swap in star contraction (alternating
+    * large-star/small-star) — the same join shape, fewer rounds.
+    *
+    * Memory discipline at scale: each round materializes ONE (id, prev,
+    * label) checkpoint, reads the convergence count off it directly (no
+    * extra join), and unpersists the superseded round — executor storage
+    * holds at most two label generations plus the edge list, regardless of
+    * how many rounds convergence takes.
     */
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
@@ -106,15 +113,21 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("id_b"), col("label").as("nl")), "id_b")
         .groupBy(col("id_a").as("id")).agg(min("nl").as("mnl"))
+      // carry the previous label through the checkpoint so convergence is a
+      // filter-count over the materialized round, not another shuffle join
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("mnl"), col("label"))).as("label"))
-        .localCheckpoint(true) // cut per-round lineage
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+        .localCheckpoint(true)
+      changed = next.filter(col("label") =!= col("prev")).count()
+      // superseded generation: next is materialized, nothing reads it again
+      // (Dataset.unpersist is a no-op for checkpoint blocks — see bridge)
+      org.apache.spark.sql.graftbridge.ScanBridge.unpersistCheckpoint(labels)
+      labels = next.drop("prev")
     }
-    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    val out = labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    org.apache.spark.sql.graftbridge.ScanBridge.unpersistCheckpoint(edges)
+    out
   }
 
   /** MinHash signature: k independent permutations approximated by seeded

@@ -58,6 +58,22 @@ object ScanBridge {
 
   def internalDf(spark: SparkSession, rdd: RDD[InternalRow], schema: StructType): DataFrame =
     classic(spark).internalCreateDataFrame(rdd, schema)
+
+  /** Free the storage blocks behind a locally-checkpointed Dataset NOW.
+    * `Dataset.unpersist()` only touches CacheManager entries, so
+    * localCheckpoint blocks otherwise linger until the ContextCleaner
+    * notices the RDD is unreferenced — unbounded executor storage for an
+    * iterative algorithm that checkpoints every round. Only call on
+    * generations nothing will read again: a truncated-lineage RDD cannot be
+    * recomputed after its blocks are dropped.
+    */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+      .queryExecution.analyzed.collectLeaves().foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
 }
 
 private class BucketPartition(override val index: Int,

@@ -88,6 +88,12 @@ class FunctionsSpec extends SparkSpecBase {
       .toDF("a", "b")
       .select(Grel.diffCol($"a", $"b")).collect().map(_.getString(0)).toSeq
     assert(d == Seq(" cathedral", ""))
+    // commons null semantics: difference(null,b)=b, difference(a,null)=a
+    val dn = Seq((Option("a"), Option.empty[String]),
+        (Option.empty[String], Option("b")),
+        (Option.empty[String], Option.empty[String])).toDF("a", "b")
+      .select(Grel.diffCol($"a", $"b")).collect()
+    assert(dn(0).getString(0) == "a" && dn(1).getString(0) == "b" && dn(2).isNullAt(0))
   }
 
   test("GREL partition parts") {
