@@ -80,6 +80,18 @@ object Bench {
   private def rmDir(path: String): Unit =
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
 
+  /** Publish the result line on stdout AND as a file artifact: the round
+    * driver's stdout capture truncated the r03 record (kept only the last
+    * bytes of the line), losing the sweep total and the alphabetically-early
+    * query timings; the file copy makes the record un-truncatable.
+    */
+  private def emit(line: String): Unit = {
+    println(line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] artifact write failed: $e") }
+  }
+
   /** The scaling workload: full cold-start replay (scan → LWW shuffle →
     * bucketed write → commit) of a pre-generated parquet changelog.
     * Returns (rows, sec); the throwaway table is deleted AFTER timing so the
@@ -217,8 +229,15 @@ object Bench {
           progress(f"scaling: round ${rounds.size}, min-based efficiency $e%.3f, burn ${probes.last}%.2fs")
         // two consecutive non-improving rounds, not one: a single round that
         // fails to beat either min is common under any noise level and must
-        // not freeze a storm-skewed estimate
-        stableRounds = if (math.abs(e - effPrev) < 0.015) stableRounds + 1 else 0
+        // not freeze a storm-skewed estimate. The stable exit additionally
+        // requires a QUIET host for the contributing round (burn probe within
+        // 25% of the best probe observed): a sustained steal storm inflates
+        // both levels proportionally and could otherwise freeze an in-band
+        // but weather-skewed efficiency as marker=ok — under a storm we keep
+        // sampling until the cap/budget exits take over.
+        val quietRound = probes.last <= probes.min * 1.25
+        stableRounds =
+          if (math.abs(e - effPrev) < 0.015 && quietRound) stableRounds + 1 else 0
         if (rounds.size >= minRounds && stableRounds >= 2) exit = "stable"
         else if (rounds.size >= maxRounds) exit = "cap"
         else if (System.nanoTime() > budgetNs && rounds.size >= 3) exit = "budget"
@@ -238,7 +257,7 @@ object Bench {
     }
 
     if (onlyScaling) {
-      println(s"""{"metric":"scaling","scaling":$scalingJson}""")
+      emit(s"""{"metric":"scaling","scaling":$scalingJson}""")
       inputDirs.foreach(rmDir)
       return
     }
@@ -404,10 +423,19 @@ object Bench {
         else Similarity.lshTopK(embDf, annQ, k = 5, bands = 32, bitsPerBand = 5)
           .select("query_id", "vec_id")
           .join(bf, Seq("query_id", "vec_id")).count().toDouble / nBf
-      recallJson = f"""{"dedup_minhash_lsh_bands16":$rMinhash%.4f,"dedup_simhash_banded":$rSimhash%.4f,"embed_neardup_32x5":$rNearDup%.4f,"ann_lsh_topk_32x5":$rAnn%.4f}"""
+      // IVF at a PRODUCTION probe ratio: the correctness gate runs
+      // nProbe == nLists (exhaustive, recall 1 by construction); the knob a
+      // user actually turns is nProbe < nLists, so its recall belongs here
+      // next to the other shipped-config numbers.
+      progress("recall: IVF ANN (nProbe=2 of nLists=8) vs brute-force top-k")
+      val rIvf = if (nBf == 0) 1.0
+        else Similarity.ivfTopK(embDf, annQ, k = 5, nLists = 8, nProbe = 2)
+          .select("query_id", "vec_id")
+          .join(bf, Seq("query_id", "vec_id")).count().toDouble / nBf
+      recallJson = f"""{"dedup_minhash_lsh_bands16":$rMinhash%.4f,"dedup_simhash_banded":$rSimhash%.4f,"embed_neardup_32x5":$rNearDup%.4f,"ann_lsh_topk_32x5":$rAnn%.4f,"ann_ivf_topk_probe2of8":$rIvf%.4f}"""
     }
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdcJson,"scaling":$scalingJson,"recall":$recallJson}""")
+    emit(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdcJson,"scaling":$scalingJson,"recall":$recallJson}""")
     inputDirs.foreach(rmDir)
     spark.stop()
   }

@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -30,7 +30,11 @@ object LangText {
       org.apache.commons.lang3.StringUtils.difference(a.toString, b.toString))
 }
 
-case class SplitByCharTypeExpr(child: Expression) extends UnaryExpression {
+case class SplitByCharTypeExpr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  // analysis-time type check: a non-string child gets a cast or a clear
+  // AnalysisException instead of a runtime ClassCastException
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     LangText.splitByCharType(input.asInstanceOf[UTF8String])
@@ -47,7 +51,9 @@ case class SplitByCharTypeExpr(child: Expression) extends UnaryExpression {
   * null. That is NOT the default null-intolerant contract, hence the custom
   * eval/codegen instead of nullSafeEval.
   */
-case class StringDiffExpr(left: Expression, right: Expression) extends BinaryExpression {
+case class StringDiffExpr(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
   override def dataType: DataType = StringType
   override def nullable: Boolean = left.nullable && right.nullable
   override def eval(input: InternalRow): Any = {

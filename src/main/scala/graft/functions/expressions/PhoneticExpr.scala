@@ -116,47 +116,51 @@ object Reinterpret {
   */
 object EscapeText {
   import org.apache.commons.text.StringEscapeUtils
-  def validate(mode: String, un: Boolean): Unit = mode match {
-    case "html" | "xml" => ()
-    case "javascript" if !un => ()
-    case other => throw new IllegalArgumentException(
-      s"unsupported EscapeText mode: $other (un=$un)")
-  }
-  def escape(s: UTF8String, mode: UTF8String): UTF8String = {
-    val str = s.toString
-    val out = mode.toString match {
-      case "html" => StringEscapeUtils.escapeHtml4(str)
-      case "xml" => StringEscapeUtils.escapeXml11(str)
-      case "javascript" => StringEscapeUtils.escapeEcmaScript(str)
-    }
-    UTF8String.fromString(out)
-  }
-  def unescape(s: UTF8String, mode: UTF8String): UTF8String = {
-    val str = s.toString
-    val out = mode.toString match {
-      case "html" => StringEscapeUtils.unescapeHtml4(str)
-      case "xml" => StringEscapeUtils.unescapeXml(str)
-    }
-    UTF8String.fromString(out)
+  // Per-mode entry points: (mode, un) is a CONSTANT of the expression, so it
+  // resolves to a method name once at plan time — the per-row path is a
+  // single static call, no mode-string allocation or comparison chain.
+  def escapeHtml(s: UTF8String): UTF8String =
+    UTF8String.fromString(StringEscapeUtils.escapeHtml4(s.toString))
+  def escapeXml(s: UTF8String): UTF8String =
+    UTF8String.fromString(StringEscapeUtils.escapeXml11(s.toString))
+  def escapeJs(s: UTF8String): UTF8String =
+    UTF8String.fromString(StringEscapeUtils.escapeEcmaScript(s.toString))
+  def unescapeHtml(s: UTF8String): UTF8String =
+    UTF8String.fromString(StringEscapeUtils.unescapeHtml4(s.toString))
+  def unescapeXml(s: UTF8String): UTF8String =
+    UTF8String.fromString(StringEscapeUtils.unescapeXml(s.toString))
+
+  /** The resolved static-method name for (mode, un); rejects unsupported
+    * combinations at plan time (unescape("javascript") lives on
+    * [[UnescapeJs]] — commons-text throws on malformed \uXXXX and the
+    * pipeline contract is lenient).
+    */
+  def resolve(mode: String, un: Boolean): String = (mode, un) match {
+    case ("html", false) => "escapeHtml"
+    case ("xml", false) => "escapeXml"
+    case ("javascript", false) => "escapeJs"
+    case ("html", true) => "unescapeHtml"
+    case ("xml", true) => "unescapeXml"
+    case (other, u) => throw new IllegalArgumentException(
+      s"unsupported EscapeText mode: $other (un=$u)")
   }
 }
 
 case class EscapeTextExpr(child: Expression, mode: String, un: Boolean)
     extends UnaryExpression {
-  EscapeText.validate(mode, un)
+  private val fnName = EscapeText.resolve(mode, un) // validates at construction
+  @transient private lazy val fn: UTF8String => UTF8String = fnName match {
+    case "escapeHtml" => EscapeText.escapeHtml
+    case "escapeXml" => EscapeText.escapeXml
+    case "escapeJs" => EscapeText.escapeJs
+    case "unescapeHtml" => EscapeText.unescapeHtml
+    case "unescapeXml" => EscapeText.unescapeXml
+  }
   override def dataType: DataType = StringType
-  private def fn = if (un) "unescape" else "escape"
-  override def nullSafeEval(input: Any): Any = {
-    val m = UTF8String.fromString(mode)
-    val s = input.asInstanceOf[UTF8String]
-    if (un) EscapeText.unescape(s, m) else EscapeText.escape(s, m)
-  }
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val modeRef = ctx.addReferenceObj("escapeMode",
-      UTF8String.fromString(mode), classOf[UTF8String].getName)
+  override def nullSafeEval(input: Any): Any = fn(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.expressions.EscapeText.$fn($c, $modeRef)")
-  }
+      s"graft.functions.expressions.EscapeText.$fnName($c)")
   override protected def withNewChildInternal(newChild: Expression): EscapeTextExpr =
     copy(child = newChild)
 }

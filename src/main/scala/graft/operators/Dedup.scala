@@ -100,13 +100,28 @@ object Dedup {
     * extra join), and unpersists the superseded round — executor storage
     * holds at most two label generations plus the edge list, regardless of
     * how many rounds convergence takes.
+    *
+    * Work discipline at scale: the loop runs over EDGE-INCIDENT vertices
+    * only. In a deduped corpus the overwhelming majority of documents are
+    * singletons (no near-dup pair touches them) — their label can never
+    * change, so iterating them would make every round's checkpoint + join
+    * O(V) instead of O(affected). They are unioned in once, lazily, at the
+    * end (label = own id), so the per-round cost is proportional to the
+    * duplicate-graph size, not the corpus size.
     */
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
     val fwd = pairs.select(col("id_a"), col("id_b"))
     val edges = fwd.union(fwd.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint(true) // symmetric adjacency, scanned every round
-    var labels = docs.select(col(idCol).as("id")).withColumn("label", col("id"))
+    // distinct edge endpoints — O(affected); checkpointed because the
+    // singleton anti-join below is evaluated lazily by the CALLER, after
+    // this function has already released the edge checkpoint
+    val touchedIds = edges.select(col("id_a").as("id")).distinct()
+      .localCheckpoint(true)
+    var labels = docs.select(col(idCol).as("id"))
+      .join(touchedIds, Seq("id"), "left_semi") // foreign ids in pairs are ignored
+      .withColumn("label", col("id"))
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
@@ -125,7 +140,13 @@ object Dedup {
       org.apache.spark.sql.graftbridge.ScanBridge.unpersistCheckpoint(labels)
       labels = next.drop("prev")
     }
-    val out = labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    val clustered = labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    // singletons never entered the loop: one lazy anti-join against the
+    // (small) touched-id set, not a per-round O(V) materialization
+    val singletons = docs.select(col(idCol).as("id"))
+      .join(touchedIds, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("id").as("cluster_id"))
+    val out = clustered.unionByName(singletons)
     org.apache.spark.sql.graftbridge.ScanBridge.unpersistCheckpoint(edges)
     out
   }
@@ -220,14 +241,31 @@ object Dedup {
   /** SimHash near-dup pairs: block on 4 16-bit bands (any equal band → two
     * docs within Hamming distance 48 collide in ≥1 band; for distance ≤ 3 a
     * band match is guaranteed by pigeonhole), verify Hamming ≤ maxHamming.
+    *
+    * Skew guard (same discipline as [[minhashLshPairs]]): a boilerplate
+    * flood collides m near-identical docs on one 16-bit band key → O(m²)
+    * candidate pairs from that single bucket. Buckets above `maxBucket` are
+    * dropped via a left_semi SHUFFLE join on (band, key) — the bucket-stats
+    * relation grows with the corpus, so a forced driver broadcast would be
+    * a scale bomb. Recall cost: only pairs ALL of whose shared band keys
+    * are flooded are lost — raise `maxBucket` (or pre-dedup exactly) if the
+    * corpus is flood-heavy.
     */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+      textCol: String = "text", maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     val sig = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    // materialized once: consumed by the bucket stats + both self-join sides
+    // (3 evaluations of the signature expression otherwise)
     val banded = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFF))).as(Seq("band", "key")))
-    val cand = banded.as("a").join(banded.as("b"),
+      .localCheckpoint(true)
+    val bucketSizes = banded.groupBy("band", "key").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket && col("bsz") > 1)
+    val survivors = banded.join(bucketSizes.select("band", "key"),
+      Seq("band", "key"), "left_semi")
+    val cand = survivors.as("a").join(survivors.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("a.sig").as("sig_a"),

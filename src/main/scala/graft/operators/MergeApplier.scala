@@ -326,16 +326,51 @@ object MergeApplier {
     val version = snap.map(_.version).getOrElse(0L) + 1
     val outDir = table.commitDir(version, writerId, batchId)
     val keyCols = Model.KeyCols.map(col)
-    val obs = new org.apache.spark.sql.Observation(s"mor-$version")
-    aligned.repartition(table.numBuckets, keyCols: _*)
-      .observe(obs, count(lit(1)).as("rows"),
-        count(when(col("op") === Model.OpDelete, 1)).as("dels"))
-      .withColumn("bucket", table.bucketCol)
+    // Per-bucket lineage rides a per-partition accumulator (the COW
+    // winner-count pattern): partition id == bucket id by the alignment
+    // invariant, so the delta write needs neither a bucket-hash column per
+    // row nor post-write parquet footer re-opens on the driver — the footer
+    // reads were per-micro-batch driver I/O on the write-optimized tail's
+    // critical path. One (pid, rows, dels) entry per task ATTEMPT; the
+    // driver collapses duplicates by partition id (exact under retry /
+    // speculation, like the COW stats).
+    val statsAcc = spark.sparkContext
+      .collectionAccumulator[(Int, Long, Long)]("graft.morStats")
+    val opI = mergedSchema.fieldIndex("op")
+    val deltaRdd = ScanBridge.toInternalRdd(
+        aligned.repartition(table.numBuckets, keyCols: _*))
+      .mapPartitions { it =>
+        new Iterator[InternalRow] {
+          private val pid = org.apache.spark.TaskContext.getPartitionId()
+          private val deleteOp = UTF8String.fromString(Model.OpDelete)
+          private val bucketRow = new GenericInternalRow(Array[Any](pid))
+          private val joined = new JoinedRow
+          private var nRows = 0L
+          private var nDel = 0L
+          private var reported = false
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h && !reported) { reported = true; statsAcc.add((pid, nRows, nDel)) }
+            h
+          }
+          override def next(): InternalRow = {
+            val r = it.next()
+            nRows += 1
+            if (!r.isNullAt(opI) && r.getUTF8String(opI).equals(deleteOp)) nDel += 1
+            joined(r, bucketRow)
+          }
+        }
+      }
+    val outSchema = StructType(mergedSchema.fields :+
+      StructField("bucket", org.apache.spark.sql.types.IntegerType, nullable = false))
+    ScanBridge.internalDf(spark, deltaRdd, outSchema)
       .write.mode("overwrite")
       .partitionBy("bucket")
       .parquet(outDir.toString)
-    val batchRows = obs.get("rows").asInstanceOf[Long]
-    val nDeletes = obs.get("dels").asInstanceOf[Long]
+    import scala.jdk.CollectionConverters._
+    val perPartition = statsAcc.value.asScala.groupBy(_._1).values.map(_.head)
+    val batchRows = perPartition.map(_._2).sum
+    val nDeletes = perPartition.map(_._3).sum
     if (batchRows == 0) {
       // same no-orphan contract as the COW idle path: drop the empty dir
       deleteDir(outDir)
@@ -349,8 +384,10 @@ object MergeApplier {
       ManifestRef(table.writeManifest(version, newBucketFiles),
         newBucketFiles.keySet, delta = true)
     val prevRows = snap.map(_.bucketRows).getOrElse(Map.empty)
-    // bucketRows counts STORED rows (incl. superseded versions until compact)
-    val newRows = table.footerRowCounts(newBucketFiles)
+    // bucketRows counts STORED rows (incl. superseded versions until
+    // compact); per-bucket counts come from the write-side accumulator — no
+    // footer reads on the hot path
+    val newRows = perPartition.filter(_._2 > 0).map(s => s._1 -> s._2).toMap
     val bucketRows = (prevRows.keySet ++ newBucketFiles.keySet).map { b =>
       b -> (prevRows.getOrElse(b, 0L) + newRows.getOrElse(b, 0L))
     }.toMap

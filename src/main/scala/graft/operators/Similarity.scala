@@ -76,8 +76,12 @@ object Similarity {
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
+    // No forced broadcast of qv: "queries are small" is the common case, not
+    // a contract — corpus-vs-corpus kNN passes the whole corpus as queries,
+    // and a broadcast() hint there OOMs the driver. AQE broadcasts at
+    // runtime while qv actually fits; otherwise this stays a shuffle join.
     cand.join(cv, "vec_id") // shuffle join on id (corpus-sized side)
-      .join(broadcast(qv), "query_id") // query set is small by contract
+      .join(qv, "query_id")
       .withColumn("cosine", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -181,15 +185,28 @@ object Similarity {
       .filter(col("cosine") >= minCos)
   }
 
+  /** Skew guard (same discipline as [[graft.operators.Dedup.minhashLshPairs]]):
+    * a near-identical embedding flood (the vector-space face of boilerplate)
+    * collides m vectors on one (band, bucket) → O(m²) candidates. Buckets
+    * above `maxBucket` are dropped via a left_semi shuffle join — never a
+    * forced driver broadcast (bucket stats grow with the corpus).
+    */
   def embeddingNearDupPairs(corpus: DataFrame, minCos: Double = 0.95,
-      bands: Int = 8, bitsPerBand: Int = 8,
+      bands: Int = 8, bitsPerBand: Int = 8, maxBucket: Int = 1000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // Id-only candidate pairs through the self-join + distinct (a pair
     // colliding in m bands must not shuffle its embedding payloads m times);
     // vectors re-join once per distinct pair for the exact verification.
+    // Materialized once: bucket stats + both self-join sides would otherwise
+    // re-evaluate the SRP projection expression 3×.
     val keyed = corpus.select(col(idCol).as("id"),
       posexplode(srpKeys(col(vecCol), bands, bitsPerBand)).as(Seq("band", "bucket")))
-    val cand = keyed.as("a").join(keyed.as("b"),
+      .localCheckpoint(true)
+    val bucketSizes = keyed.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket && col("bsz") > 1)
+    val survivors = keyed.join(bucketSizes.select("band", "bucket"),
+      Seq("band", "bucket"), "left_semi")
+    val cand = survivors.as("a").join(survivors.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()

@@ -381,6 +381,14 @@ final class LakeTable(val root: String, val numBuckets: Int) {
     def expendable(p: Path): Boolean =
       try Files.getLastModifiedTime(p).toMillis < cutoff
       catch { case _: java.io.IOException => false } // raced away: not ours
+    // Empty-dir collection: under a live writer (graceMs > 0) a dir must be
+    // OLD to be swept — a just-created commit dir / _temporary staging tree
+    // is briefly empty, and sweeping it mid-commit crashes the writer
+    // (found by the vacuum-under-live-tail test). graceMs == 0 is the
+    // caller's explicit no-live-writer assertion, where immediate collection
+    // of just-emptied dirs is safe (their mtime was refreshed by the file
+    // deletes above and would otherwise wait a second sweep).
+    def dirExpendable(p: Path): Boolean = graceMs == 0L || expendable(p)
     val (expire, keep) = names.splitAt(math.max(0, names.size - keepLast))
     val keptSnaps = keep.map(n => readSnapshot(metaDir.resolve(n)))
     val referenced: Set[String] = keptSnaps.flatMap(allFiles).toSet
@@ -389,15 +397,16 @@ final class LakeTable(val root: String, val numBuckets: Int) {
       LakeTable.listing(Files.walk(dataDir))(_.toSeq).reverse.foreach { p =>
         if (Files.isRegularFile(p) && !referenced.contains(p.toString) &&
             expendable(p)) {
-          Files.delete(p); deleted += 1
-        } else if (Files.isDirectory(p) && p != dataDir &&
+          // deleteIfExists: between the expendable() check and here a
+          // concurrent vacuum (or a crashed writer's own cleanup) can have
+          // removed the file — a NoSuchFileException must not abort the
+          // sweep and strand the remaining orphans + snapshot expiry
+          if (Files.deleteIfExists(p)) deleted += 1
+        } else if (Files.isDirectory(p) && p != dataDir && dirExpendable(p) &&
             LakeTable.listing(Files.list(p))(_.take(1).toSeq).isEmpty) {
-          // empty dirs carry no data: no age guard (deleting files above
-          // refreshes the parent's mtime, so an age check would keep
-          // just-emptied dirs forever). A writer racing a file into the dir
-          // makes this delete fail non-empty — ignored, the dir survives
-          // (local FS creates parents on write anyway).
-          try Files.delete(p) catch { case _: java.io.IOException => }
+          // A writer racing a file into an old empty dir makes this delete
+          // fail non-empty — ignored, the dir survives.
+          try Files.deleteIfExists(p) catch { case _: java.io.IOException => }
         }
       }
     }
@@ -408,10 +417,10 @@ final class LakeTable(val root: String, val numBuckets: Int) {
         n.startsWith("man-") || n.startsWith(".tmp-")
       }.toSeq
     }.foreach { p =>
-      if (!liveManifests.contains(p.toString) && expendable(p)) Files.delete(p)
+      if (!liveManifests.contains(p.toString) && expendable(p)) Files.deleteIfExists(p)
     }
     manifestCache.clear()
-    expire.foreach(n => Files.delete(metaDir.resolve(n)))
+    expire.foreach(n => Files.deleteIfExists(metaDir.resolve(n)))
     deleted
   }
 

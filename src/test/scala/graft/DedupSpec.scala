@@ -88,6 +88,21 @@ class DedupSpec extends SparkSpecBase {
     assert(a.sorted == b)
   }
 
+  test("simhash bucket cap bounds boilerplate floods (skew guard)") {
+    // 30 identical docs: every band key collides all 30 → O(m²) candidates
+    val flood = (0L until 30L).map(i =>
+      (i, "identical boiler plate text repeated across the whole corpus"))
+      .toDF("doc_id", "text")
+    // default cap (1000) is above the flood: full pair set survives
+    assert(Dedup.simhashPairs(flood).count() == 30L * 29 / 2)
+    // cap below the flood: every flooded bucket dropped → candidates bounded
+    assert(Dedup.simhashPairs(flood, maxBucket = 10).count() == 0)
+    // the cap must not disturb ordinary (small-bucket) pairs
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+  }
+
   test("stop-shingle df cap drops flooding shingles") {
     // 20 docs all sharing one boilerplate shingle + unique tails
     val flood = (0 until 20).map(i =>

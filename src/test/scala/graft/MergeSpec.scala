@@ -201,6 +201,37 @@ class MergeSpec extends SparkSpecBase {
     assert(mismatched == 0L)
   }
 
+  test("flooded bucket: merge stays correct; numBuckets bounds the rewrite unit on a fresh table") {
+    // Pathological skew: every key lands in ONE bucket (numBuckets = 1 is the
+    // degenerate worst case — one bucket holds the whole table). The merge
+    // contract is that a bucket is the COW rewrite unit and must be SIZED to
+    // an executor via numBuckets; this pins (a) correctness under a flooded
+    // bucket and (b) that a fresh table with more buckets shrinks the unit.
+    val all = Generator.events(spark, 6000, numConvs = 12, turnsPerConv = 8, seed = 41)
+      .as[ChangeEvent].collect().toSeq
+    val oracle = Generator.oracleFold(all).map { case (k, e) => k -> ((e.text, e.seq)) }
+    val t1 = new LakeTable(tmpDir("skew-one"), numBuckets = 1)
+    all.sortBy(_.seq).grouped(2000).zipWithIndex.foreach { case (chunk, i) =>
+      MergeApplier.applyBatch(spark, t1, spark.createDataset(chunk).toDF(), "w", i.toLong)
+    }
+    assert(finalState(t1) == oracle)
+    val s1 = t1.currentSnapshot().get
+    assert(s1.bucketRows.keySet == Set(0))
+    // fresh table, 16 buckets: same state, rewrite unit ~1/16th the rows
+    val t16 = new LakeTable(tmpDir("skew-sixteen"), numBuckets = 16)
+    all.sortBy(_.seq).grouped(2000).zipWithIndex.foreach { case (chunk, i) =>
+      MergeApplier.applyBatch(spark, t16, spark.createDataset(chunk).toDF(), "w", i.toLong)
+    }
+    assert(finalState(t16) == oracle)
+    val s16 = t16.currentSnapshot().get
+    assert(s16.totalRows == s1.totalRows)
+    val hottest = s16.bucketRows.values.max
+    assert(hottest < s1.bucketRows(0) / 4,
+      s"16 buckets did not shrink the rewrite unit: max $hottest vs ${s1.bucketRows(0)}")
+    // lineage invariant under the flood: per-bucket counts match the files
+    assert(s16.bucketRows == t16.footerRowCounts(t16.resolveFiles(s16)))
+  }
+
   test("lineage: snapshot records per-bucket rows, metrics, and ledger") {
     val table = new LakeTable(tmpDir("merge-lineage"), numBuckets = 4)
     val b = spark.createDataset((0 until 100).map(i =>

@@ -40,6 +40,23 @@ class MorSpec extends SparkSpecBase {
     assert(table.currentSnapshot().get.totalRows == oracle.size)
   }
 
+  test("MOR lineage: write-side per-bucket counts match the delta files (no footer reads)") {
+    // stored-row lineage now comes off the write's accumulator; it must agree
+    // exactly with what actually landed in the parquet files
+    val all = Generator.events(spark, 3000, numConvs = 10, turnsPerConv = 6, seed = 13)
+      .as[ChangeEvent].collect().toSeq
+    val table = new LakeTable(tmpDir("mor-lineage"), numBuckets = 4)
+    all.sortBy(_.seq).grouped(1000).zipWithIndex.foreach { case (chunk, i) =>
+      MergeApplier.applyBatchMor(spark, table,
+        spark.createDataset(chunk).toDF(), "w", i.toLong)
+      val s = table.currentSnapshot().get
+      assert(s.bucketRows == table.footerRowCounts(table.resolveFiles(s)),
+        s"lineage drifted from files at commit ${i + 1}")
+      assert(s.metrics("batchRows") == chunk.size.toLong)
+      assert(s.metrics("deletes") == chunk.count(_.op == Model.OpDelete).toLong)
+    }
+  }
+
   test("MOR tombstone: stale insert after delete stays dead across deltas") {
     val table = new LakeTable(tmpDir("mor-tomb"), numBuckets = 4)
     MergeApplier.applyBatchMor(spark, table, spark.createDataset(Seq(

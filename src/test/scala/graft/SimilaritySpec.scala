@@ -109,6 +109,16 @@ class SimilaritySpec extends SparkSpecBase {
     assert(partSet.nonEmpty && partSet.intersect(bf).nonEmpty)
   }
 
+  test("embedding near-dup bucket cap bounds identical-vector floods (skew guard)") {
+    // 30 copies of one vector: every (band, bucket) collides all 30
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val flood = (0L until 30L).map(i => (i, v)).toDF("vec_id", "embedding")
+    assert(Similarity.embeddingNearDupPairs(flood, minCos = 0.99,
+      bands = 4, bitsPerBand = 4).count() == 30L * 29 / 2)
+    assert(Similarity.embeddingNearDupPairs(flood, minCos = 0.99,
+      bands = 4, bitsPerBand = 4, maxBucket = 10).count() == 0)
+  }
+
   test("embedding near-dup: exact duplicate vectors are found with cosine 1") {
     val base = emb.filter($"vec_id" < 50)
     val dup = base.filter($"vec_id" === 7)

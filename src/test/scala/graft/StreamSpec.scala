@@ -119,6 +119,47 @@ class StreamSpec extends SparkSpecBase {
     assert(table.currentSnapshot().get.version == v1, "replay must not commit")
   }
 
+  test("vacuum interleaved with a live tail: grace window protects in-flight commits") {
+    val srcDir = tmpDir("vac-src")
+    val stash = tmpDir("vac-stash")
+    Generator.writeChangelog(spark, stash, 3000, numConvs = 15, turnsPerConv = 5,
+      numFiles = 6, seed = 63)
+    val names = { val s = Files.list(Paths.get(stash))
+      try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toSeq.sorted } finally s.close() }
+    // phase 1: tail the first half, then a maintenance vacuum BETWEEN runs
+    // (no live writer → zero grace is safe, old snapshots expire)
+    names.take(3).foreach(n => Files.copy(Paths.get(s"$stash/$n"),
+      Paths.get(s"$srcDir/$n"), StandardCopyOption.REPLACE_EXISTING))
+    val table = new LakeTable(tmpDir("vac-table"), numBuckets = 4)
+    val ckpt = tmpDir("vac-ckpt")
+    CdcStream.runAvailableNow(spark, srcDir, table, ckpt, maxFilesPerTrigger = 1)
+    assert(table.currentSnapshot().get.version > 1)
+    table.vacuum(keepLast = 1, graceMs = 0)
+    assert(table.versions().size == 1, "zero-grace vacuum must expire old snapshots")
+    // phase 2: resume from the SAME checkpoint with a vacuum racing the
+    // writer — the default 1h grace spares every in-flight commit's young
+    // files, so the sweep must neither crash nor corrupt the stream
+    names.drop(3).foreach(n => Files.copy(Paths.get(s"$stash/$n"),
+      Paths.get(s"$srcDir/$n"), StandardCopyOption.REPLACE_EXISTING))
+    @volatile var stopSweep = false
+    @volatile var sweepErr: Throwable = null
+    val sweeper = new Thread(() =>
+      try { while (!stopSweep) { table.vacuum(keepLast = 1); Thread.sleep(20) } }
+      catch { case t: Throwable => sweepErr = t })
+    sweeper.start()
+    try CdcStream.runAvailableNow(spark, srcDir, table, ckpt, maxFilesPerTrigger = 1)
+    finally { stopSweep = true; sweeper.join() }
+    assert(sweepErr == null, s"vacuum crashed under the live tail: $sweepErr")
+    val all = Generator.events(spark, 3000, 15, 5, seed = 63)
+      .as[ChangeEvent].collect().toSeq
+    val oracle = Generator.oracleFold(all).map { case (k, e) => k -> ((e.text, e.seq)) }
+    assert(finalState(table) == oracle)
+    // and the post-race table still vacuums + reads cleanly
+    table.vacuum(keepLast = 1, graceMs = 0)
+    assert(finalState(table) == oracle)
+  }
+
   test("mid-stream schema evolution: v1 files (no tool) then v2 files") {
     val srcDir = tmpDir("evolve-src")
     // first half of events written WITHOUT the tool column
