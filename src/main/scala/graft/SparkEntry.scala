@@ -235,6 +235,13 @@ object SparkEntry {
       Dedup.connectedComponents(docs,
         Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.8, maxDocFreq = 50))
     }),
+    // Same deliverable via alternating star contraction — the O(log n)-round
+    // variant for adversarial component diameters; identical oracle.
+    "dedup_clusters_star" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.connectedComponentsStar(docs,
+        Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.8, maxDocFreq = 50))
+    }),
 
     // NEAR-EXHAUSTIVE banding (32 bands × 2 hashes): a jaccard≥0.7 pair is
     // missed only if every band's 2-hash key differs — p ≤ (1-0.7²)^32 ≈
@@ -333,7 +340,12 @@ object SparkEntry {
 
   private val C = Changelog.DuckDbCte
 
-  def oracleSql: Map[String, String] = Map(
+  // star contraction computes the same deliverable as label propagation, so
+  // it shares dedup_clusters' recursive-CTE oracle verbatim
+  def oracleSql: Map[String, String] =
+    oracleSqlBase + ("dedup_clusters_star" -> oracleSqlBase("dedup_clusters"))
+
+  private val oracleSqlBase: Map[String, String] = Map(
     "cdc_changelog" -> s"$C SELECT * FROM changelog",
 
     "cdc_lww_dedup" ->

@@ -151,6 +151,99 @@ object Dedup {
     out
   }
 
+  /** Connected components via ALTERNATING STAR CONTRACTION (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", ACM SoCC 2014 — public
+    * algorithm): per round, large-star hangs every strictly-larger neighbor
+    * of u onto u's neighborhood minimum, small-star does the same for the
+    * not-larger neighbors. Both preserve connectivity and monotonically
+    * flatten trees; the edge set converges to stars rooted at component
+    * minima in O(log n) rounds — the adversarial-diameter upgrade over
+    * [[connectedComponents]]'s O(diameter) min-label propagation (a 10^6-long
+    * duplicate chain needs 10^6 label rounds but ~20 star rounds). Same
+    * contract: cluster_id = min reachable doc id, singletons self-cluster,
+    * edges with endpoints outside `docs` are ignored, two-generation
+    * checkpoint discipline, per-round work O(duplicate graph).
+    *
+    * Convergence test: round signature (edge count + two independent seeded
+    * hash sums) unchanged — probabilistically exact (~2^-128 collision), one
+    * tiny aggregate per round instead of an O(E) set-difference join. A
+    * 200-round cap fails loudly rather than ever returning unconverged
+    * labels (the bound for 10^10 nodes is ~2·log² n ≈ 40 rounds).
+    */
+  def connectedComponentsStar(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val ids = docs.select(col(idCol).as("id")).localCheckpoint(true)
+    // canonical undirected edges (hi > lo), endpoints restricted to docs
+    // (label propagation never assigns labels to foreign ids, so a foreign
+    // id must not bridge or name a cluster here either — parity by filter)
+    val canon = pairs.select(col("id_a"), col("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as("hi"),
+        least(col("id_a"), col("id_b")).as("lo"))
+      .join(ids.select(col("id").as("hi")), Seq("hi"), "left_semi")
+      .join(ids.select(col("id").as("lo")), Seq("lo"), "left_semi")
+      .select("hi", "lo").distinct()
+    var edges = canon.localCheckpoint(true)
+    val touchedIds = edges.select(col("hi").as("id"))
+      .union(edges.select(col("lo").as("id"))).distinct()
+      .localCheckpoint(true)
+    // symmetric neighbor view (u, v) of a canonical edge frame
+    def nbrs(e: DataFrame): DataFrame =
+      e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+    // large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
+    // v > u ≥ m, so (hi = v, lo = m) stays canonical.
+    def largeStar(e: DataFrame): DataFrame = {
+      val nb = nbrs(e)
+      val m = nb.groupBy("u").agg(min("v").as("mn"))
+      nb.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), least(col("u"), col("mn")).as("lo"))
+        .distinct()
+    }
+    // small-star(u): over the not-larger neighbors S = {v ∈ Γ(u): v < u},
+    // m = min(S); emit (u, m) and (v, m) for v ∈ S, v ≠ m (all canonical:
+    // u > m and v > m). Nodes with no smaller neighbor emit nothing — their
+    // edges are re-emitted from the other endpoint's perspective.
+    def smallStar(e: DataFrame): DataFrame = {
+      val smaller = nbrs(e).filter(col("v") < col("u"))
+      val m = smaller.groupBy("u").agg(min("v").as("m"))
+      smaller.join(m, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .union(m.select(col("u").as("hi"), col("m").as("lo")))
+        .distinct()
+    }
+    def signature(e: DataFrame): Seq[Any] =
+      e.agg(count(lit(1)),
+        sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)")),
+        sum(xxhash64(lit(7), col("hi"), col("lo")).cast("decimal(38,0)")))
+        .collect()(0).toSeq // decimal sums: a Long sum overflows under ANSI
+    var sig = signature(edges)
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      if (rounds > 200) throw new IllegalStateException(
+        s"star contraction did not converge in 200 rounds (last signature $sig)")
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      org.apache.spark.sql.graftbridge.ScanBridge.unpersistCheckpoint(edges)
+      edges = next
+    }
+    // at the star fixpoint every non-minimum node has an edge to its
+    // component minimum: label = least(self, min neighbor)
+    val labels = nbrs(edges).groupBy("u").agg(min("v").as("mn"))
+      .select(col("u").as(idCol), least(col("u"), col("mn")).as("cluster_id"))
+    // an isolated touched vertex cannot exist (every touched vertex keeps ≥1
+    // edge through both stars), but the singleton union below still needs
+    // the untouched documents
+    val singletons = ids.join(touchedIds, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("id").as("cluster_id"))
+    labels.unionByName(singletons)
+  }
+
   /** MinHash signature: k independent permutations approximated by seeded
     * xxhash64; sig[i] = min over distinct shingles of hash(shingle, seed=i).
     * Native codegen'd expression (TextExprs) — the higher-order-function

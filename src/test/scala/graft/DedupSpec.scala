@@ -35,6 +35,34 @@ class DedupSpec extends SparkSpecBase {
     assert(real(2L) == 2L && real(4L) == 4L)
   }
 
+  test("star contraction: same clusters as label propagation, deep chains, random graphs") {
+    val ids = (1L to 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponentsStar(ids, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // a 40-node chain: label propagation needs ~40 rounds, star ~log² n
+    val n = 40L
+    val chainIds = (1L to n).toDF("doc_id")
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val one = Dedup.connectedComponentsStar(chainIds, chain).collect()
+      .map(_.getAs[Long]("cluster_id")).toSet
+    assert(one == Set(1L))
+    // randomized cross-check: star == label propagation on arbitrary graphs
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { _ =>
+      val v = 60L
+      val vids = (0L until v).toDF("doc_id")
+      val es = (0 until 70).map(_ => (rnd.nextLong(v), rnd.nextLong(v)))
+        .filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+      val lp = Dedup.connectedComponents(vids, es).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val st = Dedup.connectedComponentsStar(vids, es).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(st == lp)
+    }
+  }
+
   test("exact dedup groups identical texts") {
     val out = Dedup.exact(docs).collect()
       .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
