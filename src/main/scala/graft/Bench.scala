@@ -85,9 +85,9 @@ object Bench {
     * bytes of the line), losing the sweep total and the alphabetically-early
     * query timings; the file copy makes the record un-truncatable.
     */
-  private def emit(line: String): Unit = {
+  private def emit(line: String, defaultPath: String = "BENCH.out.json"): Unit = {
     println(line)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultPath)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Exception => System.err.println(s"[bench] artifact write failed: $e") }
   }
@@ -257,7 +257,10 @@ object Bench {
     }
 
     if (onlyScaling) {
-      emit(s"""{"metric":"scaling","scaling":$scalingJson}""")
+      // distinct default so a later full-bench run in the same directory
+      // cannot clobber this record (and vice versa)
+      emit(s"""{"metric":"scaling","scaling":$scalingJson}""",
+        defaultPath = "BENCH.scaling.out.json")
       inputDirs.foreach(rmDir)
       return
     }

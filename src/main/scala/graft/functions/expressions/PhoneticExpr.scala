@@ -130,32 +130,30 @@ object EscapeText {
   def unescapeXml(s: UTF8String): UTF8String =
     UTF8String.fromString(StringEscapeUtils.unescapeXml(s.toString))
 
-  /** The resolved static-method name for (mode, un); rejects unsupported
-    * combinations at plan time (unescape("javascript") lives on
-    * [[UnescapeJs]] — commons-text throws on malformed \uXXXX and the
-    * pipeline contract is lenient).
+  // ONE dispatch table: method name (for codegen) and implementation (for
+  // interpreted eval) live in the same entry, so the two execution paths
+  // cannot diverge when a mode is added.
+  private val impls: Map[(String, Boolean), (String, UTF8String => UTF8String)] = Map(
+    ("html", false) -> (("escapeHtml", escapeHtml)),
+    ("xml", false) -> (("escapeXml", escapeXml)),
+    ("javascript", false) -> (("escapeJs", escapeJs)),
+    ("html", true) -> (("unescapeHtml", unescapeHtml)),
+    ("xml", true) -> (("unescapeXml", unescapeXml)))
+
+  /** The resolved (static-method name, implementation) for (mode, un);
+    * rejects unsupported combinations at plan time (unescape("javascript")
+    * lives on [[UnescapeJs]] — commons-text throws on malformed \uXXXX and
+    * the pipeline contract is lenient).
     */
-  def resolve(mode: String, un: Boolean): String = (mode, un) match {
-    case ("html", false) => "escapeHtml"
-    case ("xml", false) => "escapeXml"
-    case ("javascript", false) => "escapeJs"
-    case ("html", true) => "unescapeHtml"
-    case ("xml", true) => "unescapeXml"
-    case (other, u) => throw new IllegalArgumentException(
-      s"unsupported EscapeText mode: $other (un=$u)")
-  }
+  def resolve(mode: String, un: Boolean): (String, UTF8String => UTF8String) =
+    impls.getOrElse((mode, un), throw new IllegalArgumentException(
+      s"unsupported EscapeText mode: $mode (un=$un)"))
 }
 
 case class EscapeTextExpr(child: Expression, mode: String, un: Boolean)
     extends UnaryExpression {
-  private val fnName = EscapeText.resolve(mode, un) // validates at construction
-  @transient private lazy val fn: UTF8String => UTF8String = fnName match {
-    case "escapeHtml" => EscapeText.escapeHtml
-    case "escapeXml" => EscapeText.escapeXml
-    case "escapeJs" => EscapeText.escapeJs
-    case "unescapeHtml" => EscapeText.unescapeHtml
-    case "unescapeXml" => EscapeText.unescapeXml
-  }
+  private val fnName = EscapeText.resolve(mode, un)._1 // validates at construction
+  @transient private lazy val fn = EscapeText.resolve(mode, un)._2
   override def dataType: DataType = StringType
   override def nullSafeEval(input: Any): Any = fn(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -349,7 +349,9 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val sig = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
     // materialized once: consumed by the bucket stats + both self-join sides
-    // (3 evaluations of the signature expression otherwise)
+    // (3 evaluations of the signature expression otherwise). Storage lives
+    // until the session GCs the plan — at cluster scale this materialization
+    // is an explicit signature-table write, freed when the job ends.
     val banded = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFF))).as(Seq("band", "key")))
