@@ -21,6 +21,14 @@ import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
   *   - exactly-once: checkpoint replay × the table's batchId ledger
   *   - backpressure: maxFilesPerTrigger (the reference's manifest batching,
   *     etl-start.py:115-133)
+  *
+  * Operational contract: a pipeline's identity is (writerId, checkpointDir)
+  * — resume reuses BOTH; a fresh checkpoint restarts Structured Streaming
+  * batchIds at 0, so it must come with a fresh writerId or the table ledger
+  * will (by design) swallow the first batches as that writer's replays.
+  * This asymmetry is exactly what makes a LOST checkpoint safe: re-tailing
+  * the same source with the same writerId dedupes instead of double-applying
+  * (StreamSpec "lost checkpoint"; LifecycleSpec pins the mode-switch case).
   */
 object CdcStream {
 

@@ -389,12 +389,22 @@ final class LakeTable(val root: String, val numBuckets: Int) {
     // of just-emptied dirs is safe (their mtime was refreshed by the file
     // deletes above and would otherwise wait a second sweep).
     def dirExpendable(p: Path): Boolean = graceMs == 0L || expendable(p)
+    // Files.walk throws NoSuchFileException (as UncheckedIOException) when a
+    // live writer's _temporary task dirs vanish mid-traversal — a sweep under
+    // a live tail must tolerate entries disappearing under it, not abort.
+    def walkTolerant(p: Path): Seq[Path] = {
+      val children =
+        if (!Files.isDirectory(p)) Seq.empty
+        else try LakeTable.listing(Files.list(p))(_.toSeq)
+          catch { case _: java.io.IOException | _: java.io.UncheckedIOException => Seq.empty }
+      p +: children.flatMap(walkTolerant)
+    }
     val (expire, keep) = names.splitAt(math.max(0, names.size - keepLast))
     val keptSnaps = keep.map(n => readSnapshot(metaDir.resolve(n)))
     val referenced: Set[String] = keptSnaps.flatMap(allFiles).toSet
     var deleted = 0
     if (Files.isDirectory(dataDir)) {
-      LakeTable.listing(Files.walk(dataDir))(_.toSeq).reverse.foreach { p =>
+      walkTolerant(dataDir).reverse.foreach { p =>
         if (Files.isRegularFile(p) && !referenced.contains(p.toString) &&
             expendable(p)) {
           // deleteIfExists: between the expendable() check and here a
@@ -402,11 +412,14 @@ final class LakeTable(val root: String, val numBuckets: Int) {
           // removed the file — a NoSuchFileException must not abort the
           // sweep and strand the remaining orphans + snapshot expiry
           if (Files.deleteIfExists(p)) deleted += 1
-        } else if (Files.isDirectory(p) && p != dataDir && dirExpendable(p) &&
-            LakeTable.listing(Files.list(p))(_.take(1).toSeq).isEmpty) {
+        } else if (Files.isDirectory(p) && p != dataDir && dirExpendable(p)) {
           // A writer racing a file into an old empty dir makes this delete
-          // fail non-empty — ignored, the dir survives.
-          try Files.deleteIfExists(p) catch { case _: java.io.IOException => }
+          // fail non-empty; the dir (or its listing) racing away entirely is
+          // equally fine — ignored, nothing to sweep.
+          try {
+            if (LakeTable.listing(Files.list(p))(_.take(1).toSeq).isEmpty)
+              Files.deleteIfExists(p)
+          } catch { case _: java.io.IOException | _: java.io.UncheckedIOException => }
         }
       }
     }
