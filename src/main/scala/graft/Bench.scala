@@ -4,7 +4,7 @@ import graft.changelog.Generator
 import graft.operators.MergeApplier
 import graft.streaming.CdcStream
 import graft.table.LakeTable
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 
 /** Per-round benchmark. Prints ONE JSON line:
   * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
@@ -435,7 +435,31 @@ object Bench {
         else Similarity.ivfTopK(embDf, annQ, k = 5, nLists = 8, nProbe = 2)
           .select("query_id", "vec_id")
           .join(bf, Seq("query_id", "vec_id")).count().toDouble / nBf
-      recallJson = f"""{"dedup_minhash_lsh_bands16":$rMinhash%.4f,"dedup_simhash_banded":$rSimhash%.4f,"embed_neardup_32x5":$rNearDup%.4f,"ann_lsh_topk_32x5":$rAnn%.4f,"ann_ivf_topk_probe2of8":$rIvf%.4f}"""
+      // The sf embeddings are near-orthogonal (no cluster structure) — the
+      // WORST case for a coarse quantizer, so the number above is an
+      // honest floor. Real corpora cluster; this leg measures the same
+      // config on a deterministic clustered corpus (8 hash-derived centers,
+      // ±0.15 noise) — the geometry IVF is actually used for.
+      progress("recall: IVF ANN (nProbe=2 of 8) on a clustered synthetic corpus")
+      val dim = 64
+      def h01(cols: Column*): Column =
+        ((xxhash64(cols: _*) % 1000L + 1000L) % 1000L).cast("double") / 1000.0
+      val clustered = spark.range(2000).toDF("raw_id")
+        .select(col("raw_id").as("vec_id"), (col("raw_id") % 8).as("cluster"))
+        .withColumn("embedding", transform(sequence(lit(0), lit(dim - 1)),
+          d => ((h01(col("cluster"), d) * 2 - 1) +
+            (h01(col("vec_id"), d, lit(9)) * 2 - 1) * 0.15).cast("float")))
+        .select("vec_id", "embedding")
+        .localCheckpoint(true)
+      val cq = clustered.filter(col("vec_id") < 8)
+      val cbf = Similarity.bruteForceTopK(clustered, cq, k = 5)
+        .select("query_id", "vec_id").localCheckpoint(true)
+      val nCbf = cbf.count()
+      val rIvfClustered = if (nCbf == 0) 1.0
+        else Similarity.ivfTopK(clustered, cq, k = 5, nLists = 8, nProbe = 2)
+          .select("query_id", "vec_id")
+          .join(cbf, Seq("query_id", "vec_id")).count().toDouble / nCbf
+      recallJson = f"""{"dedup_minhash_lsh_bands16":$rMinhash%.4f,"dedup_simhash_banded":$rSimhash%.4f,"embed_neardup_32x5":$rNearDup%.4f,"ann_lsh_topk_32x5":$rAnn%.4f,"ann_ivf_topk_probe2of8":$rIvf%.4f,"ann_ivf_topk_probe2of8_clustered":$rIvfClustered%.4f}"""
     }
 
     emit(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdcJson,"scaling":$scalingJson,"recall":$recallJson}""")
