@@ -43,6 +43,58 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(got != null)
   }
 
+  test("streaming exact dedup: first-seen emits once; watermark TTL bounds state and re-admits past the horizon") {
+    import graft.streaming.StreamingDedup
+    val dir = tmpDir("sdedup-src")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // flat files in arrival order = one micro-batch each (mft=1); the
+    // watermark advances between batches off each batch's max event time
+    def writeFile(i: Int, rows: Seq[(Long, String, java.sql.Timestamp)]): Unit = {
+      import java.nio.file.{Files, Paths}
+      import spark.implicits._
+      val tmp = s"$dir/.tmp-$i"
+      rows.toDF("doc_id", "text", "ts").coalesce(1).write.parquet(tmp)
+      val part = { val s = Files.list(Paths.get(tmp))
+        try { import scala.jdk.CollectionConverters._
+          s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+        } finally s.close() }
+      Files.move(part, Paths.get(f"$dir/dedup-$i%03d.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    writeFile(0, Seq((1L, "alpha", ts("2025-01-01 10:00:00")),
+      (2L, "beta", ts("2025-01-01 10:01:00")),
+      (3L, "alpha", ts("2025-01-01 10:02:00")))) // within-batch dup
+    writeFile(1, Seq((4L, "alpha", ts("2025-01-01 10:30:00")))) // inside TTL
+    writeFile(2, Seq((5L, "gamma", ts("2025-01-01 14:00:00")))) // pushes watermark to 13:00
+    // spacer batch: alpha's state (expires 11:00) is evicted during a batch
+    // where no alpha arrives, so the re-admit below is deterministic
+    // regardless of whether cleanup runs before or after a batch's input
+    writeFile(3, Seq((7L, "delta", ts("2025-01-01 14:05:00"))))
+    writeFile(4, Seq((6L, "alpha", ts("2025-01-01 14:10:00")))) // past the horizon
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = StreamingDedup.firstSeen(stream, ttl = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("sdedup")
+      .option("checkpointLocation", tmpDir("sdedup-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sdedup").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSet
+    // alpha once from batch 0 (doc 1 or 3 — within-batch winner order after
+    // the key shuffle is not guaranteed), beta, gamma, delta, and alpha
+    // AGAIN past the TTL horizon (doc 6); the inside-TTL dup (doc 4) is
+    // dropped and the batch-0 dup collapses to one row
+    assert(got.size == 5, s"got $got")
+    assert(got.contains((6L, "alpha")), s"post-horizon alpha not re-admitted: $got")
+    assert(Set((2L, "beta"), (5L, "gamma"), (7L, "delta")).subsetOf(got), s"got $got")
+    assert(!got.exists(_._1 == 4L), s"inside-TTL duplicate leaked: $got")
+    assert(got.count(_._2 == "alpha") == 2, s"got $got")
+  }
+
   test("sessionizer: turns per conversation accumulate in state") {
     import spark.implicits._
     val ev = Generator.events(spark, 500, numConvs = 5, turnsPerConv = 5, seed = 13)
