@@ -15,14 +15,30 @@ import org.apache.spark.sql.functions._
   * state is horizon-sized, not corpus-sized — at 10^10 docs a corpus-wide
   * exact-dedup state store would itself be a 10^10-row table, which is
   * exactly why full-history dedup stays a batch pass ([[graft.operators.Dedup.exact]])
-  * and the stream handles only the near-time window. Duplicates arriving
-  * AFTER the horizon re-emit by contract.
+  * and the stream handles only the near-time window.
+  *
+  * Completeness contract (standard watermark semantics — know it before
+  * wiring this into an ingest DAG):
+  *   - a duplicate arriving AFTER the horizon re-emits (state was evicted);
+  *   - a row arriving with event time older than the current watermark —
+  *     duplicate or NOVEL — is dropped by the engine before the dedup state
+  *     is consulted and never appears in the output. Size `ttl` to at least
+  *     the max expected source lag (a backfilled partition lagging > ttl
+  *     loses its novel documents from this VIEW), and treat the raw feed,
+  *     not this stream's output, as the source of truth the batch dedup
+  *     pass runs over.
+  *
+  * The output schema equals the input schema (the content hash is an
+  * internal column, dropped on the way out).
   */
 object StreamingDedup {
   def firstSeen(docs: DataFrame, textCol: String = "text",
-      tsCol: String = "ts", ttl: String = "1 hour"): DataFrame =
+      tsCol: String = "ts", ttl: String = "1 hour"): DataFrame = {
+    val hashCol = "__graft_text_hash"
     docs
-      .withColumn("text_hash", md5(col(textCol)))
+      .withColumn(hashCol, md5(col(textCol)))
       .withWatermark(tsCol, ttl)
-      .dropDuplicatesWithinWatermark("text_hash")
+      .dropDuplicatesWithinWatermark(hashCol)
+      .drop(hashCol)
+  }
 }

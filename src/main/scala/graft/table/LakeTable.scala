@@ -392,9 +392,13 @@ final class LakeTable(val root: String, val numBuckets: Int) {
     // Files.walk throws NoSuchFileException (as UncheckedIOException) when a
     // live writer's _temporary task dirs vanish mid-traversal — a sweep under
     // a live tail must tolerate entries disappearing under it, not abort.
+    // NOFOLLOW on the recursion check preserves Files.walk's default
+    // no-follow semantics: a symlinked dir under data/ (operator relocation)
+    // must be neither descended into (its files are not in `referenced` and
+    // would be deleted as orphans) nor able to cycle the recursion.
     def walkTolerant(p: Path): Seq[Path] = {
       val children =
-        if (!Files.isDirectory(p)) Seq.empty
+        if (!Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) Seq.empty
         else try LakeTable.listing(Files.list(p))(_.toSeq)
           catch { case _: java.io.IOException | _: java.io.UncheckedIOException => Seq.empty }
       p +: children.flatMap(walkTolerant)

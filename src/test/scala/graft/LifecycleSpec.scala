@@ -25,22 +25,12 @@ class LifecycleSpec extends SparkSpecBase {
     val oracle = Generator.oracleFold(all).map { case (k, e) => k -> ((e.text, e.seq)) }
     val phases = all.sortBy(_.seq).grouped(3000).toSeq // arrival-ordered thirds
 
-    // the file-stream source tails FLAT files (it does not descend into
-    // per-chunk write directories) — write each chunk and move its part
-    // file out, like the changelog generator does
     def writeChunks(dir: String, evs: Seq[ChangeEvent], chunks: Int,
         offset: Int = 0): Unit =
       evs.grouped(math.max(1, (evs.size + chunks - 1) / chunks)).zipWithIndex
         .foreach { case (c, i) =>
-          import java.nio.file.{Files, Paths}
-          val tmp = s"$dir/.tmp-${offset + i}"
-          spark.createDataset(c).toDF().coalesce(1).write.parquet(tmp)
-          val part = { val s = Files.list(Paths.get(tmp))
-            try { import scala.jdk.CollectionConverters._
-              s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
-            } finally s.close() }
-          Files.move(part, Paths.get(f"$dir/chunk-${offset + i}%03d.parquet"))
-          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+          writeFlatParquet(spark.createDataset(c).toDF(), dir,
+            f"chunk-${offset + i}%03d.parquet")
         }
 
     // phase 1: cold-start bulk load (a distinct writer id — the ledger is

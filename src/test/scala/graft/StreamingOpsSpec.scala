@@ -50,16 +50,8 @@ class StreamingOpsSpec extends SparkSpecBase {
     // flat files in arrival order = one micro-batch each (mft=1); the
     // watermark advances between batches off each batch's max event time
     def writeFile(i: Int, rows: Seq[(Long, String, java.sql.Timestamp)]): Unit = {
-      import java.nio.file.{Files, Paths}
       import spark.implicits._
-      val tmp = s"$dir/.tmp-$i"
-      rows.toDF("doc_id", "text", "ts").coalesce(1).write.parquet(tmp)
-      val part = { val s = Files.list(Paths.get(tmp))
-        try { import scala.jdk.CollectionConverters._
-          s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
-        } finally s.close() }
-      Files.move(part, Paths.get(f"$dir/dedup-$i%03d.parquet"))
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      writeFlatParquet(rows.toDF("doc_id", "text", "ts"), dir, f"dedup-$i%03d.parquet")
     }
     writeFile(0, Seq((1L, "alpha", ts("2025-01-01 10:00:00")),
       (2L, "beta", ts("2025-01-01 10:01:00")),
