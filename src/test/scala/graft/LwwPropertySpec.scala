@@ -49,10 +49,11 @@ class LwwPropertySpec extends SparkSpecBase {
     })
   }
 
-  test("property: random COW/MOR interleavings with empty batches and compactions converge") {
+  test("property: random COW/MOR interleavings with empty batches, compactions and vacuums converge") {
     // the strongest end-to-end guarantee: ANY interleaving of copy-on-write
-    // merges, merge-on-read delta appends, idle (empty) batches, and
-    // tombstone-retaining compactions reads back as the oracle fold
+    // merges, merge-on-read delta appends, idle (empty) batches,
+    // tombstone-retaining compactions, and zero-grace vacuums (no live
+    // writer between applies) reads back as the oracle fold
     check(5)(Prop.forAll(
         Gen.listOfN(60, eventGen), Gen.choose(2, 5),
         Gen.listOfN(8, Gen.oneOf("cow", "mor")),
@@ -79,6 +80,9 @@ class LwwPropertySpec extends SparkSpecBase {
             versionsAfterEmpty &&= table.currentSnapshot().get.version == before
             // ...and compaction must preserve state (tombstones retained)
             MergeApplier.compactRetainTombstones(spark, table)
+            // ...and a maintenance vacuum must neither disturb state nor
+            // break the ledger for the batches still to come
+            table.vacuum(keepLast = 1, graceMs = 0L)
           }
         }
         val got = table.read(spark).collect()
