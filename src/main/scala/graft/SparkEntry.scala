@@ -215,6 +215,14 @@ object SparkEntry {
 
     "dedup_exact" -> ((s, dir) => Dedup.exact(table(s, dir, "documents"))),
 
+    // Deterministic hash-based stratified sampling: the oracle evaluates the
+    // IDENTICAL md5 predicate, so the row SETS match, not just the rates.
+    // en halved, de kept whole, fr quartered; zh/es unconfigured → dropped.
+    "text_stratified_sample" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedSample(table(s, dir, "documents"),
+        Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25), stratumCol = "lang")
+        .select("doc_id", "lang")),
+
     // uncapped (maxDocFreq larger than the corpus): pure oracle parity for
     // the inverted-index jaccard itself.
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -499,6 +507,12 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "text_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) <
+        |  CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.25 END
+        |    * 4294967296""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH words AS (

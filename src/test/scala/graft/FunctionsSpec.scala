@@ -268,4 +268,36 @@ class FunctionsSpec extends SparkSpecBase {
     assert(fp(0) == fp(1))
     assert(fp(0) != fp(2))
   }
+
+  test("stratified sample: deterministic, rate-accurate, unconfigured strata dropped") {
+    import graft.operators.Sampling
+    val docs = (0L until 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val fr = Map("a" -> 0.25, "b" -> 1.0)
+    val s1 = Sampling.stratifiedSample(docs, fr, "lang")
+      .collect().map(_.getLong(0)).toSet
+    // determinism: same rows regardless of partitioning (no RNG, no state)
+    val s2 = Sampling.stratifiedSample(docs.repartition(7), fr, "lang")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    // independent recomputation of the predicate (java MessageDigest)
+    def u32(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val expected = (0L until 4000L).filter { i =>
+      u32(i) < fr(if (i % 2 == 0) "a" else "b") * 4294967296.0
+    }.toSet
+    assert(s1 == expected)
+    // fraction-1.0 stratum kept whole; 0.25 stratum near rate
+    assert(s1.count(_ % 2 == 1) == 2000)
+    val aRate = s1.count(_ % 2 == 0) / 2000.0
+    assert(math.abs(aRate - 0.25) < 0.05, s"rate drifted: $aRate")
+    // unconfigured stratum dropped entirely
+    val mixed = docs.withColumn("lang",
+      when($"doc_id" < 100, lit("zz")).otherwise($"lang"))
+    assert(!Sampling.stratifiedSample(mixed, fr, "lang")
+      .collect().exists(_.getLong(0) < 100))
+  }
 }
