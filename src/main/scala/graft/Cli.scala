@@ -41,7 +41,9 @@ object Cli {
     try run(spark, args.toList) finally spark.stop()
   }
 
-  private def run(spark: SparkSession, args: List[String]): Unit = args match {
+  // package-private so CliSpec can drive the command surface with the test
+  // session (main owns its session lifecycle and would stop a shared one)
+  private[graft] def run(spark: SparkSession, args: List[String]): Unit = args match {
     case "gen" :: dir :: n :: convs :: turns :: files :: rest =>
       val seed = rest.headOption.map(_.toLong).getOrElse(42L)
       val evolveAt = rest.drop(1).headOption.map(_.toLong).getOrElse(-1L)

@@ -1,0 +1,57 @@
+package graft
+
+import graft.changelog.Generator
+import graft.model.{ChangeEvent, Model}
+
+/** The spark-submit command surface (`graft.Cli`), driven end to end:
+  * gen → cold-start → tail → compact → vacuum → show. Pins the arg wiring
+  * and that `LakeTable.open` resolves the snapshot's bucket count (a
+  * hardcoded count in a second command would silently rebucket).
+  */
+class CliSpec extends SparkSpecBase {
+  import Model.changeEventEncoder
+
+  test("cli: gen → cold-start → tail → compact → vacuum → show round-trips") {
+    val src = tmpDir("cli-src")
+    val tableDir = tmpDir("cli-table")
+    val ckpt = tmpDir("cli-ckpt")
+    Cli.run(spark, List("gen", src, "2000", "10", "5", "4", "17"))
+    // cold start with a NON-default bucket count; later commands must pick
+    // it up from the snapshot, not assume 32
+    Cli.run(spark, List("cold-start", src, tableDir, "8"))
+    val table = graft.table.LakeTable.open(tableDir)
+    assert(table.numBuckets == 8)
+    val v1 = table.currentSnapshot().get.version
+    assert(v1 == 1)
+
+    // more events arrive; tail them from a checkpoint in MOR mode
+    val src2 = tmpDir("cli-src2")
+    Generator.writeChangelog(spark, src2, 1000, numConvs = 10, turnsPerConv = 5,
+      numFiles = 2, seed = 18)
+    Cli.run(spark, List("tail", src2, tableDir, ckpt, "1", "mor"))
+    assert(graft.table.LakeTable.open(tableDir).currentSnapshot().get.version > v1)
+
+    def state(): Map[(String, Int), (String, Long)] =
+      graft.table.LakeTable.open(tableDir).read(spark).collect()
+        .map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx")) ->
+          ((r.getAs[String]("text"), r.getAs[Long]("seq")))).toMap
+    val afterTail = state()
+    assert(afterTail.nonEmpty)
+    // (cross-generation seq collisions make an exact two-gen oracle fold
+    // ambiguous on (ts, seq) ties, so the maintenance pin — state preserved
+    // exactly — is the deterministic assertion here; oracle equality of the
+    // apply paths themselves is pinned by Merge/Mor/Stream/LifecycleSpec)
+    Cli.run(spark, List("compact", tableDir, "2030-01-01T00:00:00"))
+    Cli.run(spark, List("vacuum", tableDir, "1", "0"))
+    val t2 = graft.table.LakeTable.open(tableDir)
+    assert(t2.versions().size == 1)
+    assert(!t2.currentSnapshot().get.morDeltas)
+    assert(state() == afterTail, "compact+vacuum must preserve table state")
+    Cli.run(spark, List("show", tableDir)) // must not throw
+    // keys ⊆ the generated key space
+    val genKeys = (Generator.events(spark, 2000, 10, 5, seed = 17).as[ChangeEvent]
+      .collect() ++ Generator.events(spark, 1000, 10, 5, seed = 18)
+      .as[ChangeEvent].collect()).map(e => (e.conv_id, e.turn_idx)).toSet
+    assert(afterTail.keySet.subsetOf(genKeys))
+  }
+}
