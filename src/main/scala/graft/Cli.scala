@@ -16,6 +16,7 @@ import org.apache.spark.sql.SparkSession
   *   graft.Cli cold-start <changelogDir> <tableDir> [numBuckets]
   *   graft.Cli tail       <changelogDir> <tableDir> <checkpointDir> [maxFilesPerTrigger] [cow|mor] [autoCompactEvery]
   *   graft.Cli compact    <tableDir> <watermark 'yyyy-MM-dd HH:mm:ss'>
+  *   graft.Cli vacuum     <tableDir> [keepLast] [graceMs]
   *   graft.Cli show       <tableDir>
   * }}}
   */
@@ -38,7 +39,12 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, args.toList) finally spark.stop()
+    try run(spark, args.toList)
+    catch {
+      case e: IllegalArgumentException =>
+        System.err.println(e.getMessage); spark.stop(); sys.exit(2)
+    }
+    finally spark.stop()
   }
 
   // package-private so CliSpec can drive the command surface with the test
@@ -102,7 +108,9 @@ object Cli {
       }
 
     case other =>
-      System.err.println(s"unknown command: $other — see Scaladoc for usage")
-      sys.exit(2)
+      // throw, don't sys.exit: run is also test-invoked, and an exit here
+      // would kill the forked test JVM; main maps this to exit code 2
+      throw new IllegalArgumentException(
+        s"unknown command: $other — see Scaladoc for usage")
   }
 }
