@@ -215,6 +215,18 @@ object SparkEntry {
 
     "dedup_exact" -> ((s, dir) => Dedup.exact(table(s, dir, "documents"))),
 
+    // Vocabulary building (corpus token top-k): explode → hash agg → top-k
+    // under a deterministic TOTAL order (count desc, token asc) so the
+    // boundary ties select the same set in both engines. One shuffle for the
+    // agg (map-side partial combine collapses the token fan-out), one for
+    // the global top-k of an already-aggregated (vocabulary-sized) frame.
+    "text_vocab_topk" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(100)),
+
     // Deterministic hash-based stratified sampling: the oracle evaluates the
     // IDENTICAL md5 predicate, so the row SETS match, not just the rates.
     // en halved, de kept whole, fr quartered; zh/es unconfigured → dropped.
@@ -513,6 +525,13 @@ object SparkEntry {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) <
         |  CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.25 END
         |    * 4294967296""".stripMargin,
+
+    "text_vocab_topk" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents)
+        |SELECT token, COUNT(*) AS n FROM toks WHERE len(token) > 0
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH words AS (
