@@ -3,7 +3,8 @@ package graft
 import graft.changelog.Changelog
 import graft.functions.{Grel, Rml, Text}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Lww, Similarity}
+import graft.operators.{ChangeFeed, Dedup, Lww, MergeApplier, Similarity}
+import graft.table.LakeTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -39,6 +40,22 @@ object SparkEntry {
     lwwWinners(s, dir)
       .filter(col("op") =!= "delete")
       .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "seq")
+
+  /** Scratch root for the TABLE-BACKED gate queries: these run the REAL
+    * engine lifecycle (MergeApplier → LakeTable → read/feed) inside the
+    * DuckDB correctness gate, not just the relational fold it must equal.
+    * Rebuilt from scratch on every call (delete + build) so reruns — the
+    * bench sweep calls each query three times — are deterministic.
+    */
+  private def gateTable(name: String): LakeTable = {
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-gate", name).toString
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    new LakeTable(root, numBuckets = 8)
+  }
+
+  /** The table's final-state columns (op is internal; read() drops it). */
+  private val TableCols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts", "seq")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F5/N4/§2.8: projection + CASE routing + typed casts over raw events.
@@ -93,6 +110,80 @@ object SparkEntry {
       Lww.latestByKeyAgg(v1.unionByName(v2, allowMissingColumns = true))
         .filter(col("op") =!= "delete")
         .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "seq")
+    }),
+
+    // --- the ENGINE ITSELF under the oracle (S10/S13/S14, C2-C5, §3) ----
+    // Each of these builds a real LakeTable through the production apply
+    // paths and must reproduce the relational fold's state bit-for-bit.
+
+    // C2/C5: four sequential COW merges (batches = seq mod 4 residues — a
+    // deterministic out-of-ts-order split) must converge to the one-shot
+    // fold: the LWW rule is associative, so batching cannot change state.
+    "cdc_table_incremental" -> ((s, dir) => {
+      val cl = changelog(s, dir)
+      val t = gateTable("cdc_table_incremental")
+      (0 until 4).foreach(i =>
+        MergeApplier.applyBatch(s, t, cl.filter(col("seq") % 4 === i), "gate", i.toLong))
+      t.read(s).select(TableCols.map(col): _*)
+    }),
+
+    // C8/S14: the same four batches as MOR delta appends, read WITHOUT
+    // compaction — gates the zero-shuffle read-time delta fold.
+    "cdc_table_mor_read" -> ((s, dir) => {
+      val cl = changelog(s, dir)
+      val t = gateTable("cdc_table_mor_read")
+      (0 until 4).foreach(i =>
+        MergeApplier.applyBatchMor(s, t, cl.filter(col("seq") % 4 === i), "gate", i.toLong))
+      t.read(s).select(TableCols.map(col): _*)
+    }),
+
+    // C8: MOR appends + a full compaction — gates the bucket-local
+    // fold-and-rewrite (and its key-clustered output) against the oracle.
+    "cdc_table_mor_compact" -> ((s, dir) => {
+      val cl = changelog(s, dir)
+      val t = gateTable("cdc_table_mor_compact")
+      (0 until 4).foreach(i =>
+        MergeApplier.applyBatchMor(s, t, cl.filter(col("seq") % 4 === i), "gate", i.toLong))
+      MergeApplier.compactRetainTombstones(s, t)
+      t.read(s).select(TableCols.map(col): _*)
+    }),
+
+    // Time travel: two COW merges, then read AS OF the first commit — the
+    // snapshot isolation the manifest list provides.
+    "cdc_time_travel" -> ((s, dir) => {
+      val cl = changelog(s, dir)
+      val t = gateTable("cdc_time_travel")
+      MergeApplier.applyBatch(s, t, cl.filter(col("seq") % 2 === 0), "gate", 0L)
+      val v1 = t.currentSnapshot().get.version
+      MergeApplier.applyBatch(s, t, cl.filter(col("seq") % 2 === 1), "gate", 1L)
+      t.read(s, asOfVersion = Some(v1)).select(TableCols.map(col): _*)
+    }),
+
+    // Rollback: same build, roll the head back to the first commit — the
+    // rolled-back HEAD must serve exactly the time-traveled state.
+    "cdc_rollback" -> ((s, dir) => {
+      val cl = changelog(s, dir)
+      val t = gateTable("cdc_rollback")
+      MergeApplier.applyBatch(s, t, cl.filter(col("seq") % 2 === 0), "gate", 0L)
+      val v1 = t.currentSnapshot().get.version
+      MergeApplier.applyBatch(s, t, cl.filter(col("seq") % 2 === 1), "gate", 1L)
+      t.rollback(v1)
+      t.read(s).select(TableCols.map(col): _*)
+    }),
+
+    // Change Data Feed: the incremental-read side — the row-level
+    // insert/update/delete feed between the two commits, diffed
+    // bucket-locally from the manifests (ChangeFeed); the oracle derives
+    // the same feed from the two folded states with a full outer join.
+    "cdc_change_feed" -> ((s, dir) => {
+      val cl = changelog(s, dir)
+      val t = gateTable("cdc_change_feed")
+      MergeApplier.applyBatch(s, t, cl.filter(col("seq") % 2 === 0), "gate", 0L)
+      val v1 = t.currentSnapshot().get.version
+      MergeApplier.applyBatch(s, t, cl.filter(col("seq") % 2 === 1), "gate", 1L)
+      val v2 = t.currentSnapshot().get.version
+      ChangeFeed.changesBetween(s, t, v1, v2)
+        .select((ChangeFeed.ChangeTypeCol +: TableCols).map(col): _*)
     }),
 
     // --- relational surface (SURVEY §2.2/2.3/2.4/2.6) -------------------
@@ -360,10 +451,18 @@ object SparkEntry {
 
   private val C = Changelog.DuckDbCte
 
-  // star contraction computes the same deliverable as label propagation, so
-  // it shares dedup_clusters' recursive-CTE oracle verbatim
+  // Shared oracles: star contraction computes the same deliverable as label
+  // propagation; the table-lifecycle gates (incremental COW, MOR read, MOR +
+  // compact) must all converge to the one-shot fold (associativity is the
+  // engine's core correctness claim); a rolled-back head serves exactly the
+  // time-traveled state.
   def oracleSql: Map[String, String] =
-    oracleSqlBase + ("dedup_clusters_star" -> oracleSqlBase("dedup_clusters"))
+    oracleSqlBase ++ Map(
+      "dedup_clusters_star" -> oracleSqlBase("dedup_clusters"),
+      "cdc_table_incremental" -> oracleSqlBase("cdc_replay_final"),
+      "cdc_table_mor_read" -> oracleSqlBase("cdc_replay_final"),
+      "cdc_table_mor_compact" -> oracleSqlBase("cdc_replay_final"),
+      "cdc_rollback" -> oracleSqlBase("cdc_time_travel"))
 
   private val oracleSqlBase: Map[String, String] = Map(
     "cdc_changelog" -> s"$C SELECT * FROM changelog",
@@ -422,6 +521,53 @@ object SparkEntry {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
          |    ORDER BY ts DESC, seq DESC) AS rn FROM evolved) t
          |WHERE rn = 1 AND op <> 'delete'""".stripMargin,
+
+    // the half-changelog (seq % 2 = 0) fold — what the table held at v1
+    "cdc_time_travel" ->
+      s"""$C SELECT conv_id, turn_idx, role, text, tool, ts, seq FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+         |    ORDER BY ts DESC, seq DESC) AS rn FROM changelog WHERE seq % 2 = 0) t
+         |WHERE rn = 1 AND op <> 'delete'""".stripMargin,
+
+    // row-level feed between the v1 (seq % 2 = 0) and v2 (full) folds:
+    // insert = key not live at v1, live at v2; delete = live → not live
+    // (pre-image row); update = live → live with a different (ts, seq)
+    // winner. Tombstone→tombstone and unchanged winners emit nothing.
+    "cdc_change_feed" ->
+      s"""$C, v1 AS (
+         |  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+         |    ORDER BY ts DESC, seq DESC) AS rn FROM changelog WHERE seq % 2 = 0) t
+         |  WHERE rn = 1),
+         |v2 AS (
+         |  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+         |    ORDER BY ts DESC, seq DESC) AS rn FROM changelog) t
+         |  WHERE rn = 1),
+         |j AS (
+         |  SELECT COALESCE(a.conv_id, b.conv_id) AS conv_id,
+         |         COALESCE(a.turn_idx, b.turn_idx) AS turn_idx,
+         |         a.role AS a_role, a.text AS a_text, a.tool AS a_tool,
+         |         a.ts AS a_ts, a.seq AS a_seq, a.op AS a_op,
+         |         b.role AS b_role, b.text AS b_text, b.tool AS b_tool,
+         |         b.ts AS b_ts, b.seq AS b_seq, b.op AS b_op
+         |  FROM v1 a FULL JOIN v2 b
+         |    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx),
+         |c AS (
+         |  SELECT *, CASE
+         |    WHEN (a_op IS NULL OR a_op = 'delete')
+         |         AND b_op IS NOT NULL AND b_op <> 'delete' THEN 'insert'
+         |    WHEN a_op IS NOT NULL AND a_op <> 'delete'
+         |         AND (b_op IS NULL OR b_op = 'delete') THEN 'delete'
+         |    WHEN a_op <> 'delete' AND b_op <> 'delete'
+         |         AND (a_ts <> b_ts OR a_seq <> b_seq) THEN 'update'
+         |    END AS change_type
+         |  FROM j)
+         |SELECT change_type, conv_id, turn_idx,
+         |  CASE WHEN change_type = 'delete' THEN a_role ELSE b_role END AS role,
+         |  CASE WHEN change_type = 'delete' THEN a_text ELSE b_text END AS text,
+         |  CASE WHEN change_type = 'delete' THEN a_tool ELSE b_tool END AS tool,
+         |  CASE WHEN change_type = 'delete' THEN a_ts ELSE b_ts END AS ts,
+         |  CASE WHEN change_type = 'delete' THEN a_seq ELSE b_seq END AS seq
+         |FROM c WHERE change_type IS NOT NULL""".stripMargin,
 
     "q_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,

@@ -29,11 +29,13 @@ object BucketLocal {
     a > c || (a == c && ver(r, seqI) > ver(cur, seqI))
   }
 
-  /** Fold an iterator to its per-key winners. Rows are copied only when
-    * stored (the scan reuses row buffers); losers are never copied.
+  /** Fold an iterator to its per-key winner MAP. Rows are copied only when
+    * stored (the scan reuses row buffers); losers are never copied. Exposed
+    * (package-private) so the change feed can DIFF two folded states in-task.
     */
-  private[operators] def foldWinners(rows: Iterator[InternalRow],
-      convI: Int, turnI: Int, tsI: Int, seqI: Int): Iterator[InternalRow] = {
+  private[operators] def foldWinnersMap(rows: Iterator[InternalRow],
+      convI: Int, turnI: Int, tsI: Int, seqI: Int)
+      : java.util.HashMap[(UTF8String, Int), InternalRow] = {
     val winners = new java.util.HashMap[(UTF8String, Int), InternalRow]()
     while (rows.hasNext) {
       val r = rows.next()
@@ -43,17 +45,23 @@ object BucketLocal {
         winners.put((c.getUTF8String(convI), c.getInt(turnI)), c)
       }
     }
+    winners
+  }
+
+  private[operators] def foldWinners(rows: Iterator[InternalRow],
+      convI: Int, turnI: Int, tsI: Int, seqI: Int): Iterator[InternalRow] = {
     import scala.jdk.CollectionConverters._
-    winners.values().iterator().asScala
+    foldWinnersMap(rows, convI, turnI, tsI, seqI).values().iterator().asScala
   }
 
   private def keyIdx(schema: StructType): (Int, Int, Int, Int) =
     (schema.fieldIndex("conv_id"), schema.fieldIndex("turn_idx"),
       schema.fieldIndex("ts"), schema.fieldIndex("seq"))
 
-  private[operators] def bucketArray(table: LakeTable, snap: Snapshot): Array[Array[(String, Long)]] = {
+  private[operators] def bucketArray(table: LakeTable, snap: Snapshot,
+      buckets: Option[Set[Int]] = None): Array[Array[(String, Long)]] = {
     val files = Array.fill(table.numBuckets)(Array.empty[(String, Long)])
-    table.resolveFiles(snap).foreach { case (b, fs) =>
+    table.resolveFiles(snap, buckets).foreach { case (b, fs) =>
       files(b) = fs.map(f => (f.path, f.bytes)).toArray
     }
     files
@@ -65,19 +73,30 @@ object BucketLocal {
     * carries deltas; column pruning is moot there because the fold's winner
     * semantics need whole rows anyway.
     */
-  def readFolded(spark: SparkSession, table: LakeTable, snap: Snapshot): DataFrame = {
+  def readFolded(spark: SparkSession, table: LakeTable, snap: Snapshot,
+      buckets: Option[Set[Int]] = None): DataFrame = {
     val schema = snap.schema
     val (convI, turnI, tsI, seqI) = keyIdx(schema)
-    val folded = ScanBridge.bucketFilesRdd(spark, schema, bucketArray(table, snap))
+    val folded = ScanBridge.bucketFilesRdd(spark, schema, bucketArray(table, snap, buckets))
       .mapPartitions(rows => foldWinners(rows, convI, turnI, tsI, seqI))
     ScanBridge.internalDf(spark, folded, schema)
   }
 
   /** One bucket-local compaction pass: fold deltas (when present), drop
-    * tombstones older than the watermark, tag rows with the bucket id
-    * (= partition id, the alignment invariant). ZERO shuffles — compaction
-    * cost is exactly read + write, the property that keeps maintenance
+    * tombstones older than the watermark, CLUSTER the bucket's rows by
+    * (conv_id, turn_idx), tag rows with the bucket id (= partition id, the
+    * alignment invariant). ZERO shuffles — compaction cost is exactly
+    * read + sort-in-task + write, the property that keeps maintenance
     * feasible at 10^10 rows.
+    *
+    * Clustering: the rewritten parquet gets tight per-row-group min/max
+    * statistics on the key columns (a conversation's turns are contiguous),
+    * so any analytical scan with a conv_id/turn_idx predicate — including
+    * [[graft.table.LakeTable.lookupTurn]]'s pushed filter — skips row
+    * groups instead of scanning the bucket, and runs of one conversation
+    * compress better. Memory: the in-task sort materializes one bucket —
+    * the SAME bound the delta fold and the COW merge already have (a bucket
+    * is the rewrite unit, sized to the executor via numBuckets).
     */
   def compactRows(spark: SparkSession, table: LakeTable, snap: Snapshot,
       watermarkMicros: Long): DataFrame = {
@@ -96,11 +115,23 @@ object BucketLocal {
             !r.isNullAt(tsI) && r.getLong(tsI) < watermarkMicros
         val resolved =
           if (fold) foldWinners(rows, convI, turnI, tsI, seqI) else rows
+        // cluster by key: fold-path rows are already safe copies (map
+        // values); raw-scan rows reuse the reader's buffer and must be
+        // copied to be held for the sort
+        val buf = new scala.collection.mutable.ArrayBuffer[InternalRow]
+        resolved.filter(r => !expired(r))
+          .foreach(r => buf += (if (fold) r else r.copy()))
+        val arr = buf.toArray
+        java.util.Arrays.sort(arr, new java.util.Comparator[InternalRow] {
+          override def compare(a: InternalRow, b: InternalRow): Int = {
+            val c = a.getUTF8String(convI).compareTo(b.getUTF8String(convI))
+            if (c != 0) c else Integer.compare(a.getInt(turnI), b.getInt(turnI))
+          }
+        })
         val bucketRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           Array[Any](org.apache.spark.TaskContext.getPartitionId()))
         val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-        resolved.filter(r => !expired(r))
-          .map(r => joined(r, bucketRow): InternalRow)
+        arr.iterator.map(r => joined(r, bucketRow): InternalRow)
       }
     val outSchema = StructType(schema.fields :+
       org.apache.spark.sql.types.StructField("bucket",

@@ -359,6 +359,61 @@ final class LakeTable(val root: String, val numBuckets: Int) {
     resolved.filter(col("op") =!= Model.OpDelete).drop("op")
   }
 
+  /** Roll the table back to the state of `toVersion` — as a NEW commit whose
+    * manifest list, schema, lineage AND idempotence ledger are the target's
+    * (Iceberg's rollback-to-snapshot). O(1) metadata: no data file moves,
+    * the new snapshot simply references the old manifests; versions between
+    * `toVersion` and the rollback commit become unreferenced once the
+    * history expires and are then swept by [[vacuum]].
+    *
+    * Rolling the LEDGER back is the point: a streaming writer resumed after
+    * the rollback re-applies every batch past the target's ledger (its
+    * checkpoint replays them; the per-writer maxBatchId check accepts them
+    * again), converging the table forward deterministically instead of
+    * silently skipping the rolled-back range.
+    */
+  def rollback(toVersion: Long): Snapshot = {
+    val cur = currentSnapshot().getOrElse(
+      throw new IllegalStateException("empty table cannot be rolled back"))
+    require(toVersion <= cur.version,
+      s"cannot roll back to future version $toVersion (current ${cur.version})")
+    val target = snapshotAt(toVersion).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot v$toVersion (vacuumed?)"))
+    val s = target.copy(
+      version = cur.version + 1,
+      parentVersion = cur.version,
+      metrics = Map("rollbackTo" -> toVersion))
+    commit(s)
+    s
+  }
+
+  /** Point lookup of one turn. The key hash names the ONE bucket that can
+    * hold it (the same murmur3(seed 42) + pmod as [[bucketCol]] and the
+    * merge's repartition, evaluated driver-side), so the scan opens only
+    * that bucket's files — O(table/numBuckets) I/O, not O(table) — and on a
+    * compacted (clustered) table the pushed key predicate then skips row
+    * groups within them. Delta-carrying snapshots fold that one bucket
+    * in-task first (same LWW rule), so MOR and COW lookups agree.
+    */
+  def lookupTurn(spark: SparkSession, convId: String, turnIdx: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    currentSnapshot() match {
+      case None => spark.emptyDataFrame
+      case Some(s) =>
+        val h = Murmur3Hash(Seq(
+          Literal.create(convId, org.apache.spark.sql.types.StringType),
+          Literal(turnIdx)), 42).eval(null).asInstanceOf[Int]
+        val b = ((h % numBuckets) + numBuckets) % numBuckets
+        val one = Some(Set(b))
+        val base =
+          if (s.morDeltas) graft.operators.BucketLocal.readFolded(spark, this, s, one)
+          else readRaw(spark, one)
+        base.filter(col("conv_id") === convId && col("turn_idx") === turnIdx &&
+            col("op") =!= Model.OpDelete)
+          .drop("op")
+    }
+  }
+
   /** Vacuum: delete data files not referenced by the newest `keepLast`
     * snapshots, then drop the older snapshot JSONs and any manifest file no
     * kept snapshot points at (masked-out or expired manifests, plus torn
