@@ -334,6 +334,12 @@ object Bench {
       progress(s"cdc round $r/$cdcRounds: big-table tail MOR")
       bigMorS += runBigTail("mor")
     }
+    // change-feed read cost on the raw-MOR table BEFORE compaction: diff the
+    // first tail commit against the head — the incremental-consumer path
+    // (manifest-pruned bucket diff, both endpoints folded in-task)
+    val (feedRows, feedSec) = timed {
+      graft.operators.ChangeFeed.changesSince(spark, lastMorTable, 1L).count()
+    }
     // final compaction cost of a raw-MOR table (the amortized read-side debt)
     val (_, compactSec) = timed {
       MergeApplier.compact(spark, lastMorTable,
@@ -347,7 +353,7 @@ object Bench {
     val bigCowSec = bigCowS.min
     val bigMorSec = bigMorS.min
     val tailBatches = (tailFiles * tailParts + tailMft - 1) / tailMft // derived, not hardcoded
-    val cdcJson = f"""{"rounds":$cdcRounds,"replayEvents":$benchEvents,"replaySamples":${jsonArr(replayS.toSeq)},"replaySec":$replaySec%.2f,"replayEventsPerSec":${(benchEvents / replaySec).toLong},"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":$tailBatches,"tailCowSamples":${jsonArr(cowS.toSeq)},"tailSec":$tailSec%.2f,"tailEventsPerSec":${(tailEvents / tailSec).toLong},"tailMorSamples":${jsonArr(morS.toSeq)},"tailMorSec":$morSec%.2f,"tailMorEventsPerSec":${(tailEvents / morSec).toLong},"tailMorAutoSamples":${jsonArr(morAutoS.toSeq)},"tailMorAutoSec":$morAutoSec%.2f,"tailMorAutoEventsPerSec":${(tailEvents / morAutoSec).toLong},"tailMorAutoMaxDeltaDepth":$morAutoMaxDepth,"tailMorAutoCompactions":$morAutoCompactions,"morCompactSec":$compactSec%.2f,"bigTailTableRows":$bigTableRows,"bigTailEvents":$bigTailEvents,"bigTailCowSamples":${jsonArr(bigCowS.toSeq)},"bigTailCowSec":$bigCowSec%.2f,"bigTailCowEventsPerSec":${(bigTailEvents / bigCowSec).toLong},"bigTailMorSamples":${jsonArr(bigMorS.toSeq)},"bigTailMorSec":$bigMorSec%.2f,"bigTailMorEventsPerSec":${(bigTailEvents / bigMorSec).toLong}}"""
+    val cdcJson = f"""{"rounds":$cdcRounds,"replayEvents":$benchEvents,"replaySamples":${jsonArr(replayS.toSeq)},"replaySec":$replaySec%.2f,"replayEventsPerSec":${(benchEvents / replaySec).toLong},"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":$tailBatches,"tailCowSamples":${jsonArr(cowS.toSeq)},"tailSec":$tailSec%.2f,"tailEventsPerSec":${(tailEvents / tailSec).toLong},"tailMorSamples":${jsonArr(morS.toSeq)},"tailMorSec":$morSec%.2f,"tailMorEventsPerSec":${(tailEvents / morSec).toLong},"tailMorAutoSamples":${jsonArr(morAutoS.toSeq)},"tailMorAutoSec":$morAutoSec%.2f,"tailMorAutoEventsPerSec":${(tailEvents / morAutoSec).toLong},"tailMorAutoMaxDeltaDepth":$morAutoMaxDepth,"tailMorAutoCompactions":$morAutoCompactions,"feedRows":$feedRows,"feedSec":$feedSec%.2f,"morCompactSec":$compactSec%.2f,"bigTailTableRows":$bigTableRows,"bigTailEvents":$bigTailEvents,"bigTailCowSamples":${jsonArr(bigCowS.toSeq)},"bigTailCowSec":$bigCowSec%.2f,"bigTailCowEventsPerSec":${(bigTailEvents / bigCowSec).toLong},"bigTailMorSamples":${jsonArr(bigMorS.toSeq)},"bigTailMorSec":$bigMorSec%.2f,"bigTailMorEventsPerSec":${(bigTailEvents / bigMorSec).toLong}}"""
 
     // ---- query sweep (one warmup pass, then timed) ----
     progress("queries: warmup pass")

@@ -18,6 +18,11 @@ import org.apache.spark.sql.SparkSession
   *   graft.Cli compact    <tableDir> <watermark 'yyyy-MM-dd HH:mm:ss'>
   *   graft.Cli vacuum     <tableDir> [keepLast] [graceMs]
   *   graft.Cli show       <tableDir>
+  *   graft.Cli history    <tableDir>
+  *   graft.Cli feed       <tableDir> <fromVersion> [toVersion]
+  *   graft.Cli rollback   <tableDir> <toVersion>
+  *   graft.Cli lookup     <tableDir> <convId> <turnIdx>
+  *   graft.Cli rebucket   <tableDir> <newNumBuckets>
   * }}}
   */
 object Cli {
@@ -106,6 +111,40 @@ object Cli {
           println(s"""{"version":${s.version},"rows":${s.totalRows},"buckets":${files.size},"files":${files.valuesIterator.map(_.size).sum},"manifests":${s.manifests.size},"committed":${s.committed.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")},"metrics":${s.metrics.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")}}""")
           table.read(spark).show(5, truncate = false)
       }
+
+    case "history" :: tableDir :: Nil =>
+      LakeTable.open(tableDir).history(spark)
+        .orderBy("version").show(50, truncate = false)
+
+    case "feed" :: tableDir :: from :: rest =>
+      val table = LakeTable.open(tableDir)
+      val to = rest.headOption.map(_.toLong)
+        .orElse(table.currentSnapshot().map(_.version)).getOrElse(0L)
+      val feed = graft.operators.ChangeFeed
+        .changesBetween(spark, table, from.toLong, to)
+      import org.apache.spark.sql.functions.count
+      val byType = feed.groupBy(graft.operators.ChangeFeed.ChangeTypeCol)
+        .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(s"""{"mode":"feed","fromVersion":$from,"toVersion":$to,"inserts":${byType.getOrElse("insert", 0L)},"updates":${byType.getOrElse("update", 0L)},"deletes":${byType.getOrElse("delete", 0L)}}""")
+
+    case "rollback" :: tableDir :: to :: Nil =>
+      val s = LakeTable.open(tableDir).rollback(to.toLong)
+      println(s"""{"mode":"rollback","version":${s.version},"rolledBackTo":${s.metrics("rollbackTo")},"rows":${s.totalRows}}""")
+
+    case "lookup" :: tableDir :: convId :: turnIdx :: Nil =>
+      val rows = LakeTable.open(tableDir)
+        .lookupTurn(spark, convId, turnIdx.toInt).collect()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val turn = rows.headOption.map(r =>
+        s""","text":${mapper.writeValueAsString(r.getAs[String]("text"))},"ts":"${r.getAs[java.sql.Timestamp]("ts")}","seq":${r.getAs[Long]("seq")}""").getOrElse("")
+      println(s"""{"mode":"lookup","conv_id":"$convId","turn_idx":$turnIdx,"found":${rows.nonEmpty}$turn}""")
+
+    case "rebucket" :: tableDir :: n :: Nil =>
+      val table = LakeTable.open(tableDir)
+      val resized = MergeApplier.rebucket(spark, table, n.toInt)
+      val s = resized.currentSnapshot().get
+      println(s"""{"mode":"rebucket","version":${s.version},"numBuckets":${s.numBuckets},"rows":${s.totalRows}}""")
 
     case other =>
       // throw, don't sys.exit: run is also test-invoked, and an exit here

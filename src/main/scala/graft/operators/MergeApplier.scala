@@ -436,6 +436,57 @@ object MergeApplier {
     compactMicros(spark, table,
       org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(watermark))
 
+  /** Maintenance: rewrite the table under a NEW bucket count — the resize
+    * path for the COW rewrite unit. A bucket must fit an executor (it is
+    * both the merge fold's memory bound and the rewrite granularity), so a
+    * table that has grown 100× needs more buckets; the bucket function is
+    * part of the table's physical identity, so this is necessarily a full
+    * one-shuffle rewrite (read folded state → repartition by the new key
+    * hash → write all buckets → one commit), the same cost class as a
+    * compaction plus one exchange. Tombstones ride along (physical state is
+    * preserved exactly); the idempotence ledger carries over unchanged, so
+    * a live writer resumes against the resized table transparently —
+    * EXCEPT that any open handle (including the caller's) is stale: the
+    * bucket count is frozen per handle, and every apply path re-checks it
+    * against the snapshot and fails loudly. Use the returned handle.
+    */
+  def rebucket(spark: SparkSession, table: LakeTable, newNumBuckets: Int): LakeTable = {
+    require(newNumBuckets > 0, s"invalid bucket count $newNumBuckets")
+    val snap = table.currentSnapshot().getOrElse(
+      throw new IllegalStateException("empty table cannot be rebucketed"))
+    require(snap.numBuckets == table.numBuckets,
+      s"table has ${snap.numBuckets} buckets; handle opened with ${table.numBuckets}")
+    val resized = new LakeTable(table.root, newNumBuckets)
+    if (newNumBuckets == snap.numBuckets) return resized
+    val version = snap.version + 1
+    val outDir = table.commitDir(version, "rebucket", snap.version)
+    // fold deltas first if present (the rewrite must land key-unique rows);
+    // COW state reads raw — tombstones included on both paths
+    val state =
+      if (snap.morDeltas) BucketLocal.readFolded(spark, table, snap)
+      else table.readRaw(spark)
+    val keyCols = Model.KeyCols.map(col)
+    // same alignment trick as the merge: repartition(newN, key) partitions
+    // equal the NEW bucket function, so the partitioned write needs no
+    // second exchange
+    state.repartition(newNumBuckets, keyCols: _*)
+      .withColumn("bucket", resized.bucketCol)
+      .write.mode("overwrite").partitionBy("bucket").parquet(outDir.toString)
+    val newFiles = resized.listBucketFiles(outDir)
+    resized.commit(Snapshot(
+      version = version,
+      schemaJson = snap.schemaJson,
+      numBuckets = newNumBuckets,
+      manifests = Seq(ManifestRef(resized.writeManifest(version, newFiles),
+        newFiles.keySet, delta = false)),
+      committed = snap.committed,
+      bucketRows = resized.footerRowCounts(newFiles),
+      metrics = Map("rebucketedFrom" -> snap.numBuckets.toLong),
+      parentVersion = snap.version,
+      morDeltas = false))
+    resized
+  }
+
   private def compactMicros(spark: SparkSession, table: LakeTable,
       watermarkMicros: Long): Long = {
     val snap = table.currentSnapshot().getOrElse(return 0L)

@@ -359,6 +359,21 @@ final class LakeTable(val root: String, val numBuckets: Int) {
     resolved.filter(col("op") =!= Model.OpDelete).drop("op")
   }
 
+  /** Commit history as a DataFrame (the DESCRIBE HISTORY surface): one row
+    * per retained snapshot with its lineage metrics — the queryable face of
+    * the reference's per-run ConversionStats + marker files. Reads only the
+    * O(retained snapshots) metadata JSONs, never data files.
+    */
+  def history(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    versions().flatMap(snapshotAt).map { s =>
+      (s.version, s.parentVersion, s.numBuckets, s.totalRows,
+        s.manifests.size, s.manifests.count(_.delta), s.morDeltas,
+        s.committed, s.metrics)
+    }.toDF("version", "parent_version", "num_buckets", "total_rows",
+      "manifests", "delta_manifests", "mor_deltas", "committed", "metrics")
+  }
+
   /** Roll the table back to the state of `toVersion` — as a NEW commit whose
     * manifest list, schema, lineage AND idempotence ledger are the target's
     * (Iceberg's rollback-to-snapshot). O(1) metadata: no data file moves,

@@ -53,5 +53,20 @@ class CliSpec extends SparkSpecBase {
       .collect() ++ Generator.events(spark, 1000, 10, 5, seed = 18)
       .as[ChangeEvent].collect()).map(e => (e.conv_id, e.turn_idx)).toSet
     assert(afterTail.keySet.subsetOf(genKeys))
+
+    // maintenance + read-side commands over the same table
+    Cli.run(spark, List("history", tableDir))
+    val vCompacted = graft.table.LakeTable.open(tableDir)
+      .currentSnapshot().get.version
+    Cli.run(spark, List("feed", tableDir, vCompacted.toString)) // empty feed ok
+    val (lc, lt) = afterTail.keySet.head
+    Cli.run(spark, List("lookup", tableDir, lc, lt.toString))
+    Cli.run(spark, List("rebucket", tableDir, "16"))
+    assert(graft.table.LakeTable.open(tableDir).numBuckets == 16)
+    assert(state() == afterTail, "rebucket must preserve table state")
+    // rollback across the rebucket restores the 8-bucket physical identity
+    Cli.run(spark, List("rollback", tableDir, vCompacted.toString))
+    assert(graft.table.LakeTable.open(tableDir).numBuckets == 8)
+    assert(state() == afterTail)
   }
 }

@@ -137,6 +137,76 @@ class TableOpsSpec extends SparkSpecBase {
     assert(table.lookupTurn(spark, "c5", 0).count() == 1)
   }
 
+  test("rebucket: state (incl. tombstones) preserved; stale handles fail; ledger carries") {
+    val dir = tmpDir("ops-rebucket")
+    val t4 = new LakeTable(dir, numBuckets = 4)
+    val base = (0 until 120).map(i =>
+      ev(s"c$i", i % 6, s"t$i", "2025-01-01 00:00:00", "insert", i.toLong)) :+
+      ev("c3", 3, null, "2025-01-01 00:01:00", "delete", 999) // live tombstone
+    MergeApplier.applyBatch(spark, t4, spark.createDataset(base).toDF(), "w", 0L)
+    val before = state(t4)
+    val rawBefore = t4.readRaw(spark).count() // includes the tombstone
+
+    val t16 = MergeApplier.rebucket(spark, t4, 16)
+    assert(t16.numBuckets == 16)
+    assert(LakeTable.open(dir).numBuckets == 16, "open() must resolve the new count")
+    assert(state(t16) == before)
+    assert(t16.readRaw(spark).count() == rawBefore, "tombstones must survive the rewrite")
+    val s = t16.currentSnapshot().get
+    assert(s.metrics == Map("rebucketedFrom" -> 4L))
+    assert(s.bucketRows.keySet.subsetOf((0 until 16).toSet) && s.bucketRows.size > 4)
+
+    // the old handle's bucket function no longer matches the table — every
+    // apply path must reject it rather than mis-bucket
+    intercept[IllegalArgumentException] {
+      MergeApplier.applyBatch(spark, t4, spark.createDataset(Seq(
+        ev("x", 0, "y", "2025-01-01 00:02:00", "insert", 2000))).toDF(), "w", 1L)
+    }
+    // the ledger carried over: the already-committed batchId is still deduped
+    assert(MergeApplier.applyBatch(spark, t16,
+      spark.createDataset(base).toDF(), "w", 0L).skipped)
+    // and new work applies against the resized layout
+    MergeApplier.applyBatch(spark, t16, spark.createDataset(Seq(
+      ev("c0", 0, "updated", "2025-01-01 00:03:00", "update", 3000))).toDF(), "w", 1L)
+    assert(state(t16)(("c0", 0)) == (("updated", 3000L)))
+
+    // no-op resize returns a handle without a new commit
+    val vNow = t16.currentSnapshot().get.version
+    assert(MergeApplier.rebucket(spark, t16, 16).currentSnapshot().get.version == vNow)
+  }
+
+  test("rebucket folds MOR deltas into the resized layout") {
+    val dir = tmpDir("ops-rebucket-mor")
+    val t = new LakeTable(dir, numBuckets = 2)
+    MergeApplier.applyBatch(spark, t, spark.createDataset((0 until 40).map(i =>
+      ev(s"c$i", 0, s"a$i", "2025-01-01 00:00:00", "insert", i.toLong))).toDF(), "w", 0L)
+    MergeApplier.applyBatchMor(spark, t, spark.createDataset(Seq(
+      ev("c1", 0, "newer", "2025-01-01 00:01:00", "update", 100))).toDF(), "w", 1L)
+    assert(t.currentSnapshot().get.morDeltas)
+    val before = state(t)
+    val t8 = MergeApplier.rebucket(spark, t, 8)
+    val s = t8.currentSnapshot().get
+    assert(!s.morDeltas, "rebucket must fold deltas (rows land key-unique)")
+    assert(state(t8) == before)
+    assert(state(t8)(("c1", 0)) == (("newer", 100L)))
+  }
+
+  test("history: one row per retained snapshot with lineage metrics") {
+    val table = new LakeTable(tmpDir("ops-history"), numBuckets = 2)
+    MergeApplier.applyBatch(spark, table, spark.createDataset(Seq(
+      ev("c1", 0, "a", "2025-01-01 00:00:00", "insert", 1))).toDF(), "w", 0L)
+    MergeApplier.applyBatchMor(spark, table, spark.createDataset(Seq(
+      ev("c1", 0, "b", "2025-01-01 00:01:00", "update", 2))).toDF(), "w", 1L)
+    table.rollback(1L)
+    val h = table.history(spark).orderBy("version").collect()
+    assert(h.map(_.getAs[Long]("version")).toSeq == Seq(1L, 2L, 3L))
+    assert(h.map(_.getAs[Long]("parent_version")).toSeq == Seq(0L, 1L, 2L))
+    assert(h(1).getAs[Boolean]("mor_deltas"))
+    assert(h(1).getAs[Int]("delta_manifests") == 1)
+    assert(h(2).getAs[Map[String, Long]]("metrics") == Map("rollbackTo" -> 1L))
+    assert(h.map(_.getAs[Map[String, Long]]("committed")).last == Map("w" -> 0L))
+  }
+
   test("compaction clusters each bucket by (conv_id, turn_idx); state is unchanged") {
     val table = new LakeTable(tmpDir("ops-cluster"), numBuckets = 4)
     // interleaved arrival: two batches whose keys alternate, so pre-compact
