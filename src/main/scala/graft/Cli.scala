@@ -138,7 +138,8 @@ object Cli {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val turn = rows.headOption.map(r =>
         s""","text":${mapper.writeValueAsString(r.getAs[String]("text"))},"ts":"${r.getAs[java.sql.Timestamp]("ts")}","seq":${r.getAs[Long]("seq")}""").getOrElse("")
-      println(s"""{"mode":"lookup","conv_id":"$convId","turn_idx":$turnIdx,"found":${rows.nonEmpty}$turn}""")
+      // conv_id is user input — escape it like text, or quotes break the JSON
+      println(s"""{"mode":"lookup","conv_id":${mapper.writeValueAsString(convId)},"turn_idx":$turnIdx,"found":${rows.nonEmpty}$turn}""")
 
     case "rebucket" :: tableDir :: n :: Nil =>
       val table = LakeTable.open(tableDir)

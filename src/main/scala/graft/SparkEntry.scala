@@ -44,12 +44,16 @@ object SparkEntry {
   /** Scratch root for the TABLE-BACKED gate queries: these run the REAL
     * engine lifecycle (MergeApplier → LakeTable → read/feed) inside the
     * DuckDB correctness gate, not just the relational fold it must equal.
-    * Rebuilt from scratch on every call (delete + build) so reruns — the
-    * bench sweep calls each query three times — are deterministic.
+    * The base dir is unique PER JVM (two concurrent Verify/Bench processes
+    * must not clobber each other's tables) but stable within it, and each
+    * call rebuilds the named table from scratch (delete + build) so reruns
+    * — the bench sweep calls each query three times — are deterministic.
     */
+  private lazy val gateRoot: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-gate-")
+
   private def gateTable(name: String): LakeTable = {
-    val root = java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-gate", name).toString
+    val root = gateRoot.resolve(name).toString
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     new LakeTable(root, numBuckets = 8)
   }

@@ -54,13 +54,16 @@ object BucketLocal {
     foldWinnersMap(rows, convI, turnI, tsI, seqI).values().iterator().asScala
   }
 
-  private def keyIdx(schema: StructType): (Int, Int, Int, Int) =
+  private[operators] def keyIdx(schema: StructType): (Int, Int, Int, Int) =
     (schema.fieldIndex("conv_id"), schema.fieldIndex("turn_idx"),
       schema.fieldIndex("ts"), schema.fieldIndex("seq"))
 
   private[operators] def bucketArray(table: LakeTable, snap: Snapshot,
       buckets: Option[Set[Int]] = None): Array[Array[(String, Long)]] = {
-    val files = Array.fill(table.numBuckets)(Array.empty[(String, Long)])
+    // sized from the SNAPSHOT, not the handle: the snapshot's manifest is
+    // the authority on the bucket layout (a stale handle after a rebucket
+    // would otherwise under-allocate and overflow on the new bucket ids)
+    val files = Array.fill(snap.numBuckets)(Array.empty[(String, Long)])
     table.resolveFiles(snap, buckets).foreach { case (b, fs) =>
       files(b) = fs.map(f => (f.path, f.bytes)).toArray
     }

@@ -76,26 +76,18 @@ object ChangeFeed {
     val schema = sTo.schema
     val filesFrom = table.resolveFiles(sFrom)
     val filesTo = table.resolveFiles(sTo)
-    val aFrom = Array.fill(n)(Array.empty[(String, Long)])
-    val aTo = Array.fill(n)(Array.empty[(String, Long)])
-    (0 until n).foreach { b =>
-      val f = filesFrom.getOrElse(b, Seq.empty)
-      val t = filesTo.getOrElse(b, Seq.empty)
-      // identical file list ⇒ identical bucket contents ⇒ skip without a
-      // read: a COW rewrite REPLACES the list, a MOR append EXTENDS it, so
-      // any change to the bucket changes the list
-      if (f != t) {
-        aFrom(b) = f.map(e => (e.path, e.bytes)).toArray
-        aTo(b) = t.map(e => (e.path, e.bytes)).toArray
-      }
-    }
-    val convI = schema.fieldIndex("conv_id")
-    val turnI = schema.fieldIndex("turn_idx")
-    val tsI = schema.fieldIndex("ts")
-    val seqI = schema.fieldIndex("seq")
+    // identical file list ⇒ identical bucket contents ⇒ skip without a
+    // read: a COW rewrite REPLACES the list, a MOR append EXTENDS it, so
+    // any change to the bucket changes the list
+    val changed = (0 until n).filter { b =>
+      filesFrom.getOrElse(b, Seq.empty) != filesTo.getOrElse(b, Seq.empty)
+    }.toSet
+    val (convI, turnI, tsI, seqI) = BucketLocal.keyIdx(schema)
     val opI = schema.fieldIndex("op")
-    val fromRdd = ScanBridge.bucketFilesRdd(spark, schema, aFrom)
-    val toRdd = ScanBridge.bucketFilesRdd(spark, schema, aTo)
+    val fromRdd = ScanBridge.bucketFilesRdd(spark, schema,
+      BucketLocal.bucketArray(table, sFrom, Some(changed)))
+    val toRdd = ScanBridge.bucketFilesRdd(spark, schema,
+      BucketLocal.bucketArray(table, sTo, Some(changed)))
     val diffed = fromRdd.zipPartitions(toRdd, preservesPartitioning = false)(
       diffPartition(convI, turnI, tsI, seqI, opI))
     val outSchema = StructType(schema.fields :+

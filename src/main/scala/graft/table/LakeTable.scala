@@ -415,14 +415,21 @@ final class LakeTable(val root: String, val numBuckets: Int) {
     currentSnapshot() match {
       case None => spark.emptyDataFrame
       case Some(s) =>
+        // same physical-identity guard as the apply paths: the bucket id is
+        // computed from the HANDLE's count, so a handle left stale by a
+        // rebucket would silently name the wrong bucket of the new layout
+        require(s.numBuckets == numBuckets,
+          s"table has ${s.numBuckets} buckets; handle opened with $numBuckets")
         val h = Murmur3Hash(Seq(
           Literal.create(convId, org.apache.spark.sql.types.StringType),
           Literal(turnIdx)), 42).eval(null).asInstanceOf[Int]
         val b = ((h % numBuckets) + numBuckets) % numBuckets
         val one = Some(Set(b))
+        // pin the read to the SNAPSHOT the bucket id was derived from — a
+        // concurrent commit between resolution and read must not retarget it
         val base =
           if (s.morDeltas) graft.operators.BucketLocal.readFolded(spark, this, s, one)
-          else readRaw(spark, one)
+          else readRaw(spark, one, asOfVersion = Some(s.version))
         base.filter(col("conv_id") === convId && col("turn_idx") === turnIdx &&
             col("op") =!= Model.OpDelete)
           .drop("op")

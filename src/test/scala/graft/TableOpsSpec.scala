@@ -162,6 +162,11 @@ class TableOpsSpec extends SparkSpecBase {
       MergeApplier.applyBatch(spark, t4, spark.createDataset(Seq(
         ev("x", 0, "y", "2025-01-01 00:02:00", "insert", 2000))).toDF(), "w", 1L)
     }
+    // ... and so must the bucket-pruned point read (its bucket id derives
+    // from the handle's count); full reads stay correct on a stale handle
+    // because file resolution is snapshot-driven
+    intercept[IllegalArgumentException] { t4.lookupTurn(spark, "c0", 0) }
+    assert(state(t4) == state(t16))
     // the ledger carried over: the already-committed batchId is still deduped
     assert(MergeApplier.applyBatch(spark, t16,
       spark.createDataset(base).toDF(), "w", 0L).skipped)
