@@ -187,6 +187,68 @@ class ChangeFeedSpec extends SparkSpecBase {
     assert(feed == Map(("c1", 1) -> (("insert", "added", 3L, null))))
   }
 
+  test("property: feed between ANY two versions equals the in-memory fold diff") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def tsSec(sec: Int) = new Timestamp(1735689600000L + sec * 1000L)
+    val eventGen: Gen[ChangeEvent] = for {
+      conv <- Gen.choose(0, 5)
+      turn <- Gen.choose(0, 3)
+      sec <- Gen.choose(0, 50)
+      op <- Gen.frequency(6 -> "insert", 2 -> "update", 2 -> "delete")
+    } yield ChangeEvent(s"c$conv", turn, "user", s"t$conv-$turn-$sec",
+      None, tsSec(sec), op, 0L)
+    // winners INCLUDING tombstones; diff rules identical to the golden case
+    def foldAll(es: Seq[ChangeEvent]): Map[(String, Int), ChangeEvent] =
+      es.groupBy(e => (e.conv_id, e.turn_idx))
+        .map { case (k, g) => k -> g.maxBy(e => (e.ts.getTime, e.seq)) }
+    def expectedDiff(before: Seq[ChangeEvent], after: Seq[ChangeEvent])
+        : Map[(String, Int), (String, String, Long)] = {
+      val f1 = foldAll(before); val f2 = foldAll(after)
+      f2.flatMap { case (k, b) =>
+        val a = f1.get(k)
+        val aLive = a.exists(_.op != Model.OpDelete)
+        val bLive = b.op != Model.OpDelete
+        if (!aLive && bLive) Some(k -> (("insert", b.text, b.seq)))
+        else if (aLive && !bLive) Some(k -> (("delete", a.get.text, a.get.seq)))
+        else if (aLive && bLive && a.get.seq != b.seq)
+          Some(k -> (("update", b.text, b.seq)))
+        else None
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5),
+      Prop.forAll(Gen.listOfN(60, eventGen),
+          Gen.listOfN(8, Gen.oneOf("cow", "mor")),
+          Gen.listOfN(8, Gen.oneOf(true, false))) { (events, modes, compacts) =>
+        events.isEmpty || {
+          val distinctSeq = events.zipWithIndex.map { case (e, i) => e.copy(seq = i.toLong) }
+          val table = new LakeTable(tmpDir("feed-prop"), numBuckets = 4)
+          val size = math.max(1, distinctSeq.size / 4)
+          // (version, cumulative event prefix) after every commit — applies
+          // AND compactions, so sampled pairs cross compaction boundaries
+          val marks = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[ChangeEvent])]
+          var applied = Seq.empty[ChangeEvent]
+          distinctSeq.grouped(size).zipWithIndex.foreach { case (chunk, i) =>
+            apply(table, chunk, i.toLong, mor = modes(i % modes.size) == "mor")
+            applied ++= chunk
+            marks += ((table.currentSnapshot().get.version, applied))
+            if (compacts(i % compacts.size)) {
+              MergeApplier.compactRetainTombstones(spark, table)
+              marks += ((table.currentSnapshot().get.version, applied))
+            }
+          }
+          // consecutive pairs + the full span (bounded job count per run)
+          val pairs = marks.sliding(2).map(w => (w(0), w(1))).toSeq :+
+            ((marks.head, marks.last))
+          pairs.forall { case ((vA, evA), (vB, evB)) =>
+            val got = feedMap(ChangeFeed.changesBetween(spark, table, vA, vB).collect())
+              .map { case (k, (c, t, s, _)) => k -> ((c, t, s)) }
+            got == expectedDiff(evA, evB)
+          }
+        }
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("guard rails: unknown versions and reversed ranges fail loudly") {
     val table = new LakeTable(tmpDir("feed-guards"), numBuckets = 2)
     val v1 = apply(table, Seq(
