@@ -110,6 +110,15 @@ object MergeApplier {
   private def deleteDir(p: java.nio.file.Path): Unit =
     org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
 
+  /** Test seam: runs once per apply/compact ATTEMPT, after the data files are
+    * staged but before the first CAS try — i.e. inside the race window.
+    * Specs inject a concurrent winner here to exercise every conflict path
+    * deterministically (rebase, re-run, split-brain skip, compaction yield);
+    * the thread-race stress test covers the same paths nondeterministically.
+    * Args: (writerId, batchId). No-op in production.
+    */
+  private[graft] var beforePublish: (String, Long) => Unit = (_, _) => ()
+
   /** Normalize an incoming changelog batch to the merged (evolved) schema. */
   private def evolve(table: LakeTable, batch: DataFrame): (DataFrame, StructType) = {
     val current = table.currentSnapshot().map(_.schema)
@@ -119,15 +128,50 @@ object MergeApplier {
     (Model.alignToSchema(batch, merged), merged)
   }
 
+  /** Copy-on-write apply with OPTIMISTIC CONCURRENCY (Iceberg's multi-writer
+    * contract, from scratch): the merge folds against a base snapshot; the
+    * commit is a CAS on the snapshot version. A lost CAS is resolved by
+    * [[cowAttempt]]'s conflict rule — rebase the metadata when the winner
+    * left our touched buckets alone (disjoint writers, the common sharded-
+    * ingest case: pure O(1) driver-side retry, no recompute), re-run the
+    * whole merge when it rewrote or delta-appended any of them (our in-task
+    * fold is stale — correctness over speed). LWW is order-independent, so
+    * any interleaving of committed batches converges to the same state.
+    */
   def applyBatch(spark: SparkSession, table: LakeTable, batch: DataFrame,
       writerId: String, batchId: Long): ApplyResult = {
+    var attempts = 0
+    while (attempts < 8) {
+      attempts += 1
+      // Optimistic first; after 4 lost races this writer is starved — its
+      // re-run (a full Spark job) outlasts rivals' commit cadence, so pure
+      // optimism livelocks. Escalate to the table's advisory commit lock:
+      // rivals park at the commit gate while we fold, so the locked attempt
+      // can lose at most once more (to a rival already past the gate when
+      // we acquired), never twice. See LakeTable.withCommitLock.
+      val attempt =
+        if (attempts <= 4) cowAttempt(spark, table, batch, writerId, batchId)
+        else table.withCommitLock(cowAttempt(spark, table, batch, writerId, batchId))
+      attempt match {
+        case Some(r) => return r
+        case None => () // stale fold: merge re-runs against the new snapshot
+      }
+    }
+    throw new IllegalStateException(
+      s"COW apply $writerId/$batchId lost the commit race $attempts times " +
+      "even under the exclusive commit lock — this indicates a lock breach " +
+      "(stale-expiry misconfiguration), not ordinary contention")
+  }
+
+  private def cowAttempt(spark: SparkSession, table: LakeTable, batch: DataFrame,
+      writerId: String, batchId: Long): Option[ApplyResult] = {
     val t0 = System.nanoTime()
     val snap = table.currentSnapshot()
     val ledger = snap.map(_.maxBatchId(writerId)).getOrElse(-1L)
     if (batchId <= ledger) {
       // Exactly-once: this batch already landed in a published snapshot
       // (the streaming checkpoint replayed it after a crash). No-op.
-      return ApplyResult(skipped = true, snap.map(_.version).getOrElse(0L), 0, 0, 0, 0)
+      return Some(ApplyResult(skipped = true, snap.map(_.version).getOrElse(0L), 0, 0, 0, 0))
     }
 
     snap.foreach { s =>
@@ -139,7 +183,7 @@ object MergeApplier {
     }
     val (aligned, mergedSchema) = evolve(table, batch)
     val version = snap.map(_.version).getOrElse(0L) + 1
-    val outDir = table.commitDir(version, writerId, batchId)
+    val outDir = table.attemptDir(version, writerId, batchId)
     val keyCols = Model.KeyCols.map(col)
 
     // Shuffle-alignment trick: `bucket = pmod(hash(conv_id, turn_idx), N)`
@@ -154,7 +198,6 @@ object MergeApplier {
     var batchRows = 0L
     var nDeletes = 0L
     var touchedCount = 0
-    var touchedBuckets: Set[Int] = Set.empty
     var statsWinners: Map[Int, Long] = Map.empty
 
     val coldObs = new org.apache.spark.sql.Observation("cold-stats")
@@ -232,7 +275,7 @@ object MergeApplier {
           // idle ones. Drop the empty output dir rather than commit an orphan
           // version; replay of an empty batch is trivially idempotent.
           deleteDir(outDir)
-          return ApplyResult(skipped = false, s.version, 0, 0, 0, 0)
+          return Some(ApplyResult(skipped = false, s.version, 0, 0, 0, 0))
         }
     }
     val tMeta = System.nanoTime()
@@ -242,13 +285,12 @@ object MergeApplier {
       // Empty FIRST batch on a cold table: same no-orphan-version contract as
       // the hot path's idle-trigger handling — commit nothing.
       deleteDir(outDir)
-      return ApplyResult(skipped = false, 0, 0, 0, 0, 0)
+      return Some(ApplyResult(skipped = false, 0, 0, 0, 0, 0))
     }
     if (snap.nonEmpty) {
       // every touched bucket emits >=1 winner (tombstones retained), so the
       // written bucket set IS the touched set
-      touchedBuckets = newBucketFiles.keySet
-      touchedCount = touchedBuckets.size
+      touchedCount = newBucketFiles.size
     }
     // Manifest-list commit: ONE new manifest file for the touched buckets;
     // prior refs keep their (untouched) buckets via mask subtraction — no
@@ -256,18 +298,18 @@ object MergeApplier {
     // independent of how many data files the table holds. A COW rewrite of a
     // bucket also masks that bucket's MOR delta refs: the rewrite read and
     // folded them (the bucket-aligned scan reads base + deltas).
+    val mine = newBucketFiles.keySet
+    val myRef = ManifestRef(table.writeManifest(version, newBucketFiles),
+      mine, delta = false)
     val manifests = snap.map(_.manifests).getOrElse(Seq.empty)
-      .map(m => m.copy(buckets = m.buckets -- newBucketFiles.keySet))
-      .filter(_.buckets.nonEmpty) :+
-      ManifestRef(table.writeManifest(version, newBucketFiles),
-        newBucketFiles.keySet, delta = false)
+      .map(m => m.copy(buckets = m.buckets -- mine))
+      .filter(_.buckets.nonEmpty) :+ myRef
     val prevRows = snap.map(_.bucketRows).getOrElse(Map.empty)
     // Hot path: per-bucket written rows are the merge fold's winner counts —
     // no re-opening of just-written parquet footers per micro-batch (driver
     // I/O off the tail's critical path). Cold start reads footers once.
     val newRows = if (snap.nonEmpty) statsWinners
       else table.footerRowCounts(newBucketFiles)
-    val bucketRows = prevRows ++ newRows
     if (snap.isEmpty) {
       // cold-start stats: totals from footers (free); tombstones from the
       // observed write metrics
@@ -276,26 +318,74 @@ object MergeApplier {
       nDeletes = coldObs.get("dels").asInstanceOf[Long]
     }
 
-    val s = Snapshot(
+    def metricsFor(extra: Map[String, Long]) = Map(
+      "batchRows" -> batchRows,
+      "upserts" -> (batchRows - nDeletes),
+      "deletes" -> nDeletes,
+      "touchedBuckets" -> touchedCount.toLong,
+      "metaMs" -> (System.nanoTime() - tMeta) / 1000000,
+      "durationMs" -> (System.nanoTime() - t0) / 1000000) ++ extra
+
+    var cand = Snapshot(
       version = version,
       schemaJson = mergedSchema.json,
       numBuckets = table.numBuckets,
       manifests = manifests,
       committed = snap.map(_.committed).getOrElse(Map.empty) + (writerId -> batchId),
-      bucketRows = bucketRows,
-      metrics = Map(
-        "batchRows" -> batchRows,
-        "upserts" -> (batchRows - nDeletes),
-        "deletes" -> nDeletes,
-        "touchedBuckets" -> touchedCount.toLong,
-        "metaMs" -> (System.nanoTime() - tMeta) / 1000000,
-        "durationMs" -> (System.nanoTime() - t0) / 1000000),
+      bucketRows = prevRows ++ newRows,
+      metrics = metricsFor(Map.empty),
       parentVersion = snap.map(_.version).getOrElse(0L),
       // a COW merge folds deltas only in the buckets it TOUCHED; untouched
       // buckets may still hold MOR deltas, so the flag clears only at compact
       morDeltas = snap.exists(_.morDeltas))
-    table.commit(s)
-    ApplyResult(skipped = false, version, batchRows, touchedCount, batchRows - nDeletes, nDeletes)
+
+    // Optimistic publish. On a lost CAS: a concurrent commit that left OUR
+    // buckets' resolved file lists exactly as the base snapshot had them
+    // cannot have folded or superseded any row we merged — rebase is pure
+    // metadata (mask our buckets out of the winner's manifest list, append
+    // our ref, merge ledger/lineage/schema) and costs no recompute. Any
+    // change to our buckets (COW rewrite, MOR delta, compaction, resize)
+    // means our in-task fold is stale: drop the attempt's files and re-run
+    // the merge (None → applyBatch loops).
+    beforePublish(writerId, batchId)
+    while (true) {
+      try {
+        table.commit(cand)
+        return Some(ApplyResult(skipped = false, cand.version, batchRows,
+          touchedCount, batchRows - nDeletes, nDeletes))
+      } catch {
+        case _: graft.table.CommitConflictException =>
+          val cur = table.currentSnapshot().getOrElse(
+            throw new IllegalStateException("commit conflict on an empty table"))
+          if (cur.maxBatchId(writerId) >= batchId) {
+            // split brain: another instance of this writer already landed the
+            // batch — exactly-once holds, our attempt is redundant
+            deleteDir(outDir)
+            return Some(ApplyResult(skipped = true, cur.version, 0, 0, 0, 0))
+          }
+          require(cur.numBuckets == table.numBuckets,
+            s"table was rebucketed to ${cur.numBuckets} buckets mid-apply " +
+              s"(handle opened with ${table.numBuckets})")
+          val baseFiles = snap.map(s => table.resolveFiles(s, Some(mine)))
+            .getOrElse(Map.empty[Int, Seq[graft.table.FileEntry]])
+          if (table.resolveFiles(cur, Some(mine)) != baseFiles) {
+            deleteDir(outDir)
+            return None
+          }
+          cand = Snapshot(
+            version = cur.version + 1,
+            schemaJson = Model.mergeSchemas(cur.schema, mergedSchema).json,
+            numBuckets = table.numBuckets,
+            manifests = cur.manifests.map(m => m.copy(buckets = m.buckets -- mine))
+              .filter(_.buckets.nonEmpty) :+ myRef,
+            committed = cur.committed + (writerId -> batchId),
+            bucketRows = cur.bucketRows ++ newRows,
+            metrics = metricsFor(Map("rebasedFrom" -> version)),
+            parentVersion = cur.version,
+            morDeltas = cur.morDeltas)
+      }
+    }
+    None // unreachable
   }
 
   /** Merge-on-read apply: append the batch's events as DELTA files to each
@@ -324,7 +414,7 @@ object MergeApplier {
     }
     val (aligned, mergedSchema) = evolve(table, batch)
     val version = snap.map(_.version).getOrElse(0L) + 1
-    val outDir = table.commitDir(version, writerId, batchId)
+    val outDir = table.attemptDir(version, writerId, batchId)
     val keyCols = Model.KeyCols.map(col)
     // Per-bucket lineage rides a per-partition accumulator (the COW
     // winner-count pattern): partition id == bucket id by the alignment
@@ -378,37 +468,74 @@ object MergeApplier {
     }
     val tMeta = System.nanoTime()
     val newBucketFiles = table.listBucketFiles(outDir)
-    // Delta commit: append ONE delta manifest ref; no prior ref is touched.
-    // Readers concatenate base + deltas per bucket in manifest-list order.
-    val manifests = snap.map(_.manifests).getOrElse(Seq.empty) :+
-      ManifestRef(table.writeManifest(version, newBucketFiles),
-        newBucketFiles.keySet, delta = true)
+    val myRef = ManifestRef(table.writeManifest(version, newBucketFiles),
+      newBucketFiles.keySet, delta = true)
     val prevRows = snap.map(_.bucketRows).getOrElse(Map.empty)
     // bucketRows counts STORED rows (incl. superseded versions until
     // compact); per-bucket counts come from the write-side accumulator — no
     // footer reads on the hot path
     val newRows = perPartition.filter(_._2 > 0).map(s => s._1 -> s._2).toMap
-    val bucketRows = (prevRows.keySet ++ newBucketFiles.keySet).map { b =>
-      b -> (prevRows.getOrElse(b, 0L) + newRows.getOrElse(b, 0L))
+    def rowsOn(base: Map[Int, Long]) = (base.keySet ++ newBucketFiles.keySet).map { b =>
+      b -> (base.getOrElse(b, 0L) + newRows.getOrElse(b, 0L))
     }.toMap
-    table.commit(Snapshot(
+    def metricsFor(extra: Map[String, Long]) = Map(
+      "batchRows" -> batchRows,
+      "upserts" -> (batchRows - nDeletes),
+      "deletes" -> nDeletes,
+      "touchedBuckets" -> newBucketFiles.size.toLong,
+      "metaMs" -> (System.nanoTime() - tMeta) / 1000000,
+      "durationMs" -> (System.nanoTime() - t0) / 1000000) ++ extra
+    // Delta commit: append ONE delta manifest ref; no prior ref is touched.
+    // Readers concatenate base + deltas per bucket in manifest-list order.
+    var cand = Snapshot(
       version = version,
       schemaJson = mergedSchema.json,
       numBuckets = table.numBuckets,
-      manifests = manifests,
+      manifests = snap.map(_.manifests).getOrElse(Seq.empty) :+ myRef,
       committed = snap.map(_.committed).getOrElse(Map.empty) + (writerId -> batchId),
-      bucketRows = bucketRows,
-      metrics = Map(
-        "batchRows" -> batchRows,
-        "upserts" -> (batchRows - nDeletes),
-        "deletes" -> nDeletes,
-        "touchedBuckets" -> newBucketFiles.size.toLong,
-        "metaMs" -> (System.nanoTime() - tMeta) / 1000000,
-        "durationMs" -> (System.nanoTime() - t0) / 1000000),
+      bucketRows = rowsOn(prevRows),
+      metrics = metricsFor(Map.empty),
       parentVersion = snap.map(_.version).getOrElse(0L),
-      morDeltas = true))
-    ApplyResult(skipped = false, version, batchRows, newBucketFiles.size,
-      batchRows - nDeletes, nDeletes)
+      morDeltas = true)
+    // Optimistic publish. A MOR delta is a pure append of not-yet-seen rows,
+    // and the LWW fold is associative and order-independent — appending our
+    // ref AFTER any concurrent commit (COW rewrite, another delta, a
+    // compaction) folds to the same winners as any other order — so a lost
+    // CAS always rebases as pure metadata: no conflict case re-runs the job.
+    // (The one ordering caveat: concurrent compact(watermark) may expire a
+    // tombstone our delta's late stale insert would have lost to; the
+    // watermark contract — no in-flight source older than the watermark —
+    // already forbids that input, exactly as in the sequential schedule.)
+    beforePublish(writerId, batchId)
+    while (true) {
+      try {
+        table.commit(cand)
+        return ApplyResult(skipped = false, cand.version, batchRows,
+          newBucketFiles.size, batchRows - nDeletes, nDeletes)
+      } catch {
+        case _: graft.table.CommitConflictException =>
+          val cur = table.currentSnapshot().getOrElse(
+            throw new IllegalStateException("commit conflict on an empty table"))
+          if (cur.maxBatchId(writerId) >= batchId) {
+            deleteDir(outDir) // split brain: the batch already landed once
+            return ApplyResult(skipped = true, cur.version, 0, 0, 0, 0)
+          }
+          require(cur.numBuckets == table.numBuckets,
+            s"table was rebucketed to ${cur.numBuckets} buckets mid-apply " +
+              s"(handle opened with ${table.numBuckets})")
+          cand = Snapshot(
+            version = cur.version + 1,
+            schemaJson = Model.mergeSchemas(cur.schema, mergedSchema).json,
+            numBuckets = table.numBuckets,
+            manifests = cur.manifests :+ myRef,
+            committed = cur.committed + (writerId -> batchId),
+            bucketRows = rowsOn(cur.bucketRows),
+            metrics = metricsFor(Map("rebasedFrom" -> version)),
+            parentVersion = cur.version,
+            morDeltas = true)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Cold start (§3.1): single-pass full replay — read the whole changelog,
@@ -426,7 +553,9 @@ object MergeApplier {
     */
   /** Compaction that folds deltas but retains EVERY tombstone — the variant
     * maintenance policies (auto-compaction) must use, since they cannot know
-    * how late the source can still run.
+    * how late the source can still run. Returns rows in the compacted table,
+    * or -1 if compaction yielded to sustained concurrent commits (see
+    * [[compactMicros]] — retry at the next maintenance trigger).
     */
   def compactRetainTombstones(spark: SparkSession, table: LakeTable): Long =
     compactMicros(spark, table, Long.MinValue)
@@ -459,7 +588,10 @@ object MergeApplier {
     val resized = new LakeTable(table.root, newNumBuckets)
     if (newNumBuckets == snap.numBuckets) return resized
     val version = snap.version + 1
-    val outDir = table.commitDir(version, "rebucket", snap.version)
+    // a concurrent commit during the rewrite makes the CAS below throw
+    // CommitConflictException — resizing under live writers is the caller's
+    // coordination decision, so it propagates rather than silently retrying
+    val outDir = table.attemptDir(version, "rebucket", snap.version)
     // fold deltas first if present (the rewrite must land key-unique rows);
     // COW state reads raw — tombstones included on both paths
     val state =
@@ -489,29 +621,45 @@ object MergeApplier {
 
   private def compactMicros(spark: SparkSession, table: LakeTable,
       watermarkMicros: Long): Long = {
-    val snap = table.currentSnapshot().getOrElse(return 0L)
-    // Same physical-identity guard as the apply paths: a handle opened with a
-    // different bucket count would silently REBUCKET the table here (the
-    // bucket column derives from the handle, not the snapshot).
-    require(snap.numBuckets == table.numBuckets,
-      s"table has ${snap.numBuckets} buckets; handle opened with ${table.numBuckets}")
-    // Bucket-local compaction: fold + expire inside each bucket's own task —
-    // ZERO shuffles; compaction cost is exactly read + write (BucketLocal).
-    val version = snap.version + 1
-    val outDir = table.commitDir(version, "compact", snap.version)
-    BucketLocal.compactRows(spark, table, snap, watermarkMicros)
-      .write.mode("overwrite").partitionBy("bucket").parquet(outDir.toString)
-    val newFiles = table.listBucketFiles(outDir)
-    val rows = table.footerRowCounts(newFiles)
-    // Compaction resets the manifest list to a single full manifest — the
-    // bound on manifest-list growth (one delta ref per MOR commit between
-    // compactions).
-    table.commit(Snapshot(version, snap.schemaJson, table.numBuckets,
-      Seq(ManifestRef(table.writeManifest(version, newFiles),
-        newFiles.keySet, delta = false)),
-      snap.committed, rows,
-      Map("compactedRows" -> rows.values.sum), snap.version,
-      morDeltas = false))
-    rows.values.sum
+    // Compaction rewrites EVERY bucket, so a concurrent commit (which by
+    // construction touches some bucket or the ledger) always invalidates the
+    // attempt — a lost CAS can never rebase, it re-runs against the fresh
+    // snapshot. Bounded: under a sustained faster writer, compaction yields
+    // (returns -1) rather than livelocking the maintenance thread; the next
+    // maintenance trigger retries.
+    var attempts = 0
+    while (attempts < 4) {
+      attempts += 1
+      val snap = table.currentSnapshot().getOrElse(return 0L)
+      // Same physical-identity guard as the apply paths: a handle opened with a
+      // different bucket count would silently REBUCKET the table here (the
+      // bucket column derives from the handle, not the snapshot).
+      require(snap.numBuckets == table.numBuckets,
+        s"table has ${snap.numBuckets} buckets; handle opened with ${table.numBuckets}")
+      // Bucket-local compaction: fold + expire inside each bucket's own task —
+      // ZERO shuffles; compaction cost is exactly read + write (BucketLocal).
+      val version = snap.version + 1
+      val outDir = table.attemptDir(version, "compact", snap.version)
+      BucketLocal.compactRows(spark, table, snap, watermarkMicros)
+        .write.mode("overwrite").partitionBy("bucket").parquet(outDir.toString)
+      val newFiles = table.listBucketFiles(outDir)
+      val rows = table.footerRowCounts(newFiles)
+      // Compaction resets the manifest list to a single full manifest — the
+      // bound on manifest-list growth (one delta ref per MOR commit between
+      // compactions).
+      beforePublish("compact", snap.version)
+      try {
+        table.commit(Snapshot(version, snap.schemaJson, table.numBuckets,
+          Seq(ManifestRef(table.writeManifest(version, newFiles),
+            newFiles.keySet, delta = false)),
+          snap.committed, rows,
+          Map("compactedRows" -> rows.values.sum), snap.version,
+          morDeltas = false))
+        return rows.values.sum
+      } catch {
+        case _: graft.table.CommitConflictException => deleteDir(outDir)
+      }
+    }
+    -1L
   }
 }

@@ -59,6 +59,16 @@ final case class Snapshot(
   def totalRows: Long = bucketRows.values.sum
 }
 
+/** A concurrent [[LakeTable.commit]] won the race to this snapshot version.
+  * The loser's data/manifest files are unpublished (invisible to readers,
+  * swept by vacuum); the apply paths catch this and either REBASE their
+  * metadata onto the new current snapshot (disjoint buckets, MOR appends) or
+  * re-run the merge against it (overlapping COW rewrites).
+  */
+final class CommitConflictException(val version: Long)
+  extends RuntimeException(
+    s"snapshot v$version was committed concurrently; rebase against the current snapshot and retry")
+
 /** A bucketed copy-on-write lake table on a filesystem.
   *
   * Layout:
@@ -78,11 +88,18 @@ final case class Snapshot(
   * write amplification; at 10^10 rows N scales with the cluster while the
   * per-batch touched-bucket set stays proportional to batch key coverage.
   *
-  * Concurrency: single writer per table (the streaming driver), like the
-  * reference's single ingestion EC2 host. Atomicity comes from
-  * Files.move(ATOMIC_MOVE) of the snapshot JSON on a local/posix or HDFS-like
-  * filesystem; on S3 this layer would swap to a catalog CAS — isolated behind
-  * [[commit]].
+  * Concurrency: MULTIPLE writers with optimistic concurrency (the reference
+  * runs a single ingestion EC2 host; scaling past one ingest stream per table
+  * needs more). [[commit]] is a true compare-and-swap on the snapshot
+  * version: the JSON is staged to a temp file and published with
+  * Files.createLink (hard link), which atomically FAILS if the version
+  * already exists — unlike ATOMIC_MOVE, which silently replaces it and
+  * would lose the race winner's commit. A loser gets
+  * [[CommitConflictException]] and (in MergeApplier) rebases its metadata
+  * onto the new current snapshot when its touched buckets are untouched
+  * there — concurrent writers on disjoint key ranges, a MOR appender racing
+  * a compactor — or re-runs the merge when they overlap. On S3 this layer
+  * would swap the link CAS for a catalog CAS — isolated behind [[commit]].
   */
 object LakeTable {
   /** Open an existing table with the bucket count recorded in its newest
@@ -186,13 +203,17 @@ final class LakeTable(val root: String, val numBuckets: Int) {
       morDeltas = Option(m.get("morDeltas")).exists(_.toString.toBoolean))
   }
 
-  /** Atomically publish a snapshot; refuses to overwrite an existing version
-    * (single-writer invariant check).
+  /** Atomically publish a snapshot version — a true CAS: of any number of
+    * concurrent committers of the same version, exactly ONE succeeds and the
+    * rest get [[CommitConflictException]] (see the class doc's concurrency
+    * section). The loser's staged temp file is cleaned up here; its data
+    * files and manifest stay unpublished until vacuum sweeps them or a
+    * rebase re-references them.
     */
   def commit(s: Snapshot): Unit = {
     Files.createDirectories(metaDir)
+    awaitCommitGate()
     val target = metaDir.resolve(f"snap-${s.version}%012d.json")
-    require(!Files.exists(target), s"snapshot v${s.version} already committed")
     val j = new java.util.LinkedHashMap[String, Object]()
     j.put("version", java.lang.Long.valueOf(s.version))
     j.put("schemaJson", s.schemaJson)
@@ -211,11 +232,114 @@ final class LakeTable(val root: String, val numBuckets: Int) {
     j.put("morDeltas", java.lang.Boolean.valueOf(s.morDeltas))
     val tmp = metaDir.resolve(s".tmp-snap-${s.version}-${System.nanoTime()}.json")
     mapper.writerWithDefaultPrettyPrinter().writeValue(tmp.toFile, j)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    publishCas(tmp, target, s.version)
     // best-effort O(1) resolution hint — written AFTER the atomic publish so
     // it can only lag (readers probe forward); a crash here costs nothing
     try Files.writeString(hintPath, s.version.toString)
     catch { case _: Exception => () }
+  }
+
+  /** Publish `tmp` as `target` iff `target` does not exist, atomically.
+    * Files.createLink is the POSIX CAS primitive: link(2) fails with EEXIST,
+    * so of N racing committers exactly one creates the name; the fully-
+    * written temp file becomes the published snapshot (same inode), then the
+    * temp name is dropped. Filesystems without hard links degrade to the
+    * pre-checked atomic rename — still torn-write-safe, but last-writer-wins
+    * in the (tiny) check-to-move window, i.e. single-writer only there.
+    */
+  private def publishCas(tmp: Path, target: Path, version: Long): Unit = {
+    if (Files.exists(target)) { // cheap pre-check; the link below is the CAS
+      Files.deleteIfExists(tmp)
+      throw new CommitConflictException(version)
+    }
+    try {
+      Files.createLink(target, tmp)
+      Files.deleteIfExists(tmp)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new CommitConflictException(version)
+      case _: UnsupportedOperationException =>
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  // --- commit lock (pessimistic fallback) ---------------------------------
+
+  /** An ADVISORY exclusive commit lock for fairness under sustained
+    * same-bucket contention. Correctness never depends on it — [[commit]]'s
+    * link(2) CAS stays the only serialization point — but a pure-optimistic
+    * COW writer can livelock: its conflict re-run is a multi-second Spark
+    * job, during which faster rivals land more commits, so it loses every
+    * race no matter how many retries (observed with 4 overlapping writers).
+    * MergeApplier escalates such a starved writer here: while the lock file
+    * exists, every OTHER committer parks at [[awaitCommitGate]], so the
+    * holder's next fold-and-CAS cannot lose. This is Iceberg's
+    * lock-manager escalation re-expressed over the filesystem: acquisition
+    * is the same create-if-absent primitive as the snapshot CAS, ownership
+    * is a token (cross-process safe; in-JVM threads each get their own via
+    * a ThreadLocal), and a crashed holder's lock expires by mtime after
+    * [[lockStaleMs]] — at which point rivals break it and proceed; the CAS
+    * still protects them, the stale window only costs fairness.
+    */
+  private val lockPath = metaDir.resolve("commit.lock")
+  private val lockOwner = new ThreadLocal[String]
+  private[graft] var lockStaleMs: Long = 600000L
+
+  private def lockIsStale(): Boolean =
+    try System.currentTimeMillis() -
+      Files.getLastModifiedTime(lockPath).toMillis > lockStaleMs
+    catch { case _: Exception => false } // vanished/unreadable: nothing to break
+
+  private def ownsCommitLock(): Boolean = {
+    val token = lockOwner.get()
+    token != null && (
+      try new String(Files.readAllBytes(lockPath),
+        java.nio.charset.StandardCharsets.UTF_8) == token
+      catch { case _: Exception => false })
+  }
+
+  /** Park until no OTHER committer holds the advisory lock (holder passes
+    * straight through; a stale lock is ignored — see [[withCommitLock]]).
+    */
+  private def awaitCommitGate(): Unit =
+    while (Files.exists(lockPath) && !ownsCommitLock() && !lockIsStale())
+      Thread.sleep(10)
+
+  /** Run `f` holding the exclusive commit lock; see the lock doc above.
+    * Not reentrant (the single MergeApplier call site never nests).
+    */
+  def withCommitLock[T](f: => T): T = {
+    val token = java.util.UUID.randomUUID().toString
+    Files.createDirectories(metaDir)
+    var held = false
+    while (!held) {
+      try {
+        Files.write(lockPath, token.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        held = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          if (lockIsStale()) {
+            // break a crashed holder's lock; racing breakers are harmless
+            // (deleteIfExists + the CREATE_NEW retry re-serialize them)
+            try Files.deleteIfExists(lockPath) catch { case _: Exception => () }
+          } else Thread.sleep(25)
+      }
+    }
+    lockOwner.set(token)
+    try f
+    finally {
+      lockOwner.remove()
+      // release only if the file still carries OUR token — after a stale
+      // break it may be a new holder's lock, which is theirs to release
+      try {
+        val cur = new String(Files.readAllBytes(lockPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (cur == token) Files.deleteIfExists(lockPath)
+      } catch { case _: Exception => () }
+    }
   }
 
   // --- manifests ----------------------------------------------------------
@@ -291,6 +415,18 @@ final class LakeTable(val root: String, val numBuckets: Int) {
   /** Data-file paths for a commit directory, keyed by bucket. */
   def commitDir(version: Long, writerId: String, batchId: Long): Path =
     dataDir.resolve(s"c$version-$writerId-$batchId")
+
+  /** A unique staging directory for one apply ATTEMPT. Concurrent writers —
+    * or a split-brain second instance of the same writerId — can race the
+    * same (version, writerId, batchId) triple; a deterministic name would
+    * have them overwriting each other's in-flight data files. Each attempt
+    * stages to its own directory instead: published files are referenced by
+    * absolute path in the manifest (the directory name is informational),
+    * and an abandoned attempt is never referenced, so vacuum sweeps it.
+    */
+  def attemptDir(version: Long, writerId: String, batchId: Long): Path =
+    dataDir.resolve(
+      s"c$version-$writerId-$batchId-${java.util.UUID.randomUUID().toString.take(8)}")
 
   def listBucketFiles(dir: Path): Map[Int, Seq[FileEntry]] = {
     if (!Files.isDirectory(dir)) return Map.empty
