@@ -184,9 +184,27 @@ object Bench {
     if (!onlyScaling)
       Generator.writeChangelog(prep, bigTailDir, bigTailEvents, numConvs,
         turnsPerConv = 25, numFiles = tailFiles, seed = 777, partsPerChunk = 4)
+    // multi-writer input: the SAME tail changelog sharded by BUCKET OWNER
+    // (bucket % W) — how a real deployment splits one binlog across W ingest
+    // writers. Key-hash routing makes each COW writer's touched-bucket set
+    // disjoint from every other's, so all its lost commit races rebase as
+    // pure metadata (no recompute); sharding by conv_id instead would spread
+    // every writer across ALL buckets and turn every race into a re-run.
+    val mwWriters = 4
+    val mwChunks = 5
+    val mwDir = tmp("bench-mw")
+    if (!onlyScaling) {
+      import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+      prep.read.schema(graft.model.Model.changeEventSchema).parquet(tailDir)
+        .withColumn("owner",
+          pmod(hash(col("conv_id"), col("turn_idx")), lit(32)) % mwWriters)
+        .withColumn("chunk", pmod(col("seq"), lit(mwChunks)))
+        .repartition(col("owner"), col("chunk"))
+        .write.mode("overwrite").partitionBy("owner", "chunk").parquet(mwDir)
+    }
     prep.stop()
     progress("prep done")
-    val inputDirs = Seq(changelogDir, scalingDir, warmupDir, tailDir, bigTailDir)
+    val inputDirs = Seq(changelogDir, scalingDir, warmupDir, tailDir, bigTailDir, mwDir)
 
     // ---- scaling: identical replay at N and 4N cores ----
     var scalingJson = "null"
@@ -306,6 +324,48 @@ object Bench {
       rmDir(dir); rmDir(ckpt)
       sec
     }
+    // ---- multi-writer leg: W concurrent writers, ONE shared table ----
+    // Total throughput across writers; the conflict ledger (rebases vs
+    // re-runs) is read back from snapshot history. Expected state = the
+    // single LWW fold of the whole tail input (order-independence makes any
+    // interleaving converge) — checked every round.
+    val mwExpectedLive = {
+      import org.apache.spark.sql.functions.col
+      graft.operators.Lww.latestByKeyAgg(
+        spark.read.schema(graft.model.Model.changeEventSchema).parquet(tailDir))
+        .filter(col("op") =!= graft.model.Model.OpDelete).count()
+    }
+    val mwCowS = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val mwMorS = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var mwRebases = 0L
+    var mwReruns = 0L
+    var mwRowsOk = true
+    def runMw(mode: String): Double = {
+      val dir = tmp(s"bench-mw-$mode-table")
+      val t = new LakeTable(dir, numBuckets = 32)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val (_, sec) = timed {
+        val threads = (0 until mwWriters).map { i =>
+          val th = new Thread(() => {
+            try (0 until mwChunks).foreach { j =>
+              val df = spark.read.schema(graft.model.Model.changeEventSchema)
+                .parquet(s"$mwDir/owner=$i/chunk=$j")
+              if (mode == "cow") MergeApplier.applyBatch(spark, t, df, s"w$i", j.toLong)
+              else MergeApplier.applyBatchMor(spark, t, df, s"w$i", j.toLong)
+            } catch { case e: Throwable => failures.add(e) }
+          })
+          th.start(); th
+        }
+        threads.foreach(_.join())
+      }
+      if (!failures.isEmpty) throw failures.peek()
+      val snaps = t.versions().flatMap(t.snapshotAt)
+      mwRebases += snaps.count(_.metrics.contains("rebasedFrom"))
+      mwReruns += snaps.count(_.metrics.contains("rerunAttempt"))
+      mwRowsOk &&= t.read(spark).count() == mwExpectedLive
+      rmDir(dir)
+      sec
+    }
     (1 to cdcRounds).foreach { r =>
       progress(s"cdc round $r/$cdcRounds: replay")
       val (rows, sec) = replayJob(spark, changelogDir)
@@ -333,6 +393,10 @@ object Bench {
       bigCowS += runBigTail("cow")
       progress(s"cdc round $r/$cdcRounds: big-table tail MOR")
       bigMorS += runBigTail("mor")
+      progress(s"cdc round $r/$cdcRounds: multi-writer COW x$mwWriters")
+      mwCowS += runMw("cow")
+      progress(s"cdc round $r/$cdcRounds: multi-writer MOR x$mwWriters")
+      mwMorS += runMw("mor")
     }
     // change-feed read cost on the raw-MOR table BEFORE compaction: diff the
     // first tail commit against the head — the incremental-consumer path
@@ -352,8 +416,10 @@ object Bench {
     val morAutoSec = morAutoS.min
     val bigCowSec = bigCowS.min
     val bigMorSec = bigMorS.min
+    val mwCowSec = mwCowS.min
+    val mwMorSec = mwMorS.min
     val tailBatches = (tailFiles * tailParts + tailMft - 1) / tailMft // derived, not hardcoded
-    val cdcJson = f"""{"rounds":$cdcRounds,"replayEvents":$benchEvents,"replaySamples":${jsonArr(replayS.toSeq)},"replaySec":$replaySec%.2f,"replayEventsPerSec":${(benchEvents / replaySec).toLong},"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":$tailBatches,"tailCowSamples":${jsonArr(cowS.toSeq)},"tailSec":$tailSec%.2f,"tailEventsPerSec":${(tailEvents / tailSec).toLong},"tailMorSamples":${jsonArr(morS.toSeq)},"tailMorSec":$morSec%.2f,"tailMorEventsPerSec":${(tailEvents / morSec).toLong},"tailMorAutoSamples":${jsonArr(morAutoS.toSeq)},"tailMorAutoSec":$morAutoSec%.2f,"tailMorAutoEventsPerSec":${(tailEvents / morAutoSec).toLong},"tailMorAutoMaxDeltaDepth":$morAutoMaxDepth,"tailMorAutoCompactions":$morAutoCompactions,"feedRows":$feedRows,"feedSec":$feedSec%.2f,"morCompactSec":$compactSec%.2f,"bigTailTableRows":$bigTableRows,"bigTailEvents":$bigTailEvents,"bigTailCowSamples":${jsonArr(bigCowS.toSeq)},"bigTailCowSec":$bigCowSec%.2f,"bigTailCowEventsPerSec":${(bigTailEvents / bigCowSec).toLong},"bigTailMorSamples":${jsonArr(bigMorS.toSeq)},"bigTailMorSec":$bigMorSec%.2f,"bigTailMorEventsPerSec":${(bigTailEvents / bigMorSec).toLong}}"""
+    val cdcJson = f"""{"rounds":$cdcRounds,"replayEvents":$benchEvents,"replaySamples":${jsonArr(replayS.toSeq)},"replaySec":$replaySec%.2f,"replayEventsPerSec":${(benchEvents / replaySec).toLong},"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":$tailBatches,"tailCowSamples":${jsonArr(cowS.toSeq)},"tailSec":$tailSec%.2f,"tailEventsPerSec":${(tailEvents / tailSec).toLong},"tailMorSamples":${jsonArr(morS.toSeq)},"tailMorSec":$morSec%.2f,"tailMorEventsPerSec":${(tailEvents / morSec).toLong},"tailMorAutoSamples":${jsonArr(morAutoS.toSeq)},"tailMorAutoSec":$morAutoSec%.2f,"tailMorAutoEventsPerSec":${(tailEvents / morAutoSec).toLong},"tailMorAutoMaxDeltaDepth":$morAutoMaxDepth,"tailMorAutoCompactions":$morAutoCompactions,"feedRows":$feedRows,"feedSec":$feedSec%.2f,"morCompactSec":$compactSec%.2f,"bigTailTableRows":$bigTableRows,"bigTailEvents":$bigTailEvents,"bigTailCowSamples":${jsonArr(bigCowS.toSeq)},"bigTailCowSec":$bigCowSec%.2f,"bigTailCowEventsPerSec":${(bigTailEvents / bigCowSec).toLong},"bigTailMorSamples":${jsonArr(bigMorS.toSeq)},"bigTailMorSec":$bigMorSec%.2f,"bigTailMorEventsPerSec":${(bigTailEvents / bigMorSec).toLong},"mwWriters":$mwWriters,"mwChunksPerWriter":$mwChunks,"mwCowSamples":${jsonArr(mwCowS.toSeq)},"mwCowSec":$mwCowSec%.2f,"mwCowEventsPerSec":${(tailEvents / mwCowSec).toLong},"mwMorSamples":${jsonArr(mwMorS.toSeq)},"mwMorSec":$mwMorSec%.2f,"mwMorEventsPerSec":${(tailEvents / mwMorSec).toLong},"mwRebases":$mwRebases,"mwReruns":$mwReruns,"mwRowsOk":$mwRowsOk}"""
 
     // ---- query sweep (one warmup pass, then timed) ----
     progress("queries: warmup pass")

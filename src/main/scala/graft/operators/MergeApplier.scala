@@ -150,8 +150,8 @@ object MergeApplier {
       // can lose at most once more (to a rival already past the gate when
       // we acquired), never twice. See LakeTable.withCommitLock.
       val attempt =
-        if (attempts <= 4) cowAttempt(spark, table, batch, writerId, batchId)
-        else table.withCommitLock(cowAttempt(spark, table, batch, writerId, batchId))
+        if (attempts <= 4) cowAttempt(spark, table, batch, writerId, batchId, attempts)
+        else table.withCommitLock(cowAttempt(spark, table, batch, writerId, batchId, attempts))
       attempt match {
         case Some(r) => return r
         case None => () // stale fold: merge re-runs against the new snapshot
@@ -164,7 +164,7 @@ object MergeApplier {
   }
 
   private def cowAttempt(spark: SparkSession, table: LakeTable, batch: DataFrame,
-      writerId: String, batchId: Long): Option[ApplyResult] = {
+      writerId: String, batchId: Long, attempt: Int = 1): Option[ApplyResult] = {
     val t0 = System.nanoTime()
     val snap = table.currentSnapshot()
     val ledger = snap.map(_.maxBatchId(writerId)).getOrElse(-1L)
@@ -324,7 +324,12 @@ object MergeApplier {
       "deletes" -> nDeletes,
       "touchedBuckets" -> touchedCount.toLong,
       "metaMs" -> (System.nanoTime() - tMeta) / 1000000,
-      "durationMs" -> (System.nanoTime() - t0) / 1000000) ++ extra
+      "durationMs" -> (System.nanoTime() - t0) / 1000000) ++
+      // contention lineage: a commit whose merge had to RE-RUN against a
+      // concurrent winner records which attempt landed (rebases record
+      // "rebasedFrom" instead) — makes conflict cost auditable from history()
+      (if (attempt > 1) Map("rerunAttempt" -> attempt.toLong) else Map.empty) ++
+      extra
 
     var cand = Snapshot(
       version = version,

@@ -134,6 +134,8 @@ class ConcurrencySpec extends SparkSpecBase {
     assert(cur.version == 3)
     // re-run, not rebase: the re-merged fold SAW b-won and out-versioned it
     assert(!cur.metrics.contains("rebasedFrom"))
+    assert(cur.metrics.get("rerunAttempt").contains(2L),
+      "a conflict re-run must record which attempt landed (contention lineage)")
     assert(finalState(table) == Map(("c1", 0) -> (("a-won", 3L))))
     // the LWW outcome is schedule-independent: same state as sequential B;A
     assert(cur.maxBatchId("A") == 0L && cur.maxBatchId("B") == 0L)
@@ -317,6 +319,50 @@ class ConcurrencySpec extends SparkSpecBase {
     }
     assert(orphans.isEmpty, s"unswept orphan attempt files: $orphans")
     assert(finalState(table) == oracle, "vacuum must not touch referenced files")
+  }
+
+  test("two concurrent STREAMING tails (one COW writer, one MOR writer) into one table converge") {
+    // the full stack composed: two Structured Streaming queries, each with its
+    // own checkpoint + writerId, racing real foreachBatch applies (mixed
+    // COW × MOR conflict interleavings) into ONE shared table
+    val table = new LakeTable(tmpDir("dual-stream"), numBuckets = 8)
+    // disjoint seq parities keep every (ts, seq) pair unique across the two
+    // independently-generated streams — the LWW tie-break stays deterministic
+    val a = Generator.events(spark, 1200, numConvs = 10, turnsPerConv = 5, seed = 7)
+      .as[ChangeEvent].collect().toSeq.map(e => e.copy(seq = e.seq * 2))
+    val b = Generator.events(spark, 1200, numConvs = 10, turnsPerConv = 5, seed = 8)
+      .as[ChangeEvent].collect().toSeq.map(e => e.copy(seq = e.seq * 2 + 1))
+    def writeSrc(evs: Seq[ChangeEvent], dir: String): Unit =
+      evs.grouped(300).foreach { c =>
+        spark.createDataset(c).repartition(1).write.mode("append").parquet(dir)
+      }
+    val srcA = tmpDir("dual-src-a"); val srcB = tmpDir("dual-src-b")
+    writeSrc(a, srcA); writeSrc(b, srcB)
+
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def tail(src: String, w: String, mode: String): Thread = {
+      val t = new Thread(() => {
+        start.await()
+        try graft.streaming.CdcStream.runAvailableNow(spark, src, table,
+          tmpDir(s"dual-ckpt-$w"), writerId = w, maxFilesPerTrigger = 1, mode = mode)
+        catch { case e: Throwable => failures.add(e) }
+      })
+      t.start(); t
+    }
+    val threads = Seq(tail(srcA, "sa", "cow"), tail(srcB, "sb", "mor"))
+    start.countDown()
+    threads.foreach(_.join(180000))
+    assert(failures.isEmpty, s"streaming tail failed: ${failures.peek()}")
+
+    val oracle = Generator.oracleFold(a ++ b).map { case (k, e) => k -> ((e.text, e.seq)) }
+    assert(finalState(table) == oracle)
+    val cur = table.currentSnapshot().get
+    assert(cur.maxBatchId("sa") == 3L && cur.maxBatchId("sb") == 3L,
+      "each stream's 4 file-triggers all landed exactly once")
+    // and the raced COW/MOR state compacts to the same fold
+    assert(MergeApplier.compactRetainTombstones(spark, table) >= 0L)
+    assert(finalState(table) == oracle)
   }
 
   test("thread race: concurrent MOR appenders + a racing compactor converge") {
