@@ -167,6 +167,43 @@ class ConcurrencySpec extends SparkSpecBase {
       ("c1", 0) -> (("a", 3L)), ("c2", 5) -> (("new", 4L))))
   }
 
+  test("racing writers with DIFFERENT additive schema evolutions union on rebase") {
+    import org.apache.spark.sql.functions.lit
+    val n = 8
+    val (ca, cb) = disjointConvs(n)
+    val table = new LakeTable(tmpDir("evolve-race"), numBuckets = n)
+    apply1(table, Seq(
+      ev(ca, 0, "a0", "2025-01-01 00:00:00", "insert", 1),
+      ev(cb, 0, "b0", "2025-01-01 00:00:00", "insert", 2)), "init", 0L)
+
+    def evolved(e: ChangeEvent, colName: String, v: String) =
+      spark.createDataset(Seq(e)).toDF().withColumn(colName, lit(v))
+
+    // winner B adds `model`; loser A (disjoint buckets — rebase path) adds
+    // `score`: the rebased snapshot's schema must be the UNION of both
+    val r = withHook((w, _) => if (w == "A") {
+      MergeApplier.beforePublish = (_, _) => ()
+      MergeApplier.applyBatch(spark, table,
+        evolved(ev(cb, 0, "b1", "2025-01-01 00:01:00", "update", 3), "model", "m1"),
+        "B", 0L)
+    }) {
+      MergeApplier.applyBatch(spark, table,
+        evolved(ev(ca, 0, "a1", "2025-01-01 00:01:00", "update", 4), "score", "0.9"),
+        "A", 0L)
+    }
+    assert(!r.skipped)
+    val cur = table.currentSnapshot().get
+    assert(cur.metrics.contains("rebasedFrom"), "disjoint buckets must rebase")
+    val names = cur.schema.fieldNames.toSet
+    assert(names.contains("model") && names.contains("score"),
+      s"rebased schema must union both evolutions, got $names")
+    // rows carry their own column and null for the other's (additive fill)
+    val rows = table.read(spark).collect()
+      .map(x => x.getAs[String]("conv_id") ->
+        ((x.getAs[String]("model"), x.getAs[String]("score")))).toMap
+    assert(rows == Map(ca -> ((null, "0.9")), cb -> (("m1", null))))
+  }
+
   test("split brain: a duplicate (writer, batch) that loses the CAS skips — exactly-once") {
     val table = new LakeTable(tmpDir("split-brain"), numBuckets = 4)
     apply1(table, Seq(ev("c1", 0, "v0", "2025-01-01 00:00:00", "insert", 1)), "w", 0L)
