@@ -3,7 +3,7 @@ package graft
 import graft.changelog.Changelog
 import graft.functions.{Grel, Rml, Text}
 import graft.multimodal.Multimodal
-import graft.operators.{ChangeFeed, Dedup, Lww, MergeApplier, Similarity}
+import graft.operators.{ChangeFeed, Dedup, IncrementalAgg, Lww, MergeApplier, Similarity}
 import graft.table.LakeTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -188,6 +188,51 @@ object SparkEntry {
       val v2 = t.currentSnapshot().get.version
       ChangeFeed.changesBetween(s, t, v1, v2)
         .select((ChangeFeed.ChangeTypeCol +: TableCols).map(col): _*)
+    }),
+
+    // Incremental view maintenance over the feed: per-conv stats at v1 plus
+    // the pre/post-image feed window v1→v2 must equal the full recompute at
+    // v2 (the defining invariant of subtractable-aggregate maintenance) —
+    // which is what the DuckDB oracle computes from the final fold.
+    "cdc_incr_agg" -> ((s, dir) => {
+      val cl = changelog(s, dir)
+      val t = gateTable("cdc_incr_agg")
+      MergeApplier.applyBatch(s, t, cl.filter(col("seq") % 2 === 0), "gate", 0L)
+      val v1 = t.currentSnapshot().get.version
+      MergeApplier.applyBatch(s, t, cl.filter(col("seq") % 2 === 1), "gate", 1L)
+      val v2 = t.currentSnapshot().get.version
+      val prev = IncrementalAgg.convStats(t.read(s, asOfVersion = Some(v1)))
+      IncrementalAgg.maintain(prev,
+        ChangeFeed.changesBetween(s, t, v1, v2, withUpdatePreImages = true))
+    }),
+
+    // The TABLE-BACKED view: four base batches, the stats view refreshed
+    // after each (bootstrap + 3 incremental O(Δ) cycles through the MERGE
+    // engine) — its final contents must equal the same full recompute.
+    "cdc_incr_agg_table" -> ((s, dir) => {
+      val cl = changelog(s, dir)
+      val t = gateTable("cdc_incr_agg_table")
+      val v = gateTable("cdc_incr_agg_view")
+      var from = 0L
+      (0 until 4).foreach { i =>
+        MergeApplier.applyBatch(s, t, cl.filter(col("seq") % 4 === i), "gate", i.toLong)
+        from = IncrementalAgg.refreshIntoTable(s, t, v, from)
+      }
+      v.read(s).select(("conv_id" +: IncrementalAgg.StatCols).map(col): _*)
+    }),
+
+    // Conversation fetch — THE point read of a transcript store: the exact
+    // bucket set for turn_idx < bound is driver-computed (no scan outside
+    // it), and the result must equal the plain filtered fold.
+    "cdc_conv_lookup" -> ((s, dir) => {
+      val cl = changelog(s, dir)
+      val t = gateTable("cdc_conv_lookup")
+      (0 until 2).foreach(i =>
+        MergeApplier.applyBatch(s, t, cl.filter(col("seq") % 2 === i), "gate", i.toLong))
+      val cids = t.read(s).select("conv_id").distinct()
+        .orderBy("conv_id").limit(5).collect().map(_.getString(0))
+      cids.map(c => t.lookupConversation(s, c).select(TableCols.map(col): _*))
+        .reduce(_ unionByName _)
     }),
 
     // --- relational surface (SURVEY §2.2/2.3/2.4/2.6) -------------------
@@ -466,7 +511,8 @@ object SparkEntry {
       "cdc_table_incremental" -> oracleSqlBase("cdc_replay_final"),
       "cdc_table_mor_read" -> oracleSqlBase("cdc_replay_final"),
       "cdc_table_mor_compact" -> oracleSqlBase("cdc_replay_final"),
-      "cdc_rollback" -> oracleSqlBase("cdc_time_travel"))
+      "cdc_rollback" -> oracleSqlBase("cdc_time_travel"),
+      "cdc_incr_agg_table" -> oracleSqlBase("cdc_incr_agg"))
 
   private val oracleSqlBase: Map[String, String] = Map(
     "cdc_changelog" -> s"$C SELECT * FROM changelog",
@@ -525,6 +571,30 @@ object SparkEntry {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
          |    ORDER BY ts DESC, seq DESC) AS rn FROM evolved) t
          |WHERE rn = 1 AND op <> 'delete'""".stripMargin,
+
+    // the lexicographically-first conversation's live turns from the fold
+    "cdc_conv_lookup" ->
+      s"""$C, final AS (
+         |  SELECT conv_id, turn_idx, role, text, tool, ts, seq FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+         |      ORDER BY ts DESC, seq DESC) AS rn FROM changelog) t
+         |  WHERE rn = 1 AND op <> 'delete')
+         |SELECT * FROM final
+         |WHERE conv_id IN (SELECT DISTINCT conv_id FROM final ORDER BY conv_id LIMIT 5)
+         |  AND turn_idx < 4096""".stripMargin,
+
+    // per-conversation distributive stats over the FINAL fold — what the
+    // incrementally-maintained view must equal after its last refresh
+    "cdc_incr_agg" ->
+      s"""$C, final AS (
+         |  SELECT conv_id, turn_idx, role, text FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+         |      ORDER BY ts DESC, seq DESC) AS rn FROM changelog) t
+         |  WHERE rn = 1 AND op <> 'delete')
+         |SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS turns,
+         |  CAST(SUM(COALESCE(LENGTH(text), 0)) AS BIGINT) AS total_chars,
+         |  CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS user_turns
+         |FROM final GROUP BY conv_id""".stripMargin,
 
     // the half-changelog (seq % 2 = 0) fold — what the table held at v1
     "cdc_time_travel" ->

@@ -53,14 +53,23 @@ object ChangeFeed {
   val ChangeTypeCol = "change_type"
 
   /** Changes from `fromVersion` up to the CURRENT snapshot. */
-  def changesSince(spark: SparkSession, table: LakeTable, fromVersion: Long): DataFrame = {
+  def changesSince(spark: SparkSession, table: LakeTable, fromVersion: Long,
+      withUpdatePreImages: Boolean = false): DataFrame = {
     val cur = table.currentSnapshot().getOrElse(
       throw new IllegalArgumentException("empty table has no change feed")).version
-    changesBetween(spark, table, fromVersion, cur)
+    changesBetween(spark, table, fromVersion, cur, withUpdatePreImages)
   }
 
+  /** `withUpdatePreImages`: additionally emit each update's PRE-image as a
+    * `change_type = "update_preimage"` row (Delta CDF's contract) right
+    * from the in-task diff, which already holds both winners — no extra
+    * read. Pre+post pairs make every SUBTRACTABLE aggregate maintainable
+    * incrementally from the feed alone (state' = state − f(pre) + f(post)),
+    * the input contract of [[IncrementalAgg.maintain]].
+    */
   def changesBetween(spark: SparkSession, table: LakeTable,
-      fromVersion: Long, toVersion: Long): DataFrame = {
+      fromVersion: Long, toVersion: Long,
+      withUpdatePreImages: Boolean = false): DataFrame = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion must be <= toVersion $toVersion")
     def snap(v: Long) = table.snapshotAt(v).getOrElse(
@@ -89,7 +98,7 @@ object ChangeFeed {
     val toRdd = ScanBridge.bucketFilesRdd(spark, schema,
       BucketLocal.bucketArray(table, sTo, Some(changed)))
     val diffed = fromRdd.zipPartitions(toRdd, preservesPartitioning = false)(
-      diffPartition(convI, turnI, tsI, seqI, opI))
+      diffPartition(convI, turnI, tsI, seqI, opI, withUpdatePreImages))
     val outSchema = StructType(schema.fields :+
       StructField(ChangeTypeCol, StringType, nullable = false))
     ScanBridge.internalDf(spark, diffed, outSchema).drop("op")
@@ -100,7 +109,8 @@ object ChangeFeed {
     * the COW merge and the delta fold already hold (the rewrite unit, sized
     * to the executor via numBuckets).
     */
-  private def diffPartition(convI: Int, turnI: Int, tsI: Int, seqI: Int, opI: Int)(
+  private def diffPartition(convI: Int, turnI: Int, tsI: Int, seqI: Int, opI: Int,
+      preImages: Boolean)(
       from: Iterator[InternalRow], to: Iterator[InternalRow]): Iterator[InternalRow] = {
     if (!from.hasNext && !to.hasNext) return Iterator.empty // skipped bucket
     val deleteOp = UTF8String.fromString(Model.OpDelete)
@@ -112,19 +122,27 @@ object ChangeFeed {
     val fromMap = BucketLocal.foldWinnersMap(from, convI, turnI, tsI, seqI)
     val toMap = BucketLocal.foldWinnersMap(to, convI, turnI, tsI, seqI)
     val joined = new JoinedRow
+    // a SECOND mutable JoinedRow for the pre-image half of an update pair:
+    // emitting two rows from one flatMap element materializes both joins
+    // before the consumer copies either, so they cannot share a buffer
+    val joinedPre = new JoinedRow
     def tag(t: String) = new GenericInternalRow(Array[Any](UTF8String.fromString(t)))
     val tInsert = tag("insert"); val tUpdate = tag("update"); val tDelete = tag("delete")
+    val tUpdatePre = tag("update_preimage")
     import scala.jdk.CollectionConverters._
     val changes = toMap.entrySet().iterator().asScala.flatMap { e =>
       val toRow = e.getValue
       val fromRow = fromMap.remove(e.getKey)
       val fromLive = fromRow != null && !isDelete(fromRow)
       val toLive = !isDelete(toRow)
-      if (!fromLive && toLive) Some(joined(toRow, tInsert): InternalRow)
-      else if (fromLive && !toLive) Some(joined(fromRow, tDelete): InternalRow)
-      else if (fromLive && toLive && !sameVersion(fromRow, toRow))
-        Some(joined(toRow, tUpdate): InternalRow)
-      else None // unchanged winner, or tombstone→tombstone (nothing visible)
+      if (!fromLive && toLive) Seq(joined(toRow, tInsert): InternalRow)
+      else if (fromLive && !toLive) Seq(joined(fromRow, tDelete): InternalRow)
+      else if (fromLive && toLive && !sameVersion(fromRow, toRow)) {
+        if (preImages)
+          Seq(joinedPre(fromRow, tUpdatePre): InternalRow, joined(toRow, tUpdate): InternalRow)
+        else Seq(joined(toRow, tUpdate): InternalRow)
+      }
+      else Seq.empty // unchanged winner, or tombstone→tombstone (nothing visible)
     }
     // keys present at fromVersion with NO row at toVersion: unreachable via
     // merge alone (tombstones are retained), but a compaction between the

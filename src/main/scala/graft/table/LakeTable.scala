@@ -546,8 +546,20 @@ final class LakeTable(val root: String, val numBuckets: Int) {
     * groups within them. Delta-carrying snapshots fold that one bucket
     * in-task first (same LWW rule), so MOR and COW lookups agree.
     */
-  def lookupTurn(spark: SparkSession, convId: String, turnIdx: Int): DataFrame = {
+  /** The bucket holding key (convId, turnIdx) — the same murmur3(seed 42) +
+    * pmod as [[bucketCol]] and the merge's repartition, evaluated
+    * driver-side. The basis of every key-addressed physical pruning
+    * ([[lookupTurn]], [[lookupConversation]], IncrementalAgg's refresh).
+    */
+  def bucketFor(convId: String, turnIdx: Int): Int = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    val h = Murmur3Hash(Seq(
+      Literal.create(convId, org.apache.spark.sql.types.StringType),
+      Literal(turnIdx)), 42).eval(null).asInstanceOf[Int]
+    ((h % numBuckets) + numBuckets) % numBuckets
+  }
+
+  def lookupTurn(spark: SparkSession, convId: String, turnIdx: Int): DataFrame = {
     currentSnapshot() match {
       case None => spark.emptyDataFrame
       case Some(s) =>
@@ -556,17 +568,52 @@ final class LakeTable(val root: String, val numBuckets: Int) {
         // rebucket would silently name the wrong bucket of the new layout
         require(s.numBuckets == numBuckets,
           s"table has ${s.numBuckets} buckets; handle opened with $numBuckets")
-        val h = Murmur3Hash(Seq(
-          Literal.create(convId, org.apache.spark.sql.types.StringType),
-          Literal(turnIdx)), 42).eval(null).asInstanceOf[Int]
-        val b = ((h % numBuckets) + numBuckets) % numBuckets
-        val one = Some(Set(b))
+        val one = Some(Set(bucketFor(convId, turnIdx)))
         // pin the read to the SNAPSHOT the bucket id was derived from — a
         // concurrent commit between resolution and read must not retarget it
         val base =
           if (s.morDeltas) graft.operators.BucketLocal.readFolded(spark, this, s, one)
           else readRaw(spark, one, asOfVersion = Some(s.version))
         base.filter(col("conv_id") === convId && col("turn_idx") === turnIdx &&
+            col("op") =!= Model.OpDelete)
+          .drop("op")
+    }
+  }
+
+  /** Fetch a whole conversation's live turns — THE read pattern of a
+    * transcript store. The turns of one conversation spread across buckets
+    * (the bucket key is (conv_id, turn_idx), chosen so hot conversations
+    * cannot skew a bucket), but for turn_idx < `maxTurnExclusive` the exact
+    * bucket SET is driver-computable: hash each candidate turn id until the
+    * set saturates (coupon-collector: ~N·lnN turns fill all N buckets, so a
+    * huge bound degrades gracefully to a full-bucket read, never an error).
+    * The scan opens only those buckets' files; the pushed conv_id predicate
+    * then skips row groups within them (tight after key-clustered
+    * compaction). Turns at or beyond the bound are EXCLUDED by predicate,
+    * not silently missed — the result is exact for the declared range.
+    */
+  def lookupConversation(spark: SparkSession, convId: String,
+      maxTurnExclusive: Int = 4096): DataFrame = {
+    require(maxTurnExclusive > 0, s"maxTurnExclusive must be > 0")
+    currentSnapshot() match {
+      case None => spark.emptyDataFrame
+      case Some(s) =>
+        require(s.numBuckets == numBuckets,
+          s"table has ${s.numBuckets} buckets; handle opened with $numBuckets")
+        val buckets = scala.collection.mutable.Set.empty[Int]
+        var t = 0
+        while (t < maxTurnExclusive && buckets.size < numBuckets) {
+          buckets += bucketFor(convId, t)
+          t += 1
+        }
+        val some = Some(buckets.toSet)
+        // pin to the snapshot the bucket set was derived from (same contract
+        // as lookupTurn)
+        val base =
+          if (s.morDeltas) graft.operators.BucketLocal.readFolded(spark, this, s, some)
+          else readRaw(spark, some, asOfVersion = Some(s.version))
+        base.filter(col("conv_id") === convId &&
+            col("turn_idx") < maxTurnExclusive &&
             col("op") =!= Model.OpDelete)
           .drop("op")
     }

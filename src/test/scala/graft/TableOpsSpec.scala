@@ -29,10 +29,13 @@ class TableOpsSpec extends SparkSpecBase {
       .select(table.bucketCol.as("b")).head().getInt(0)
   }
 
-  private def hideOtherBuckets(table: LakeTable, keep: Int): Unit = {
+  private def hideOtherBuckets(table: LakeTable, keep: Int): Unit =
+    hideBucketsOutside(table, Set(keep))
+
+  private def hideBucketsOutside(table: LakeTable, keep: Set[Int]): Unit = {
     val s = table.currentSnapshot().get
     table.resolveFiles(s).foreach { case (b, fs) =>
-      if (b != keep) fs.foreach { fe =>
+      if (!keep.contains(b)) fs.foreach { fe =>
         val p = java.nio.file.Paths.get(fe.path)
         if (java.nio.file.Files.exists(p))
           java.nio.file.Files.move(p, p.resolveSibling(p.getFileName.toString + ".hidden"))
@@ -135,6 +138,42 @@ class TableOpsSpec extends SparkSpecBase {
     // physical pruning on the folded path too
     hideOtherBuckets(table, bucketOf(table, "c5", 0))
     assert(table.lookupTurn(spark, "c5", 0).count() == 1)
+  }
+
+  test("lookupConversation: whole-conversation fetch opens only the conv's bucket set") {
+    val table = new LakeTable(tmpDir("ops-conv-lookup"), numBuckets = 8)
+    // 8 convs × 6 turns; then update one turn and tombstone another via MOR
+    val base = for (c <- 0 until 8; t <- 0 until 6)
+      yield ev(s"c$c", t, s"c$c-t$t", "2025-01-01 00:00:00", "insert", (c * 10 + t).toLong)
+    MergeApplier.applyBatch(spark, table, spark.createDataset(base).toDF(), "w", 0L)
+    MergeApplier.applyBatchMor(spark, table, spark.createDataset(Seq(
+      ev("c3", 2, "updated", "2025-01-01 00:01:00", "update", 100),
+      ev("c3", 5, null, "2025-01-01 00:01:01", "delete", 101))).toDF(), "w", 1L)
+
+    def convMap(c: String, bound: Int = 4096) =
+      table.lookupConversation(spark, c, bound).collect()
+        .map(r => r.getAs[Int]("turn_idx") -> r.getAs[String]("text")).toMap
+
+    // MOR path: fold sees the update, tombstone excluded
+    assert(convMap("c3") == Map(0 -> "c3-t0", 1 -> "c3-t1", 2 -> "updated",
+      3 -> "c3-t3", 4 -> "c3-t4"))
+    // the bound excludes turns at/after it by predicate (exact, not missed)
+    assert(convMap("c3", 2) == Map(0 -> "c3-t0", 1 -> "c3-t1"))
+
+    // compact to COW and prove PHYSICAL pruning: hide every file outside
+    // c2's turn-derived bucket set — the fetch must not touch them
+    MergeApplier.compactRetainTombstones(spark, table)
+    val keep = (0 until 6).map(t => table.bucketFor("c2", t)).toSet
+    assert(keep.size < 8, "test needs a non-saturating bucket set")
+    hideBucketsOutside(table, keep)
+    assert(convMap("c2", 6) ==
+      (0 until 6).map(t => t -> s"c2-t$t").toMap)
+    // sanity: a conv whose buckets are hidden genuinely needs them
+    val other = (0 until 8).map(c => s"c$c")
+      .find(c => !(0 until 6).map(t => table.bucketFor(c, t)).toSet.subsetOf(keep)).get
+    intercept[Exception] { table.lookupConversation(spark, other, 6).collect() }
+    // driver-side bucket derivation agrees with the engine's bucketCol
+    (0 until 6).foreach(t => assert(table.bucketFor("c2", t) == bucketOf(table, "c2", t)))
   }
 
   test("rebucket: state (incl. tombstones) preserved; stale handles fail; ledger carries") {
