@@ -366,6 +366,45 @@ object Bench {
       rmDir(dir)
       sec
     }
+    // ---- view-refresh leg: O(Δ) incremental vs full rebuild ----
+    // ONE preloaded base (the 10M-event replay state) + a bootstrapped stats
+    // view; each round lands a small delta batch on the base, then times the
+    // incremental refresh against a from-scratch rebuild of a throwaway view
+    // THROUGH THE SAME CODE PATH — the ratio is the O(Δ) claim, measured.
+    import org.apache.spark.sql.functions.{col, lit}
+    val viewBase = new LakeTable(tmp("bench-view-base"), numBuckets = 32)
+    val viewTable = new LakeTable(tmp("bench-view"), numBuckets = 32)
+    var viewBaseRows = MergeApplier.replayFull(spark, viewBase,
+      spark.read.schema(graft.model.Model.changeEventSchema).parquet(changelogDir),
+      "preload").batchRows
+    var viewFrom = graft.operators.IncrementalAgg.refreshIntoTable(
+      spark, viewBase, viewTable, 0L)
+    val viewIncrS = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val viewFullS = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val bigEvents = spark.read.schema(graft.model.Model.changeEventSchema)
+      .parquet(bigTailDir)
+    def runViewRefresh(r: Int): Unit = {
+      // the delta is a ~1% CONVERSATION slice: view maintenance cost is
+      // O(touched buckets + Δ), so the leg must model the real tail regime
+      // (a batch clustered on few conversations), not a full-key-space spray
+      // whose touched-bucket set saturates and erases the gap being measured
+      import org.apache.spark.sql.functions.{hash, pmod}
+      MergeApplier.applyBatch(spark, viewBase,
+        bigEvents.filter(
+          pmod(hash(col("conv_id")), lit(100)) === lit((r - 1) % 100)),
+        "vr", r.toLong)
+      val (_, incrSec) = timed {
+        viewFrom = graft.operators.IncrementalAgg.refreshIntoTable(
+          spark, viewBase, viewTable, viewFrom)
+      }
+      viewIncrS += incrSec
+      val fresh = new LakeTable(tmp(s"bench-view-full-$r"), numBuckets = 32)
+      val (_, fullSec) = timed {
+        graft.operators.IncrementalAgg.refreshIntoTable(spark, viewBase, fresh, 0L)
+      }
+      viewFullS += fullSec
+      rmDir(fresh.root)
+    }
     (1 to cdcRounds).foreach { r =>
       progress(s"cdc round $r/$cdcRounds: replay")
       val (rows, sec) = replayJob(spark, changelogDir)
@@ -397,7 +436,11 @@ object Bench {
       mwCowS += runMw("cow")
       progress(s"cdc round $r/$cdcRounds: multi-writer MOR x$mwWriters")
       mwMorS += runMw("mor")
+      progress(s"cdc round $r/$cdcRounds: view refresh (incremental vs full)")
+      runViewRefresh(r)
     }
+    val viewRows = viewTable.currentSnapshot().map(_.totalRows).getOrElse(0L)
+    rmDir(viewBase.root); rmDir(viewTable.root)
     // change-feed read cost on the raw-MOR table BEFORE compaction: diff the
     // first tail commit against the head — the incremental-consumer path
     // (manifest-pruned bucket diff, both endpoints folded in-task)
@@ -419,7 +462,7 @@ object Bench {
     val mwCowSec = mwCowS.min
     val mwMorSec = mwMorS.min
     val tailBatches = (tailFiles * tailParts + tailMft - 1) / tailMft // derived, not hardcoded
-    val cdcJson = f"""{"rounds":$cdcRounds,"replayEvents":$benchEvents,"replaySamples":${jsonArr(replayS.toSeq)},"replaySec":$replaySec%.2f,"replayEventsPerSec":${(benchEvents / replaySec).toLong},"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":$tailBatches,"tailCowSamples":${jsonArr(cowS.toSeq)},"tailSec":$tailSec%.2f,"tailEventsPerSec":${(tailEvents / tailSec).toLong},"tailMorSamples":${jsonArr(morS.toSeq)},"tailMorSec":$morSec%.2f,"tailMorEventsPerSec":${(tailEvents / morSec).toLong},"tailMorAutoSamples":${jsonArr(morAutoS.toSeq)},"tailMorAutoSec":$morAutoSec%.2f,"tailMorAutoEventsPerSec":${(tailEvents / morAutoSec).toLong},"tailMorAutoMaxDeltaDepth":$morAutoMaxDepth,"tailMorAutoCompactions":$morAutoCompactions,"feedRows":$feedRows,"feedSec":$feedSec%.2f,"morCompactSec":$compactSec%.2f,"bigTailTableRows":$bigTableRows,"bigTailEvents":$bigTailEvents,"bigTailCowSamples":${jsonArr(bigCowS.toSeq)},"bigTailCowSec":$bigCowSec%.2f,"bigTailCowEventsPerSec":${(bigTailEvents / bigCowSec).toLong},"bigTailMorSamples":${jsonArr(bigMorS.toSeq)},"bigTailMorSec":$bigMorSec%.2f,"bigTailMorEventsPerSec":${(bigTailEvents / bigMorSec).toLong},"mwWriters":$mwWriters,"mwChunksPerWriter":$mwChunks,"mwCowSamples":${jsonArr(mwCowS.toSeq)},"mwCowSec":$mwCowSec%.2f,"mwCowEventsPerSec":${(tailEvents / mwCowSec).toLong},"mwMorSamples":${jsonArr(mwMorS.toSeq)},"mwMorSec":$mwMorSec%.2f,"mwMorEventsPerSec":${(tailEvents / mwMorSec).toLong},"mwRebases":$mwRebases,"mwReruns":$mwReruns,"mwRowsOk":$mwRowsOk}"""
+    val cdcJson = f"""{"rounds":$cdcRounds,"replayEvents":$benchEvents,"replaySamples":${jsonArr(replayS.toSeq)},"replaySec":$replaySec%.2f,"replayEventsPerSec":${(benchEvents / replaySec).toLong},"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":$tailBatches,"tailCowSamples":${jsonArr(cowS.toSeq)},"tailSec":$tailSec%.2f,"tailEventsPerSec":${(tailEvents / tailSec).toLong},"tailMorSamples":${jsonArr(morS.toSeq)},"tailMorSec":$morSec%.2f,"tailMorEventsPerSec":${(tailEvents / morSec).toLong},"tailMorAutoSamples":${jsonArr(morAutoS.toSeq)},"tailMorAutoSec":$morAutoSec%.2f,"tailMorAutoEventsPerSec":${(tailEvents / morAutoSec).toLong},"tailMorAutoMaxDeltaDepth":$morAutoMaxDepth,"tailMorAutoCompactions":$morAutoCompactions,"feedRows":$feedRows,"feedSec":$feedSec%.2f,"morCompactSec":$compactSec%.2f,"bigTailTableRows":$bigTableRows,"bigTailEvents":$bigTailEvents,"bigTailCowSamples":${jsonArr(bigCowS.toSeq)},"bigTailCowSec":$bigCowSec%.2f,"bigTailCowEventsPerSec":${(bigTailEvents / bigCowSec).toLong},"bigTailMorSamples":${jsonArr(bigMorS.toSeq)},"bigTailMorSec":$bigMorSec%.2f,"bigTailMorEventsPerSec":${(bigTailEvents / bigMorSec).toLong},"mwWriters":$mwWriters,"mwChunksPerWriter":$mwChunks,"mwCowSamples":${jsonArr(mwCowS.toSeq)},"mwCowSec":$mwCowSec%.2f,"mwCowEventsPerSec":${(tailEvents / mwCowSec).toLong},"mwMorSamples":${jsonArr(mwMorS.toSeq)},"mwMorSec":$mwMorSec%.2f,"mwMorEventsPerSec":${(tailEvents / mwMorSec).toLong},"mwRebases":$mwRebases,"mwReruns":$mwReruns,"mwRowsOk":$mwRowsOk,"viewBaseRows":$viewBaseRows,"viewRows":$viewRows,"viewIncrSamples":${jsonArr(viewIncrS.toSeq)},"viewIncrSec":${viewIncrS.min}%.2f,"viewFullSamples":${jsonArr(viewFullS.toSeq)},"viewFullSec":${viewFullS.min}%.2f}"""
 
     // ---- query sweep (one warmup pass, then timed) ----
     progress("queries: warmup pass")

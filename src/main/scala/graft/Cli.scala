@@ -141,6 +141,28 @@ object Cli {
       // conv_id is user input — escape it like text, or quotes break the JSON
       println(s"""{"mode":"lookup","conv_id":${mapper.writeValueAsString(convId)},"turn_idx":$turnIdx,"found":${rows.nonEmpty}$turn}""")
 
+    case "conv" :: tableDir :: convId :: rest =>
+      val bound = rest.headOption.map(_.toInt).getOrElse(4096)
+      val rows = LakeTable.open(tableDir)
+        .lookupConversation(spark, convId, bound)
+        .orderBy("turn_idx").collect()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val turns = rows.map(r =>
+        s"""{"turn_idx":${r.getAs[Int]("turn_idx")},"role":${mapper.writeValueAsString(r.getAs[String]("role"))},"text":${mapper.writeValueAsString(r.getAs[String]("text"))},"seq":${r.getAs[Long]("seq")}}""")
+        .mkString("[", ",", "]")
+      println(s"""{"mode":"conv","conv_id":${mapper.writeValueAsString(convId)},"turns":${rows.length},"rows":$turns}""")
+
+    case "refresh-stats" :: baseDir :: viewDir :: rest =>
+      val base = LakeTable.open(baseDir)
+      val view = LakeTable.open(viewDir)
+      // resume from the base version the view last reflected: its writer
+      // ledger records it (batchId = base version), so no side state file
+      val from = view.currentSnapshot().map(_.maxBatchId("statsview")).filter(_ >= 0)
+        .orElse(rest.headOption.map(_.toLong)).getOrElse(0L)
+      val to = graft.operators.IncrementalAgg.refreshIntoTable(spark, base, view, from)
+      val s = view.currentSnapshot()
+      println(s"""{"mode":"refresh-stats","fromVersion":$from,"toVersion":$to,"viewRows":${s.map(_.totalRows).getOrElse(0L)},"viewVersion":${s.map(_.version).getOrElse(0L)}}""")
+
     case "rebucket" :: tableDir :: n :: Nil =>
       val table = LakeTable.open(tableDir)
       val resized = MergeApplier.rebucket(spark, table, n.toInt)

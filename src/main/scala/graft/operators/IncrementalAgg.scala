@@ -26,17 +26,26 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * wrong. (Per-key `ts` IS monotone under LWW, but a conversation's max over
   * keys is not once deletes exist.)
   *
-  * Scale shape (10^10 rows, 10^7-10^8 conversations):
-  *   - the feed is O(Δ) by construction (manifest-pruned bucket diff);
+  * Scale shape (10^10 rows, 10^7-10^8 conversations). Stated honestly, the
+  * refresh is O(TOUCHED-BUCKET CONTENT + Δ), not O(Δ): the feed's bucket
+  * diff folds both versions of every bucket the window touched (without a
+  * row-level index nothing can do better from table state alone). That is
+  * the SAME cost class as the apply that produced the window — a refresh
+  * never costs more than the ingest it follows — and it is O(table)-free:
+  *   - only buckets whose manifest file lists changed are read (manifest-
+  *     pruned), each exactly twice; unchanged buckets cost nothing;
   *   - the delta aggregation is one map-side-combined shuffle of O(Δ);
   *   - [[maintain]] joins O(state) ⋈ O(Δ convs). Kept as a plain equi-join:
   *     AQE broadcasts the delta side while it fits. [[refreshIntoTable]]
   *     goes further: it never materializes O(state) at all — affected
   *     conversations' prior rows are read via driver-computed bucket
   *     pruning (the same murmur3 trick as LakeTable.lookupTurn) and the new
-  *     rows MERGE-upsert through [[MergeApplier.applyBatch]], so a refresh
-  *     costs O(Δ + touched buckets) end to end and the view is itself a
-  *     versioned, time-travelable, exactly-once LakeTable.
+  *     rows MERGE-upsert through [[MergeApplier.applyBatch]]; the view is
+  *     itself a versioned, time-travelable, exactly-once LakeTable.
+  * The gap vs a full rebuild is therefore largest exactly when it matters:
+  * a tail window clustered on few conversations (the steady-state regime)
+  * touches few buckets, while the rebuild always pays O(base + full view
+  * write). Bench leg `viewIncrSec` vs `viewFullSec` measures this.
   */
 object IncrementalAgg {
 
@@ -87,7 +96,8 @@ object IncrementalAgg {
     StructField("conv_id", StringType) +:
       StatCols.map(c => StructField(c, org.apache.spark.sql.types.LongType)))
 
-  /** Refresh a TABLE-BACKED view of the stats in O(Δ + touched buckets):
+  /** Refresh a TABLE-BACKED view of the stats in O(touched buckets + Δ)
+    * (see the class doc for the honest cost statement):
     * the view is a LakeTable keyed (conv_id, 0) — versioned, rollback-able,
     * exactly-once via the same ledger as any writer.
     *

@@ -68,5 +68,21 @@ class CliSpec extends SparkSpecBase {
     Cli.run(spark, List("rollback", tableDir, vCompacted.toString))
     assert(graft.table.LakeTable.open(tableDir).numBuckets == 8)
     assert(state() == afterTail)
+
+    // conversation fetch + materialized stats view over the same table
+    Cli.run(spark, List("conv", tableDir, lc))
+    val viewDir = tmpDir("cli-view")
+    Cli.run(spark, List("refresh-stats", tableDir, viewDir))
+    val view = graft.table.LakeTable.open(viewDir)
+    val expected = graft.operators.IncrementalAgg
+      .convStats(graft.table.LakeTable.open(tableDir).read(spark))
+      .collect().map(r => r.getAs[String]("conv_id") -> r.getAs[Long]("turns")).toMap
+    val got = view.read(spark).collect()
+      .map(r => r.getAs[String]("conv_id") -> r.getAs[Long]("turns")).toMap
+    assert(got == expected)
+    // a second refresh with no base change: the ledger makes it a no-op
+    val vv = view.currentSnapshot().get.version
+    Cli.run(spark, List("refresh-stats", tableDir, viewDir))
+    assert(graft.table.LakeTable.open(viewDir).currentSnapshot().get.version == vv)
   }
 }
