@@ -306,6 +306,27 @@ object Bench {
       }
       (t, ckpt, sec)
     }
+    // ---- replication leg: tail the COW table's change data feed (the DSv2
+    // lake-cdf streaming source) into a replica table, exactly-once. The
+    // feed carries per-version-window WINNERS (not raw events), so the
+    // events/s number is the events-EQUIVALENT rate — same basis as the
+    // tail legs, directly comparable: replication keeping up with the tail
+    // means replicateEventsPerSec >= tailEventsPerSec.
+    val replS = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var replRowsOk = true
+    var replVersions = 0L
+    def runReplicate(src: LakeTable): Double = {
+      val dst = new LakeTable(tmp("bench-repl-table"), numBuckets = 32)
+      val ckpt = tmp("bench-repl-ckpt")
+      replVersions = src.currentSnapshot().map(_.version).getOrElse(0L)
+      val (_, sec) = timed {
+        graft.streaming.Replicate.runAvailableNow(
+          spark, src.root, dst, ckpt, maxVersionsPerTrigger = 8)
+      }
+      replRowsOk &&= dst.read(spark).count() == src.read(spark).count()
+      rmDir(dst.root); rmDir(ckpt)
+      sec
+    }
     var bigTableRows = 0L
     val bigCowS = scala.collection.mutable.ArrayBuffer.empty[Double]
     val bigMorS = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -411,7 +432,10 @@ object Bench {
       replayRows = rows; replayS += sec
       progress(s"cdc round $r/$cdcRounds: tail COW")
       val (cowT, cowCk, cowSec) = runTail("cow", 0)
-      cowS += cowSec; rmDir(cowT.root); rmDir(cowCk)
+      cowS += cowSec
+      progress(s"cdc round $r/$cdcRounds: replicate via lake-cdf stream")
+      replS += runReplicate(cowT)
+      rmDir(cowT.root); rmDir(cowCk)
       progress(s"cdc round $r/$cdcRounds: tail MOR")
       val (morT, morCk, morSec) = runTail("mor", 0)
       morS += morSec; rmDir(morCk)
@@ -462,7 +486,7 @@ object Bench {
     val mwCowSec = mwCowS.min
     val mwMorSec = mwMorS.min
     val tailBatches = (tailFiles * tailParts + tailMft - 1) / tailMft // derived, not hardcoded
-    val cdcJson = f"""{"rounds":$cdcRounds,"replayEvents":$benchEvents,"replaySamples":${jsonArr(replayS.toSeq)},"replaySec":$replaySec%.2f,"replayEventsPerSec":${(benchEvents / replaySec).toLong},"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":$tailBatches,"tailCowSamples":${jsonArr(cowS.toSeq)},"tailSec":$tailSec%.2f,"tailEventsPerSec":${(tailEvents / tailSec).toLong},"tailMorSamples":${jsonArr(morS.toSeq)},"tailMorSec":$morSec%.2f,"tailMorEventsPerSec":${(tailEvents / morSec).toLong},"tailMorAutoSamples":${jsonArr(morAutoS.toSeq)},"tailMorAutoSec":$morAutoSec%.2f,"tailMorAutoEventsPerSec":${(tailEvents / morAutoSec).toLong},"tailMorAutoMaxDeltaDepth":$morAutoMaxDepth,"tailMorAutoCompactions":$morAutoCompactions,"feedRows":$feedRows,"feedSec":$feedSec%.2f,"morCompactSec":$compactSec%.2f,"bigTailTableRows":$bigTableRows,"bigTailEvents":$bigTailEvents,"bigTailCowSamples":${jsonArr(bigCowS.toSeq)},"bigTailCowSec":$bigCowSec%.2f,"bigTailCowEventsPerSec":${(bigTailEvents / bigCowSec).toLong},"bigTailMorSamples":${jsonArr(bigMorS.toSeq)},"bigTailMorSec":$bigMorSec%.2f,"bigTailMorEventsPerSec":${(bigTailEvents / bigMorSec).toLong},"mwWriters":$mwWriters,"mwChunksPerWriter":$mwChunks,"mwCowSamples":${jsonArr(mwCowS.toSeq)},"mwCowSec":$mwCowSec%.2f,"mwCowEventsPerSec":${(tailEvents / mwCowSec).toLong},"mwMorSamples":${jsonArr(mwMorS.toSeq)},"mwMorSec":$mwMorSec%.2f,"mwMorEventsPerSec":${(tailEvents / mwMorSec).toLong},"mwRebases":$mwRebases,"mwReruns":$mwReruns,"mwRowsOk":$mwRowsOk,"viewBaseRows":$viewBaseRows,"viewRows":$viewRows,"viewIncrSamples":${jsonArr(viewIncrS.toSeq)},"viewIncrSec":${viewIncrS.min}%.2f,"viewFullSamples":${jsonArr(viewFullS.toSeq)},"viewFullSec":${viewFullS.min}%.2f}"""
+    val cdcJson = f"""{"rounds":$cdcRounds,"replayEvents":$benchEvents,"replaySamples":${jsonArr(replayS.toSeq)},"replaySec":$replaySec%.2f,"replayEventsPerSec":${(benchEvents / replaySec).toLong},"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":$tailBatches,"tailCowSamples":${jsonArr(cowS.toSeq)},"tailSec":$tailSec%.2f,"tailEventsPerSec":${(tailEvents / tailSec).toLong},"tailMorSamples":${jsonArr(morS.toSeq)},"tailMorSec":$morSec%.2f,"tailMorEventsPerSec":${(tailEvents / morSec).toLong},"tailMorAutoSamples":${jsonArr(morAutoS.toSeq)},"tailMorAutoSec":$morAutoSec%.2f,"tailMorAutoEventsPerSec":${(tailEvents / morAutoSec).toLong},"tailMorAutoMaxDeltaDepth":$morAutoMaxDepth,"tailMorAutoCompactions":$morAutoCompactions,"replicateSamples":${jsonArr(replS.toSeq)},"replicateSec":${replS.min}%.2f,"replicateEventsPerSec":${(tailEvents / replS.min).toLong},"replicateVersions":$replVersions,"replicateRowsOk":$replRowsOk,"feedRows":$feedRows,"feedSec":$feedSec%.2f,"morCompactSec":$compactSec%.2f,"bigTailTableRows":$bigTableRows,"bigTailEvents":$bigTailEvents,"bigTailCowSamples":${jsonArr(bigCowS.toSeq)},"bigTailCowSec":$bigCowSec%.2f,"bigTailCowEventsPerSec":${(bigTailEvents / bigCowSec).toLong},"bigTailMorSamples":${jsonArr(bigMorS.toSeq)},"bigTailMorSec":$bigMorSec%.2f,"bigTailMorEventsPerSec":${(bigTailEvents / bigMorSec).toLong},"mwWriters":$mwWriters,"mwChunksPerWriter":$mwChunks,"mwCowSamples":${jsonArr(mwCowS.toSeq)},"mwCowSec":$mwCowSec%.2f,"mwCowEventsPerSec":${(tailEvents / mwCowSec).toLong},"mwMorSamples":${jsonArr(mwMorS.toSeq)},"mwMorSec":$mwMorSec%.2f,"mwMorEventsPerSec":${(tailEvents / mwMorSec).toLong},"mwRebases":$mwRebases,"mwReruns":$mwReruns,"mwRowsOk":$mwRowsOk,"viewBaseRows":$viewBaseRows,"viewRows":$viewRows,"viewIncrSamples":${jsonArr(viewIncrS.toSeq)},"viewIncrSec":${viewIncrS.min}%.2f,"viewFullSamples":${jsonArr(viewFullS.toSeq)},"viewFullSec":${viewFullS.min}%.2f}"""
 
     // ---- query sweep (one warmup pass, then timed) ----
     progress("queries: warmup pass")

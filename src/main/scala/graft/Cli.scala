@@ -22,6 +22,7 @@ import org.apache.spark.sql.SparkSession
   *   graft.Cli feed       <tableDir> <fromVersion> [toVersion]
   *   graft.Cli rollback   <tableDir> <toVersion>
   *   graft.Cli lookup     <tableDir> <convId> <turnIdx>
+  *   graft.Cli replicate  <srcTableDir> <dstTableDir> <checkpointDir> [maxVersionsPerTrigger] [cow|mor]
   *   graft.Cli rebucket   <tableDir> <newNumBuckets>
   * }}}
   */
@@ -162,6 +163,21 @@ object Cli {
       val to = graft.operators.IncrementalAgg.refreshIntoTable(spark, base, view, from)
       val s = view.currentSnapshot()
       println(s"""{"mode":"refresh-stats","fromVersion":$from,"toVersion":$to,"viewRows":${s.map(_.totalRows).getOrElse(0L)},"viewVersion":${s.map(_.version).getOrElse(0L)}}""")
+
+    case "replicate" :: srcDir :: dstDir :: ckpt :: rest =>
+      // exactly-once table→table replication: tail src's change data feed
+      // (DSv2 lake-cdf streaming source) into dst and stop when caught up;
+      // re-run with the same checkpoint to catch up again (the replica's
+      // identity is the checkpoint × its writer ledger)
+      val mvpt = rest.headOption.map(_.toLong).getOrElse(16L)
+      val mode = rest.lift(1).getOrElse("cow")
+      val dst = LakeTable.open(dstDir)
+      val t0 = System.nanoTime()
+      graft.streaming.Replicate.runAvailableNow(spark, srcDir, dst, ckpt,
+        maxVersionsPerTrigger = mvpt, mode = mode)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val s = dst.currentSnapshot()
+      println(f"""{"mode":"replicate","replicaVersion":${s.map(_.version).getOrElse(0L)},"replicaRows":${s.map(_.totalRows).getOrElse(0L)},"sec":$sec%.3f}""")
 
     case "rebucket" :: tableDir :: n :: Nil =>
       val table = LakeTable.open(tableDir)

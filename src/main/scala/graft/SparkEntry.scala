@@ -4,6 +4,7 @@ import graft.changelog.Changelog
 import graft.functions.{Grel, Rml, Text}
 import graft.multimodal.Multimodal
 import graft.operators.{ChangeFeed, Dedup, IncrementalAgg, Lww, MergeApplier, Similarity}
+import graft.streaming.Replicate
 import graft.table.LakeTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -218,6 +219,46 @@ object SparkEntry {
         MergeApplier.applyBatch(s, t, cl.filter(col("seq") % 4 === i), "gate", i.toLong)
         from = IncrementalAgg.refreshIntoTable(s, t, v, from)
       }
+      v.read(s).select(("conv_id" +: IncrementalAgg.StatCols).map(col): _*)
+    }),
+
+    // The DSv2 streaming change-feed source + exactly-once table→table
+    // replication, end to end: build source table A in 3 COW batches, tail
+    // its change data feed (`format("lake-cdf")`, one commit per trigger)
+    // into replica B through streaming MERGE applies, return B's state —
+    // which must equal the one-shot relational fold of the changelog. This
+    // gates offsets-as-versions, the per-changed-bucket diff readers, the
+    // tombstone delete contract, and the replica's batchId-ledger dedup in
+    // one oracle query.
+    "cdc_replicated" -> ((s, dir) => {
+      val cl = changelog(s, dir)
+      val a = gateTable("cdc_replicated_src")
+      val b = gateTable("cdc_replicated_dst")
+      val ckpt = gateRoot.resolve("cdc_replicated_ckpt").toString
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+      (0 until 3).foreach(i =>
+        MergeApplier.applyBatch(s, a, cl.filter(col("seq") % 3 === i), "gate", i.toLong))
+      Replicate.runAvailableNow(s, a.root, b, ckpt, maxVersionsPerTrigger = 1)
+      b.read(s).select(TableCols.map(col): _*)
+    }),
+
+    // Continuous materialized view: the same 3-batch source build, but the
+    // per-conversation stats view maintained by a STREAMING query over the
+    // lake-cdf feed (pre-images on, one commit per trigger ⇒ bootstrap +
+    // per-commit incremental refreshes through the exactly-once view ledger).
+    // Its final contents must equal the DuckDB full recompute — the identical
+    // oracle as the pull-refresh gates, proving push and pull maintenance
+    // cannot drift.
+    "cdc_streaming_view" -> ((s, dir) => {
+      val cl = changelog(s, dir)
+      val t = gateTable("cdc_streaming_view_base")
+      val v = gateTable("cdc_streaming_view_view")
+      val ckpt = gateRoot.resolve("cdc_streaming_view_ckpt").toString
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+      (0 until 3).foreach(i =>
+        MergeApplier.applyBatch(s, t, cl.filter(col("seq") % 3 === i), "gate", i.toLong))
+      graft.streaming.StreamingView.runAvailableNow(s, t.root, v, ckpt,
+        maxVersionsPerTrigger = 1)
       v.read(s).select(("conv_id" +: IncrementalAgg.StatCols).map(col): _*)
     }),
 
@@ -511,8 +552,10 @@ object SparkEntry {
       "cdc_table_incremental" -> oracleSqlBase("cdc_replay_final"),
       "cdc_table_mor_read" -> oracleSqlBase("cdc_replay_final"),
       "cdc_table_mor_compact" -> oracleSqlBase("cdc_replay_final"),
+      "cdc_replicated" -> oracleSqlBase("cdc_replay_final"),
       "cdc_rollback" -> oracleSqlBase("cdc_time_travel"),
-      "cdc_incr_agg_table" -> oracleSqlBase("cdc_incr_agg"))
+      "cdc_incr_agg_table" -> oracleSqlBase("cdc_incr_agg"),
+      "cdc_streaming_view" -> oracleSqlBase("cdc_incr_agg"))
 
   private val oracleSqlBase: Map[String, String] = Map(
     "cdc_changelog" -> s"$C SELECT * FROM changelog",

@@ -54,7 +54,7 @@ object BucketLocal {
     foldWinnersMap(rows, convI, turnI, tsI, seqI).values().iterator().asScala
   }
 
-  private[operators] def keyIdx(schema: StructType): (Int, Int, Int, Int) =
+  private[graft] def keyIdx(schema: StructType): (Int, Int, Int, Int) =
     (schema.fieldIndex("conv_id"), schema.fieldIndex("turn_idx"),
       schema.fieldIndex("ts"), schema.fieldIndex("seq"))
 

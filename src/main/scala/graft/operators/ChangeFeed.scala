@@ -108,9 +108,24 @@ object ChangeFeed {
     * maps — bounded by the bucket's contents at each version, the same unit
     * the COW merge and the delta fold already hold (the rewrite unit, sized
     * to the executor via numBuckets).
+    *
+    * `deleteTombstones`: emit the TOMBSTONE row (the delete's own ts/seq)
+    * instead of the pre-image for deletes — the REPLICATION contract: a
+    * downstream LWW apply needs the deleting version to beat the replica's
+    * live row, which the pre-image (that very row's version) cannot. The
+    * tombstone exists whenever the key is present-but-dead at the `to`
+    * snapshot (tombstones are retained across merges and
+    * compactRetainTombstones); a key VANISHED by an explicit
+    * tombstone-expiring compact(watermark) mid-window has no tombstone left
+    * and falls back to the pre-image — replication across such a compaction
+    * is not exactly-once (same contract as Delta CDF across VACUUM:
+    * coordinate retention with consumers, or re-bootstrap).
+    *
+    * Shared verbatim by the batch feed and the [[graft.streaming
+    * .LakeCdfSource]] micro-batch reader (package-private for the latter).
     */
-  private def diffPartition(convI: Int, turnI: Int, tsI: Int, seqI: Int, opI: Int,
-      preImages: Boolean)(
+  private[graft] def diffPartition(convI: Int, turnI: Int, tsI: Int, seqI: Int, opI: Int,
+      preImages: Boolean, deleteTombstones: Boolean = false)(
       from: Iterator[InternalRow], to: Iterator[InternalRow]): Iterator[InternalRow] = {
     if (!from.hasNext && !to.hasNext) return Iterator.empty // skipped bucket
     val deleteOp = UTF8String.fromString(Model.OpDelete)
@@ -136,7 +151,9 @@ object ChangeFeed {
       val fromLive = fromRow != null && !isDelete(fromRow)
       val toLive = !isDelete(toRow)
       if (!fromLive && toLive) Seq(joined(toRow, tInsert): InternalRow)
-      else if (fromLive && !toLive) Seq(joined(fromRow, tDelete): InternalRow)
+      else if (fromLive && !toLive)
+        // on this branch toRow IS the tombstone (present but dead at `to`)
+        Seq(joined(if (deleteTombstones) toRow else fromRow, tDelete): InternalRow)
       else if (fromLive && toLive && !sameVersion(fromRow, toRow)) {
         if (preImages)
           Seq(joinedPre(fromRow, tUpdatePre): InternalRow, joined(toRow, tUpdate): InternalRow)

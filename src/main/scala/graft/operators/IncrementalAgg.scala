@@ -132,12 +132,27 @@ object IncrementalAgg {
           .withColumn(ChangeFeed.ChangeTypeCol, lit(Model.OpInsert))
       else ChangeFeed.changesBetween(spark, base, fromVersion, toVersion,
         withUpdatePreImages = true)
+    applyFeedToTable(spark, view, feed, writerId, batchId = toVersion, pruneCap)
+    toVersion
+  }
+
+  /** Apply ONE pre/post-image feed window to the table-backed view — the
+    * shared core of [[refreshIntoTable]] (pull: batchId = base version) and
+    * [[graft.streaming.StreamingView]] (push: batchId = micro-batch id). The
+    * caller's only obligation is a batchId MONOTONE over successive windows
+    * of one `writerId` — it becomes both the idempotence ledger key
+    * (exactly-once under replay) and the written rows' LWW (ts, seq), so
+    * later refreshes order after earlier ones on every key. A conversation
+    * whose turns reach zero is tombstoned (op = delete).
+    */
+  def applyFeedToTable(spark: SparkSession, view: LakeTable, feed: DataFrame,
+      writerId: String, batchId: Long, pruneCap: Int = 100000): Unit = {
     val deltas = feedDeltas(feed).persist()
     try {
       // the affected-conversation list drives the driver-side bucket pruning;
       // its size is O(Δ convs), bounded by the refresh window
       val affected = deltas.select("conv_id").collect().map(_.getString(0))
-      if (affected.isEmpty) return toVersion
+      if (affected.isEmpty) return
 
       val statCols = ("conv_id" +: StatCols).map(col)
       val prev = view.currentSnapshot() match {
@@ -161,12 +176,12 @@ object IncrementalAgg {
         .withColumn("turn_idx", lit(0))
         .withColumn("op",
           when(col("turns") > 0, lit(Model.OpInsert)).otherwise(lit(Model.OpDelete)))
-        .withColumn("ts", lit(new java.sql.Timestamp(toVersion)))
-        .withColumn("seq", lit(toVersion))
+        .withColumn("ts", lit(new java.sql.Timestamp(batchId)))
+        .withColumn("seq", lit(batchId))
         .select(col("conv_id"), col("turn_idx"), col("op"), col("ts"), col("seq"),
           col("turns"), col("total_chars"), col("user_turns"))
-      MergeApplier.applyBatch(spark, view, batch, writerId, batchId = toVersion)
-      toVersion
-    } finally deltas.unpersist()
+      MergeApplier.applyBatch(spark, view, batch, writerId, batchId)
+      ()
+    } finally { deltas.unpersist(); () }
   }
 }

@@ -44,6 +44,16 @@ object ScanBridge {
       options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
       hadoopConf = classic(spark).sessionState.newHadoopConf())
 
+  /** The serializable per-file parquet reader function, exposed for
+    * executor-side use outside an RDD — the DSv2 change-feed source's
+    * [[org.apache.spark.sql.connector.read.PartitionReader]]s read their
+    * bucket's files through exactly the reader the bucket-aligned merge
+    * scan uses (schema clipping → additive-evolution nulls).
+    */
+  def parquetReader(spark: SparkSession, schema: StructType)
+      : PartitionedFile => Iterator[InternalRow] =
+    parquetReaderFunc(spark, schema)
+
   /** One RDD partition per bucket; `filesByBucket(i)` = bucket i's
     * (path, fileSize) list. Partitions are lazy: a consumer that never pulls
     * from the iterator (an untouched bucket in the merge) opens no file.

@@ -84,5 +84,19 @@ class CliSpec extends SparkSpecBase {
     val vv = view.currentSnapshot().get.version
     Cli.run(spark, List("refresh-stats", tableDir, viewDir))
     assert(graft.table.LakeTable.open(viewDir).currentSnapshot().get.version == vv)
+
+    // exactly-once replication via the lake-cdf streaming source: replica
+    // state equals the source, and a caught-up re-run commits nothing
+    val replDir = tmpDir("cli-replica")
+    val replCk = tmpDir("cli-replica-ck")
+    Cli.run(spark, List("replicate", tableDir, replDir, replCk))
+    def stateOf(dir: String): Map[(String, Int), (String, Long)] =
+      graft.table.LakeTable.open(dir).read(spark).collect()
+        .map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx")) ->
+          ((r.getAs[String]("text"), r.getAs[Long]("seq")))).toMap
+    assert(stateOf(replDir) == afterTail)
+    val rv = graft.table.LakeTable.open(replDir).currentSnapshot().get.version
+    Cli.run(spark, List("replicate", tableDir, replDir, replCk))
+    assert(graft.table.LakeTable.open(replDir).currentSnapshot().get.version == rv)
   }
 }
