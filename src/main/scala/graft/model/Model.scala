@@ -62,23 +62,57 @@ object Model {
   implicit val changeEventEncoder: Encoder[ChangeEvent] = Encoders.product[ChangeEvent]
   implicit val turnEncoder: Encoder[Turn] = Encoders.product[Turn]
 
-  /** Additive schema evolution: widen `df` to `target` by appending missing
-    * columns as typed nulls, and widen `target` itself with any new columns
-    * `df` carries. Never drops or retypes an existing column (strict additive
-    * policy — new columns only; a type change is an error, mirroring the
-    * reference's "mappings can add fields" evolution model).
+  /** Columns whose physical types the engine pins: the bucket/LWW fold reads
+    * them positionally with fixed accessors (BucketLocal.keyIdx, the merge
+    * fold), so they may never retype — not even "safely".
+    */
+  private val PinnedCols: Set[String] = (KeyCols ++ VersionCols :+ "op").toSet
+
+  /** The safe widening lattice (Iceberg's evolution set): int32 → int64 and
+    * float32 → float64. Safe because the parquet reader PROMOTES old files'
+    * narrower physical values when read under the widened schema (verified
+    * in SchemaWideningSpec) — no rewrite of existing data, exactly like
+    * adding a column. Returns the common wider type, or None when the pair
+    * is not width-compatible.
+    */
+  private def widened(a: DataType, b: DataType): Option[DataType] = (a, b) match {
+    case _ if a == b => Some(a)
+    case (IntegerType, LongType) | (LongType, IntegerType) => Some(LongType)
+    case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+    case _ => None
+  }
+
+  /** Schema evolution: additive columns plus safe TYPE WIDENING.
+    *   - a column only in `incoming` is appended (nullable);
+    *   - a column in both with identical types is kept;
+    *   - a column in both whose types differ only in WIDTH (int→long,
+    *     float→double) resolves to the wider type — in either direction: a
+    *     wider incoming batch widens the table (old files read promoted), a
+    *     narrower incoming batch is cast up by [[alignToSchema]];
+    *   - anything else (drops, string→int, …) is an error, and the key /
+    *     version / op columns never retype at all (the fold's accessors pin
+    *     them) — mirroring the reference's "mappings can add fields"
+    *     evolution model with Iceberg's widening extension.
     */
   def mergeSchemas(current: StructType, incoming: StructType): StructType = {
-    val byName = current.fields.map(f => f.name -> f).toMap
-    incoming.fields.foreach { f =>
-      byName.get(f.name).foreach { cur =>
-        require(cur.dataType == f.dataType,
-          s"non-additive schema change on '${f.name}': ${cur.dataType} -> ${f.dataType}")
+    val incomingByName = incoming.fields.map(f => f.name -> f).toMap
+    val currentNames = current.fields.map(_.name).toSet
+    val kept = current.fields.map { cur =>
+      incomingByName.get(cur.name) match {
+        case None => cur
+        case Some(inc) if inc.dataType == cur.dataType => cur
+        case Some(inc) =>
+          require(!PinnedCols.contains(cur.name),
+            s"column '${cur.name}' is a key/version column and cannot retype: " +
+              s"${cur.dataType} -> ${inc.dataType}")
+          val w = widened(cur.dataType, inc.dataType).getOrElse(throw new IllegalArgumentException(
+            s"non-additive schema change on '${cur.name}': ${cur.dataType} -> ${inc.dataType}"))
+          cur.copy(dataType = w)
       }
     }
-    val added = incoming.fields.filterNot(f => byName.contains(f.name))
+    val added = incoming.fields.filterNot(f => currentNames.contains(f.name))
       .map(_.copy(nullable = true))
-    StructType(current.fields ++ added)
+    StructType(kept ++ added)
   }
 
   /** Project `df` onto `schema`, filling absent columns with typed nulls.
