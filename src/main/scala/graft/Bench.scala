@@ -465,6 +465,49 @@ object Bench {
     }
     val viewRows = viewTable.currentSnapshot().map(_.totalRows).getOrElse(0L)
     rmDir(viewBase.root); rmDir(viewTable.root)
+
+    // ---- storage-partitioned join vs shuffled join ----
+    // Same two same-layout tables, same join, same strategy confs (broadcast
+    // off): catalog-loaded scans report the bucket transform through
+    // LakeCatalog's function catalog and join with ZERO exchanges;
+    // path-loaded scans cannot resolve the transform and shuffle BOTH sides.
+    // The delta is pure shuffle cost — the thing SPJ deletes at any scale.
+    progress("spj: building join tables")
+    val spjBase = tmp("bench-spj")
+    val spjA = new LakeTable(s"$spjBase/a", numBuckets = 32)
+    val spjB = new LakeTable(s"$spjBase/b", numBuckets = 32)
+    val spjCl = spark.read.schema(graft.model.Model.changeEventSchema).parquet(changelogDir)
+    MergeApplier.replayFull(spark, spjA, spjCl, "spj")
+    MergeApplier.replayFull(spark, spjB, spjCl.filter(col("seq") % 2 === 0), "spj")
+    spark.conf.set("spark.sql.catalog.benchspj", classOf[graft.table.LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.benchspj.base", spjBase)
+    def spjJoinCount(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Long =
+      a.join(b.select(col("conv_id"), col("turn_idx"), col("text").as("text_b")),
+        Seq("conv_id", "turn_idx")).count()
+    val spjS = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val spjShufS = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var spjRows = 0L
+    val oldV2Bucketing = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val oldAutoBroadcast = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try (1 to 3).foreach { r =>
+      progress(s"spj round $r/3: partitioned vs shuffled join")
+      val (r1, s1) = timed {
+        spjJoinCount(spark.table("benchspj.a"), spark.table("benchspj.b")) }
+      val (r2, s2) = timed { spjJoinCount(
+        spark.read.format("lake").option("path", spjA.root).load(),
+        spark.read.format("lake").option("path", spjB.root).load()) }
+      require(r1 == r2, s"SPJ and shuffled join disagree: $r1 vs $r2")
+      spjRows = r1; spjS += s1; spjShufS += s2
+    } finally {
+      oldV2Bucketing.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+      oldAutoBroadcast.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    }
+    rmDir(spjBase)
     // change-feed read cost on the raw-MOR table BEFORE compaction: diff the
     // first tail commit against the head — the incremental-consumer path
     // (manifest-pruned bucket diff, both endpoints folded in-task)
@@ -486,7 +529,7 @@ object Bench {
     val mwCowSec = mwCowS.min
     val mwMorSec = mwMorS.min
     val tailBatches = (tailFiles * tailParts + tailMft - 1) / tailMft // derived, not hardcoded
-    val cdcJson = f"""{"rounds":$cdcRounds,"replayEvents":$benchEvents,"replaySamples":${jsonArr(replayS.toSeq)},"replaySec":$replaySec%.2f,"replayEventsPerSec":${(benchEvents / replaySec).toLong},"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":$tailBatches,"tailCowSamples":${jsonArr(cowS.toSeq)},"tailSec":$tailSec%.2f,"tailEventsPerSec":${(tailEvents / tailSec).toLong},"tailMorSamples":${jsonArr(morS.toSeq)},"tailMorSec":$morSec%.2f,"tailMorEventsPerSec":${(tailEvents / morSec).toLong},"tailMorAutoSamples":${jsonArr(morAutoS.toSeq)},"tailMorAutoSec":$morAutoSec%.2f,"tailMorAutoEventsPerSec":${(tailEvents / morAutoSec).toLong},"tailMorAutoMaxDeltaDepth":$morAutoMaxDepth,"tailMorAutoCompactions":$morAutoCompactions,"replicateSamples":${jsonArr(replS.toSeq)},"replicateSec":${replS.min}%.2f,"replicateEventsPerSec":${(tailEvents / replS.min).toLong},"replicateVersions":$replVersions,"replicateRowsOk":$replRowsOk,"feedRows":$feedRows,"feedSec":$feedSec%.2f,"morCompactSec":$compactSec%.2f,"bigTailTableRows":$bigTableRows,"bigTailEvents":$bigTailEvents,"bigTailCowSamples":${jsonArr(bigCowS.toSeq)},"bigTailCowSec":$bigCowSec%.2f,"bigTailCowEventsPerSec":${(bigTailEvents / bigCowSec).toLong},"bigTailMorSamples":${jsonArr(bigMorS.toSeq)},"bigTailMorSec":$bigMorSec%.2f,"bigTailMorEventsPerSec":${(bigTailEvents / bigMorSec).toLong},"mwWriters":$mwWriters,"mwChunksPerWriter":$mwChunks,"mwCowSamples":${jsonArr(mwCowS.toSeq)},"mwCowSec":$mwCowSec%.2f,"mwCowEventsPerSec":${(tailEvents / mwCowSec).toLong},"mwMorSamples":${jsonArr(mwMorS.toSeq)},"mwMorSec":$mwMorSec%.2f,"mwMorEventsPerSec":${(tailEvents / mwMorSec).toLong},"mwRebases":$mwRebases,"mwReruns":$mwReruns,"mwRowsOk":$mwRowsOk,"viewBaseRows":$viewBaseRows,"viewRows":$viewRows,"viewIncrSamples":${jsonArr(viewIncrS.toSeq)},"viewIncrSec":${viewIncrS.min}%.2f,"viewFullSamples":${jsonArr(viewFullS.toSeq)},"viewFullSec":${viewFullS.min}%.2f}"""
+    val cdcJson = f"""{"rounds":$cdcRounds,"replayEvents":$benchEvents,"replaySamples":${jsonArr(replayS.toSeq)},"replaySec":$replaySec%.2f,"replayEventsPerSec":${(benchEvents / replaySec).toLong},"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":$tailBatches,"tailCowSamples":${jsonArr(cowS.toSeq)},"tailSec":$tailSec%.2f,"tailEventsPerSec":${(tailEvents / tailSec).toLong},"tailMorSamples":${jsonArr(morS.toSeq)},"tailMorSec":$morSec%.2f,"tailMorEventsPerSec":${(tailEvents / morSec).toLong},"tailMorAutoSamples":${jsonArr(morAutoS.toSeq)},"tailMorAutoSec":$morAutoSec%.2f,"tailMorAutoEventsPerSec":${(tailEvents / morAutoSec).toLong},"tailMorAutoMaxDeltaDepth":$morAutoMaxDepth,"tailMorAutoCompactions":$morAutoCompactions,"replicateSamples":${jsonArr(replS.toSeq)},"replicateSec":${replS.min}%.2f,"replicateEventsPerSec":${(tailEvents / replS.min).toLong},"replicateVersions":$replVersions,"replicateRowsOk":$replRowsOk,"feedRows":$feedRows,"feedSec":$feedSec%.2f,"morCompactSec":$compactSec%.2f,"bigTailTableRows":$bigTableRows,"bigTailEvents":$bigTailEvents,"bigTailCowSamples":${jsonArr(bigCowS.toSeq)},"bigTailCowSec":$bigCowSec%.2f,"bigTailCowEventsPerSec":${(bigTailEvents / bigCowSec).toLong},"bigTailMorSamples":${jsonArr(bigMorS.toSeq)},"bigTailMorSec":$bigMorSec%.2f,"bigTailMorEventsPerSec":${(bigTailEvents / bigMorSec).toLong},"mwWriters":$mwWriters,"mwChunksPerWriter":$mwChunks,"mwCowSamples":${jsonArr(mwCowS.toSeq)},"mwCowSec":$mwCowSec%.2f,"mwCowEventsPerSec":${(tailEvents / mwCowSec).toLong},"mwMorSamples":${jsonArr(mwMorS.toSeq)},"mwMorSec":$mwMorSec%.2f,"mwMorEventsPerSec":${(tailEvents / mwMorSec).toLong},"mwRebases":$mwRebases,"mwReruns":$mwReruns,"mwRowsOk":$mwRowsOk,"viewBaseRows":$viewBaseRows,"viewRows":$viewRows,"viewIncrSamples":${jsonArr(viewIncrS.toSeq)},"viewIncrSec":${viewIncrS.min}%.2f,"viewFullSamples":${jsonArr(viewFullS.toSeq)},"viewFullSec":${viewFullS.min}%.2f,"spjRows":$spjRows,"spjSamples":${jsonArr(spjS.toSeq)},"spjSec":${spjS.min}%.2f,"spjShuffleSamples":${jsonArr(spjShufS.toSeq)},"spjShuffleSec":${spjShufS.min}%.2f}"""
 
     // ---- query sweep (one warmup pass, then timed) ----
     progress("queries: warmup pass")

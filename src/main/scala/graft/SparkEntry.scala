@@ -117,6 +117,36 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "seq")
     }),
 
+    // The DSv2 BATCH read connector (`format("lake")`): the same 3-batch
+    // build read back through spark.read — gates snapshot resolution, the
+    // tombstone filter, the live-row projection and (on this COW table) the
+    // plain pruned scan path against the relational fold.
+    "cdc_lake_source" -> ((s, dir) => {
+      val cl = changelog(s, dir)
+      val t = gateTable("cdc_lake_source")
+      (0 until 3).foreach(i =>
+        MergeApplier.applyBatch(s, t, cl.filter(col("seq") % 3 === i), "gate", i.toLong))
+      s.read.format("lake").option("path", t.root).load()
+        .select(TableCols.map(col): _*)
+    }),
+
+    // Type-WIDENING evolution through the production merge: batch 0 writes
+    // score:int files, batch 1 arrives with score:long (beyond Int range) —
+    // the snapshot schema widens, batch 0's int32 files are read PROMOTED
+    // (never rewritten) by the fold and the final scan. Oracle recomputes
+    // per-row scores relationally and casts to BIGINT.
+    "cdc_widened_replay" -> ((s, dir) => {
+      val cl = changelog(s, dir)
+      val t = gateTable("cdc_widened_replay")
+      MergeApplier.applyBatch(s, t,
+        cl.filter(col("seq") % 2 === 0)
+          .withColumn("score", col("turn_idx").cast("int")), "gate", 0L)
+      MergeApplier.applyBatch(s, t,
+        cl.filter(col("seq") % 2 === 1)
+          .withColumn("score", col("seq") + lit(5000000000L)), "gate", 1L)
+      t.read(s).select((TableCols :+ "score").map(col): _*)
+    }),
+
     // --- the ENGINE ITSELF under the oracle (S10/S13/S14, C2-C5, §3) ----
     // Each of these builds a real LakeTable through the production apply
     // paths and must reproduce the relational fold's state bit-for-bit.
@@ -553,6 +583,7 @@ object SparkEntry {
       "cdc_table_mor_read" -> oracleSqlBase("cdc_replay_final"),
       "cdc_table_mor_compact" -> oracleSqlBase("cdc_replay_final"),
       "cdc_replicated" -> oracleSqlBase("cdc_replay_final"),
+      "cdc_lake_source" -> oracleSqlBase("cdc_replay_final"),
       "cdc_rollback" -> oracleSqlBase("cdc_time_travel"),
       "cdc_incr_agg_table" -> oracleSqlBase("cdc_incr_agg"),
       "cdc_streaming_view" -> oracleSqlBase("cdc_incr_agg"))
@@ -613,6 +644,15 @@ object SparkEntry {
          |SELECT conv_id, turn_idx, role, text, tool, ts, seq FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
          |    ORDER BY ts DESC, seq DESC) AS rn FROM evolved) t
+         |WHERE rn = 1 AND op <> 'delete'""".stripMargin,
+
+    "cdc_widened_replay" ->
+      s"""$C SELECT conv_id, turn_idx, role, text, tool, ts, seq,
+         |  CAST(CASE WHEN seq % 2 = 0 THEN turn_idx
+         |            ELSE seq + 5000000000 END AS BIGINT) AS score
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+         |    ORDER BY ts DESC, seq DESC) AS rn FROM changelog) t
          |WHERE rn = 1 AND op <> 'delete'""".stripMargin,
 
     // the lexicographically-first conversation's live turns from the fold

@@ -48,7 +48,7 @@ object BucketLocal {
     winners
   }
 
-  private[operators] def foldWinners(rows: Iterator[InternalRow],
+  private[graft] def foldWinners(rows: Iterator[InternalRow],
       convI: Int, turnI: Int, tsI: Int, seqI: Int): Iterator[InternalRow] = {
     import scala.jdk.CollectionConverters._
     foldWinnersMap(rows, convI, turnI, tsI, seqI).values().iterator().asScala

@@ -1,0 +1,271 @@
+package graft.table
+
+import graft.model.Model
+import graft.operators.BucketLocal
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.graftbridge.ScanBridge
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util.OptionalLong
+
+/** DataSource V2 BATCH read connector for a [[LakeTable]] — the SQL-surface
+  * twin of the programmatic `LakeTable.read`:
+  *
+  * {{{
+  *   spark.read.format("lake").option("path", root).load()          // head
+  *   spark.read.format("lake").option("asOfVersion", 3).load()      // travel
+  * }}}
+  *
+  * What the DSv2 boundary adds over the programmatic read:
+  *
+  *   - **Reported statistics** ([[SupportsReportStatistics]]): sizeInBytes =
+  *     the PRUNED buckets' data-file bytes, rowCount = their manifest row
+  *     counts — both O(metadata), no file opened. Catalyst's join planning
+  *     sees a small lake table as small and picks a broadcast join on its
+  *     own; without statistics a DSv2 relation defaults to "huge" and a
+  *     dimension-table join shuffles 10^10 rows for no reason.
+  *   - **Key-filter bucket pruning** ([[SupportsPushDownFilters]]): equality
+  *     / IN predicates on BOTH of (conv_id, turn_idx) name the exact bucket
+  *     set driver-side (the same murmur3 evaluation as
+  *     `LakeTable.lookupTurn`). conv_id alone deliberately does NOT prune —
+  *     the bucket hashes the full key, so a sound conv-only bucket set needs
+  *     a turn bound, which is `lookupConversation`'s explicit contract, not
+  *     an inferable property of a WHERE clause. Every filter is also
+  *     returned as a residual, so Spark re-applies it row-level: pruning is
+  *     purely physical.
+  *   - **Column pruning through the MOR fold**
+  *     ([[SupportsPushDownRequiredColumns]]): the in-task LWW fold needs only
+  *     key/version/op plus the REQUESTED columns, so a two-column projection
+  *     of a wide delta-carrying table reads ~5 columns — the programmatic
+  *     MOR read declares pruning moot and reads whole rows.
+  *
+  * One InputPartition per (pruned) bucket; a delta-carrying snapshot folds
+  * base + delta files in-task (the writer's associative rule), a compacted
+  * one streams rows straight through — both emit live rows only, `op`
+  * dropped. ZERO exchanges at any table size, like every other table pass.
+  */
+final class LakeSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "lake"
+
+  private def root(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "lake requires option 'path' = table root")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LakeSource.outputSchema(LakeSource.snapshot(root(options), options).schema)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new LakeSourceTable(root(opts), opts)
+  }
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+private object LakeSource {
+  def snapshot(root: String, options: CaseInsensitiveStringMap): Snapshot = {
+    val table = LakeTable.open(root)
+    val v = Option(options.get("asOfVersion")).map(_.toLong)
+    v match {
+      case Some(ver) => table.snapshotAt(ver).getOrElse(
+        throw new IllegalArgumentException(s"lake: no snapshot v$ver at $root"))
+      case None => table.currentSnapshot().getOrElse(
+        throw new IllegalArgumentException(s"lake: table at $root has no committed snapshot"))
+    }
+  }
+
+  def outputSchema(tableSchema: StructType): StructType =
+    StructType(tableSchema.fields.filterNot(_.name == "op"))
+
+  /** Driver-side bucket set from pushed key filters; None = no pruning.
+    * Pruning requires BOTH key parts equality/IN-constrained — the bucket is
+    * murmur3(conv_id, turn_idx), so a conv-only predicate cannot soundly
+    * name a bucket set without a turn bound the predicate does not carry
+    * (that use case is `LakeTable.lookupConversation`, whose bound IS part
+    * of its contract). Several predicates on one column intersect; pruning
+    * uses the tightest single set — residual evaluation keeps exactness.
+    */
+  def prunedBuckets(table: LakeTable,
+      filters: Array[Filter]): Option[Set[Int]] = {
+    def values(name: String): Option[Seq[Any]] = {
+      val vs = filters.collect {
+        case EqualTo(n, v) if n == name => Seq(v)
+        case In(n, vs0) if n == name => vs0.toSeq
+      }
+      if (vs.isEmpty) None else Some(vs.minBy(_.size))
+    }
+    for {
+      convs <- values("conv_id").map(_.collect { case s: String => s })
+      turns <- values("turn_idx").map(_.collect { case i: Int => i })
+    } yield (for (c <- convs; t <- turns) yield table.bucketFor(c, t)).toSet
+  }
+}
+
+private[table] final class LakeSourceTable(root: String, tableOptions: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  // pin once per handle: schema, stats and partition planning all agree
+  private val snap = LakeSource.snapshot(root, tableOptions)
+  private val table = LakeTable.open(root)
+
+  override def name(): String = s"lake(`$root`, v${snap.version})"
+  override def schema(): StructType = LakeSource.outputSchema(snap.schema)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  /** The physical layout as a V2 transform. Through [[LakeCatalog]] (which
+    * resolves `bucket` to [[LakeBucketFunction]]) this is what makes two
+    * same-layout lake tables CO-PARTITIONED to Spark's join planner —
+    * storage-partitioned joins with zero exchange on either side.
+    */
+  override def partitioning(): Array[Transform] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+      snap.numBuckets, "conv_id", "turn_idx"))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+      private var required: StructType = LakeSource.outputSchema(snap.schema)
+      private var pushed: Array[Filter] = Array.empty
+
+      override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        // keep the key-equality filters for physical pruning; EVERYTHING is
+        // returned as residual — Spark re-applies row-level, so pruning can
+        // only skip files, never change results
+        pushed = filters.filter {
+          case EqualTo("conv_id", _) | In("conv_id", _) => true
+          case EqualTo("turn_idx", _) | In("turn_idx", _) => true
+          case _ => false
+        }
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+
+      override def build(): Scan = {
+        val buckets = LakeSource.prunedBuckets(table, pushed)
+          .filter(_.size < snap.numBuckets) // saturated = no pruning
+        new LakeSourceScan(table, snap, required, buckets)
+      }
+    }
+}
+
+private final class LakeSourceScan(table: LakeTable, snap: Snapshot,
+    required: StructType, buckets: Option[Set[Int]])
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"LakeSource(v${snap.version}, columns=[${required.fieldNames.mkString(",")}]" +
+      buckets.map(b => s", buckets=${b.toSeq.sorted.mkString("{", ",", "}")}").getOrElse("") + ")"
+  override def toBatch: Batch = this
+
+  private def plannedBuckets: Seq[Int] =
+    buckets.map(_.toSeq.sorted).getOrElse(0 until snap.numBuckets)
+
+  /** One partition PER BUCKET (empty buckets included when unpruned): the
+    * key set is then total and identical across same-layout tables, so the
+    * storage-partitioned join never needs partial-cluster value pushing.
+    * An empty partition costs one no-op task.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+        snap.numBuckets, "conv_id", "turn_idx")),
+      plannedBuckets.size)
+
+  // O(metadata) statistics off the manifest list — file bytes and committed
+  // row counts of exactly the buckets this scan will read. rowCount includes
+  // tombstones (they are rows read before the residual filter) — fine for an
+  // ESTIMATE, and tombstone-heavy tables over-estimate, which is the safe
+  // direction for broadcast decisions.
+  override def estimateStatistics(): Statistics = {
+    val files = table.resolveFiles(snap, buckets)
+    val bytes = files.values.flatten.map(_.bytes).sum
+    val rows = buckets match {
+      case Some(bs) => snap.bucketRows.view.filterKeys(bs).values.sum
+      case None => snap.totalRows
+    }
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+      override def numRows(): OptionalLong = OptionalLong.of(rows)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = table.resolveFiles(snap, buckets)
+    plannedBuckets.toArray.map { b =>
+      LakeInputPartition(b,
+        files.getOrElse(b, Seq.empty).map(f => (f.path, f.bytes)).toArray): InputPartition
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // pruned parquet read: requested columns + what tombstone filtering (op)
+    // and — on a delta-carrying snapshot — the LWW fold (key/version) need
+    val needed: Set[String] =
+      if (snap.morDeltas) Set("conv_id", "turn_idx", "ts", "seq", "op") ++ required.fieldNames
+      else Set("op") ++ required.fieldNames
+    val readSchema = StructType(snap.schema.fields.filter(f => needed.contains(f.name)))
+    new LakeReaderFactory(ScanBridge.parquetReader(SparkSession.active, readSchema),
+      readSchema, required, snap.morDeltas)
+  }
+}
+
+private final case class LakeInputPartition(bucket: Int,
+    files: Array[(String, Long)]) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  // the value of this partition's bucket(...) transform — what Spark groups
+  // and aligns on in a storage-partitioned join
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
+
+private final class LakeReaderFactory(
+    reader: PartitionedFile => Iterator[InternalRow],
+    readSchema: StructType,
+    outputSchema: StructType,
+    fold: Boolean) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[LakeInputPartition]
+    val opI = readSchema.fieldIndex("op")
+    val deleteOp = org.apache.spark.unsafe.types.UTF8String.fromString(Model.OpDelete)
+    val rows: Iterator[InternalRow] = p.files.iterator.flatMap { case (path, size) =>
+      reader(PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path), 0L, size))
+    }
+    // delta-carrying bucket: in-task LWW fold (the writer's associative
+    // rule) so readers see exactly one version per key; compacted bucket:
+    // stream through (buckets are key-unique in steady state)
+    val resolved =
+      if (fold) {
+        val (convI, turnI, tsI, seqI) = BucketLocal.keyIdx(readSchema)
+        BucketLocal.foldWinners(rows, convI, turnI, tsI, seqI)
+      } else rows
+    val live = resolved.filter(r => r.getUTF8String(opI) != deleteOp)
+    val proj = UnsafeProjection.create(
+      outputSchema.fields.toIndexedSeq.map { f =>
+        val i = readSchema.fieldIndex(f.name)
+        BoundReference(i, readSchema.fields(i).dataType, readSchema.fields(i).nullable)
+      })
+    new PartitionReader[InternalRow] {
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (live.hasNext) { row = proj(live.next()); true } else false
+      override def get(): InternalRow = row
+      override def close(): Unit = () // file readers close via task-completion listeners
+    }
+  }
+}

@@ -184,6 +184,49 @@ class LakeCdfSpec extends SparkSpecBase {
     assert(byType == Map("update_preimage" -> "v1", "update" -> "v2"))
   }
 
+  test("a MID-RUN type widening fails the stream loudly; a restart adopts the wide schema") {
+    val root = tmpDir("cdf-widen")
+    val table = new LakeTable(root, numBuckets = 2)
+    MergeApplier.applyBatch(spark, table,
+      spark.createDataset(Seq(ev("c", 0, "x", "2025-01-01 00:00:00", "insert", 1)))
+        .toDF().withColumn("score",
+          org.apache.spark.sql.functions.lit(1).cast("int")), "w", 0L)
+    val ckpt = tmpDir("cdf-widen-ck")
+    // a LIVE stream (its read schema pinned at score:int) must not silently
+    // misread the wider files a mid-run widening commits — the next trigger's
+    // planning detects the retype and kills the query with a restart hint
+    val q = spark.readStream.format("lake-cdf").option("path", root).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(100))
+      .foreachBatch { (b: DataFrame, _: Long) => b.count(); () }
+      .start()
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    try {
+      val t0 = System.currentTimeMillis()
+      while (q.recentProgress.isEmpty) {
+        assert(System.currentTimeMillis() - t0 < 60000, "bootstrap never triggered")
+        Thread.sleep(50)
+      }
+      MergeApplier.applyBatch(spark, table,
+        spark.createDataset(Seq(ev("c", 1, "y", "2025-01-01 00:01:00", "insert", 2)))
+          .toDF().withColumn("score",
+            org.apache.spark.sql.functions.lit(6000000000L)), "w", 1L)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        assert(q.awaitTermination(60000), "stream neither failed nor stopped")
+      }
+      assert(msgs(e).exists(_.contains("retyped")))
+    } finally if (q.isActive) q.stop()
+    // a RESTART re-pins the widened schema: the checkpointed offset window
+    // replays over old int32 files promoted to long — and so does a fresh
+    // bootstrap
+    val (inc, _) = drain(root, ckpt)
+    assert(inc.map(r => key(r) -> r.getAs[Long]("score")).toMap == Map(("c", 1) -> 6000000000L))
+    val (reboot, _) = drain(root, tmpDir("cdf-widen-ck2"))
+    val scores = reboot.map(r => key(r) -> r.getAs[Long]("score")).toMap
+    assert(scores == Map(("c", 0) -> 1L, ("c", 1) -> 6000000000L))
+  }
+
   test("a rebucket inside the offset window fails the stream loudly") {
     val root = tmpDir("cdf-rebucket")
     val table = new LakeTable(root, numBuckets = 2)

@@ -1,0 +1,197 @@
+package graft
+
+import graft.model.{ChangeEvent, Model}
+import graft.operators.MergeApplier
+import graft.table.LakeTable
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** The DSv2 batch read connector (`format("lake")`): statistics, bucket
+  * pruning, column pruning through the MOR fold, time travel.
+  */
+class LakeSourceSpec extends SparkSpecBase {
+  import Model.changeEventEncoder
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def ev(conv: String, turn: Int, text: String, t: String, op: String,
+      seq: Long): ChangeEvent =
+    ChangeEvent(conv, turn, "user", text, None, ts(t), op, seq)
+
+  private def apply(table: LakeTable, batch: Seq[ChangeEvent], id: Long): Unit =
+    MergeApplier.applyBatch(spark, table, spark.createDataset(batch).toDF(), "w", id)
+
+  private def lake(root: String, opts: (String, String)*) = {
+    val r = spark.read.format("lake").option("path", root)
+    opts.foreach { case (k, v) => r.option(k, v) }
+    r.load()
+  }
+
+  test("reads equal the programmatic read; time travel; op stays internal") {
+    val root = tmpDir("lake-src")
+    val table = new LakeTable(root, numBuckets = 4)
+    apply(table, Seq(
+      ev("cA", 0, "a0", "2025-01-01 00:00:00", "insert", 1),
+      ev("cB", 0, "b0", "2025-01-01 00:00:01", "insert", 2)), 0L)
+    apply(table, Seq(
+      ev("cA", 0, "a0'", "2025-01-01 00:01:00", "update", 3),
+      ev("cB", 0, null, "2025-01-01 00:01:01", "delete", 4)), 1L)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    assert(!lake(root).schema.fieldNames.contains("op"))
+    assert(rows(lake(root)) == rows(table.read(spark)))
+    assert(lake(root).count() == 1) // cB/0 tombstoned
+    assert(rows(lake(root, "asOfVersion" -> "1")) ==
+      rows(table.read(spark, asOfVersion = Some(1L))))
+    intercept[Exception] { lake(root, "asOfVersion" -> "9").collect() }
+  }
+
+  test("reported statistics surface in the plan and enable an unhinted broadcast join") {
+    val root = tmpDir("lake-stats")
+    val table = new LakeTable(root, numBuckets = 4)
+    apply(table, (0 until 50).map(i => ev(s"c$i", 0, s"t$i", "2025-01-01 00:00:00", "insert", i.toLong)), 0L)
+
+    val dim = lake(root)
+    val stats = dim.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(50)), s"rowCount not reported: $stats")
+    assert(stats.sizeInBytes > 0 && stats.sizeInBytes < 10L * 1024 * 1024)
+
+    // a fact frame large enough that broadcasting the DIMENSION is the only
+    // sane plan; no broadcast() hint anywhere — the reported stats decide
+    val fact = spark.range(0, 10000).select(
+      concat(lit("c"), (col("id") % 50)).as("conv_id"), col("id"))
+    val joined = fact.join(dim, Seq("conv_id"))
+    // the PRE-AQE physical plan: only compile-time (reported) statistics can
+    // have chosen a broadcast here — AQE's runtime conversion hasn't run yet
+    assert(joined.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+      s"expected an unhinted stats-driven broadcast join:\n${joined.queryExecution.sparkPlan}")
+    assert(joined.count() == 10000)
+  }
+
+  test("key-equality filters prune to the exact bucket physically; conv-only does not prune") {
+    val root = tmpDir("lake-prune")
+    val table = new LakeTable(root, numBuckets = 8)
+    apply(table, (0 until 40).map(i =>
+      ev(s"c${i % 10}", i / 10, s"t$i", "2025-01-01 00:00:00", "insert", i.toLong)), 0L)
+
+    val hit = lake(root).filter(col("conv_id") === "c3" && col("turn_idx") === 2)
+    val want = table.bucketFor("c3", 2)
+    val descs = hit.queryExecution.executedPlan.collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.description()
+    }
+    assert(descs.exists(_.contains(s"buckets={$want}")),
+      s"bucket pruning not visible in:\n${descs.mkString("\n")}")
+    assert(hit.collect().map(_.getAs[String]("text")).toSeq == Seq(s"t${2 * 10 + 3}"))
+
+    // physical proof: with every OTHER bucket's files gone from disk, the
+    // pruned read still answers; an unpruned read of the same table fails
+    val snap = table.currentSnapshot().get
+    val keep = table.resolveFiles(snap, Some(Set(want))).values.flatten.map(_.path).toSet
+    table.resolveFiles(snap).values.flatten.map(_.path).filterNot(keep)
+      .foreach(p => java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+    assert(hit.collect().length == 1)
+    intercept[Exception] { lake(root).collect() }
+  }
+
+  test("conv-only filters stay sound (no unsound pruning) and IN-lists prune to the set") {
+    val root = tmpDir("lake-sound")
+    val table = new LakeTable(root, numBuckets = 8)
+    // a turn index far beyond any enumeration heuristic
+    apply(table, Seq(
+      ev("cX", 0, "t0", "2025-01-01 00:00:00", "insert", 1),
+      ev("cX", 999999, "tBig", "2025-01-01 00:00:01", "insert", 2),
+      ev("cY", 0, "y0", "2025-01-01 00:00:02", "insert", 3)), 0L)
+    assert(lake(root).filter(col("conv_id") === "cX").count() == 2)
+
+    val in = lake(root).filter(
+      col("conv_id").isin("cX", "cY") && col("turn_idx").isin(0, 999999))
+    // superset of the true buckets is fine; result must be exact
+    assert(in.collect().map(_.getAs[String]("text")).sorted.toSeq == Seq("t0", "tBig", "y0"))
+  }
+
+  test("catalog: SQL reads, VERSION AS OF, listTables, and bucket-function parity") {
+    val base = tmpDir("lake-cat")
+    val t = new LakeTable(s"$base/convs", numBuckets = 4)
+    apply(t, Seq(ev("c", 0, "v1", "2025-01-01 00:00:00", "insert", 1)), 0L)
+    apply(t, Seq(ev("c", 0, "v2", "2025-01-01 00:01:00", "update", 2)), 1L)
+    spark.conf.set("spark.sql.catalog.lakecat", classOf[graft.table.LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lakecat.base", base)
+    assert(spark.sql("SELECT text FROM lakecat.convs").collect().map(_.getString(0)).toSeq == Seq("v2"))
+    assert(spark.sql("SELECT text FROM lakecat.convs VERSION AS OF 1")
+      .collect().map(_.getString(0)).toSeq == Seq("v1"))
+    assert(spark.sql("SHOW TABLES IN lakecat").collect().map(_.getString(1)).toSeq == Seq("convs"))
+    // the V2 bucket function must agree bit-for-bit with the layout hash
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { _ =>
+      val conv = rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString
+      val turn = rnd.nextInt(1 << 20)
+      val viaFn = graft.table.BucketConvTurn.invoke(
+        4, org.apache.spark.unsafe.types.UTF8String.fromString(conv), turn)
+      assert(viaFn == t.bucketFor(conv, turn), s"bucket drift for ($conv, $turn)")
+    }
+  }
+
+  test("storage-partitioned join: same-layout tables join with zero shuffle") {
+    val base = tmpDir("lake-spj")
+    val facts = new LakeTable(s"$base/facts", numBuckets = 8)
+    val labels = new LakeTable(s"$base/labels", numBuckets = 8)
+    apply(facts, (0 until 60).map(i =>
+      ev(s"c${i % 12}", i / 12, s"f$i", "2025-01-01 00:00:00", "insert", i.toLong)), 0L)
+    apply(labels, (0 until 36).map(i =>
+      ev(s"c${i % 12}", i / 12, s"l$i", "2025-01-01 00:00:00", "insert", i.toLong)), 0L)
+
+    spark.conf.set("spark.sql.catalog.spjcat", classOf[graft.table.LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjcat.base", base)
+    val oldBucketing = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val oldBroadcast = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the join to plan, not broadcast
+    try {
+      val j = spark.table("spjcat.facts").select("conv_id", "turn_idx", "text")
+        .join(spark.table("spjcat.labels")
+          .select(col("conv_id"), col("turn_idx"), col("text").as("label")),
+          Seq("conv_id", "turn_idx"))
+      val plan = j.queryExecution.sparkPlan
+      assert(!plan.toString.contains("Exchange"),
+        s"storage-partitioned join still shuffles:\n$plan")
+      // correctness: equals the plain (shuffled) programmatic join
+      val expect = facts.read(spark).select("conv_id", "turn_idx", "text")
+        .join(labels.read(spark)
+          .select(col("conv_id"), col("turn_idx"), col("text").as("label")),
+          Seq("conv_id", "turn_idx"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+      assert(j.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|")) == expect)
+      assert(expect.size == 36)
+    } finally {
+      oldBucketing.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+      oldBroadcast.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    }
+  }
+
+  test("MOR snapshot: fold happens in-task and column pruning reaches the parquet read") {
+    val root = tmpDir("lake-mor")
+    val table = new LakeTable(root, numBuckets = 2)
+    apply(table, Seq(
+      ev("c", 0, "x", "2025-01-01 00:00:00", "insert", 1),
+      ev("c", 1, "y", "2025-01-01 00:00:01", "insert", 2)), 0L)
+    MergeApplier.applyBatchMor(spark, table,
+      spark.createDataset(Seq(
+        ev("c", 0, "x'", "2025-01-01 00:01:00", "update", 3),
+        ev("c", 1, null, "2025-01-01 00:01:01", "delete", 4))).toDF(), "w", 1L)
+    assert(table.currentSnapshot().get.morDeltas)
+
+    val pruned = lake(root).select("conv_id", "text")
+    // DSv2 output after pruning is exactly the requested columns
+    val leaves = pruned.queryExecution.executedPlan.collectLeaves()
+    assert(leaves.exists(_.output.map(_.name) == Seq("conv_id", "text")),
+      s"not pruned: ${leaves.map(_.output.map(_.name))}")
+    // fold resolved winners: c/0 updated, c/1 deleted
+    assert(pruned.collect().map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("c", "x'")))
+    // zero exchanges in the plan (bucket-local fold)
+    assert(!pruned.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+}
