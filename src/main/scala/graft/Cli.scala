@@ -24,6 +24,7 @@ import org.apache.spark.sql.SparkSession
   *   graft.Cli lookup     <tableDir> <convId> <turnIdx>
   *   graft.Cli replicate  <srcTableDir> <dstTableDir> <checkpointDir> [maxVersionsPerTrigger] [cow|mor]
   *   graft.Cli rebucket   <tableDir> <newNumBuckets>
+  *   graft.Cli sql        <tablesBaseDir> <query>   # tables addressed as lake.<name>
   * }}}
   */
 object Cli {
@@ -184,6 +185,14 @@ object Cli {
       val resized = MergeApplier.rebucket(spark, table, n.toInt)
       val s = resized.currentSnapshot().get
       println(s"""{"mode":"rebucket","version":${s.version},"numBuckets":${s.numBuckets},"rows":${s.totalRows}}""")
+
+    case "sql" :: base :: query :: Nil =>
+      // ad-hoc SQL over a directory of lake tables: register the catalog
+      // (storage-partitioned joins and all) and print JSON-lines rows
+      spark.conf.set("spark.sql.catalog.lake", classOf[graft.table.LakeCatalog].getName)
+      spark.conf.set("spark.sql.catalog.lake.base", base)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.sql(query).toJSON.collect().foreach(println)
 
     case other =>
       // throw, don't sys.exit: run is also test-invoked, and an exit here

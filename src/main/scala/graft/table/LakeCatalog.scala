@@ -59,6 +59,13 @@ final class LakeCatalog extends TableCatalog with FunctionCatalog {
     LakeTable.open(root).currentSnapshot().nonEmpty
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata table: `SELECT … FROM cat.`tbl$history``
+    if (ident.name().endsWith("$history")) {
+      val root = rootFor(Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$history")))
+      if (!isLakeTable(root)) throw new NoSuchTableException(ident)
+      return new LakeHistoryTable(root)
+    }
     val root = rootFor(ident)
     if (!isLakeTable(root)) throw new NoSuchTableException(ident)
     new LakeSourceTable(root, CaseInsensitiveStringMap.empty())
@@ -101,6 +108,41 @@ final class LakeCatalog extends TableCatalog with FunctionCatalog {
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name() == "bucket") LakeBucketFunction
     else throw new NoSuchFunctionException(ident)
+}
+
+/** `tbl$history` metadata table: the commit log (version, lineage counts,
+  * per-writer ledger, metrics) as a queryable relation — DESCRIBE HISTORY
+  * for dashboards and debugging, via plain SQL. The rows are O(retained
+  * snapshots) metadata JSONs, computed driver-side at scan time
+  * ([[org.apache.spark.sql.connector.read.LocalScan]] — no executor work
+  * for a metadata read).
+  */
+private final class LakeHistoryTable(root: String)
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+
+  private def historyDf = LakeTable.open(root)
+    .history(org.apache.spark.sql.SparkSession.active)
+
+  override def name(): String = s"lake(`$root`$$history)"
+  override def schema(): StructType = historyDf.schema
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        private val df = historyDf // snapshot log pinned at scan build
+        override val readSchema: StructType = df.schema
+        override val rows: Array[org.apache.spark.sql.catalyst.InternalRow] = {
+          val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToCatalystConverter(df.schema)
+          df.collect().map(conv(_).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+        }
+        override def description(): String = s"LakeHistory(`$root`)"
+      }
+    }
 }
 
 /** The table layout's bucket function as a catalog V2 function — the

@@ -98,5 +98,16 @@ class CliSpec extends SparkSpecBase {
     val rv = graft.table.LakeTable.open(replDir).currentSnapshot().get.version
     Cli.run(spark, List("replicate", tableDir, replDir, replCk))
     assert(graft.table.LakeTable.open(replDir).currentSnapshot().get.version == rv)
+
+    // ad-hoc SQL over a tables directory through the catalog verb
+    val sqlBase = tmpDir("cli-sql-base")
+    Cli.run(spark, List("cold-start", src, s"$sqlBase/conv", "8"))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Cli.run(spark, List("sql", sqlBase,
+        "SELECT count(*) AS n, count(DISTINCT conv_id) AS convs FROM lake.conv"))
+    }
+    assert(out.toString.contains("\"n\"") && out.toString.contains("\"convs\""),
+      s"unexpected sql output: ${out.toString}")
   }
 }

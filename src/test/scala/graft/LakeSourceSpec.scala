@@ -122,6 +122,12 @@ class LakeSourceSpec extends SparkSpecBase {
     assert(spark.sql("SELECT text FROM lakecat.convs VERSION AS OF 1")
       .collect().map(_.getString(0)).toSeq == Seq("v1"))
     assert(spark.sql("SHOW TABLES IN lakecat").collect().map(_.getString(1)).toSeq == Seq("convs"))
+    // the $history metadata table: the commit log over SQL
+    val hist = spark.sql(
+      "SELECT version, total_rows, mor_deltas FROM lakecat.`convs$history` ORDER BY version")
+      .collect()
+    assert(hist.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq ==
+      Seq((1L, 1L, false), (2L, 1L, false)))
     // the V2 bucket function must agree bit-for-bit with the layout hash
     val rnd = new scala.util.Random(7)
     (0 until 200).foreach { _ =>
