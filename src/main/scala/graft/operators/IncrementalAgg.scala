@@ -149,17 +149,24 @@ object IncrementalAgg {
       writerId: String, batchId: Long, pruneCap: Int = 100000): Unit = {
     val deltas = feedDeltas(feed).persist()
     try {
-      // the affected-conversation list drives the driver-side bucket pruning;
-      // its size is O(Δ convs), bounded by the refresh window
-      val affected = deltas.select("conv_id").collect().map(_.getString(0))
-      if (affected.isEmpty) return
+      // one distributed count on the persisted deltas gates everything: an
+      // empty window commits nothing, and the driver-side affected-key
+      // collection below only ever happens UNDER the cap — a bootstrap
+      // window (Δ = the whole corpus, 10^8 convs at target scale) must
+      // never be collected to the driver
+      val nAffected = deltas.count()
+      if (nAffected == 0) return
 
       val statCols = ("conv_id" +: StatCols).map(col)
       val prev = view.currentSnapshot() match {
         case None =>
+          // bootstrap: no prior state to join or prune — fully distributed
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptyStatsSchema)
-        case Some(s) if affected.length <= pruneCap =>
+        case Some(s) if nAffected <= pruneCap =>
+          // the affected-conversation list drives the driver-side bucket
+          // pruning; its size is bounded by pruneCap, checked BEFORE collect
+          val affected = deltas.select("conv_id").collect().map(_.getString(0))
           val buckets = affected.map(c => view.bucketFor(c, 0)).toSet
           // same snapshot-pinned pruned read as lookupTurn, for a key SET
           val pruned =
@@ -169,6 +176,7 @@ object IncrementalAgg {
             .filter(col("conv_id").isInCollection(affected))
             .select(statCols: _*)
         case Some(_) =>
+          // above the cap enumerating keys stops paying: full view read
           view.read(spark).select(statCols: _*)
       }
 
