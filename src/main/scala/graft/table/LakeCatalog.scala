@@ -59,13 +59,26 @@ final class LakeCatalog extends TableCatalog with FunctionCatalog {
     LakeTable.open(root).currentSnapshot().nonEmpty
 
   override def loadTable(ident: Identifier): Table = {
-    // Iceberg-style metadata table: `SELECT … FROM cat.`tbl$history``
-    if (ident.name().endsWith("$history")) {
-      val root = rootFor(Identifier.of(ident.namespace(),
-        ident.name().stripSuffix("$history")))
-      if (!isLakeTable(root)) throw new NoSuchTableException(ident)
-      return new LakeHistoryTable(root)
+    // Iceberg-style metadata tables: `SELECT … FROM cat.`tbl$history``
+    def metaRoot(suffix: String): String = {
+      val r = rootFor(Identifier.of(ident.namespace(), ident.name().stripSuffix(suffix)))
+      if (!isLakeTable(r)) throw new NoSuchTableException(ident)
+      r
     }
+    if (ident.name().endsWith("$history"))
+      return new LakeMetaTable(metaRoot("$history"), "history",
+        t => t.history(org.apache.spark.sql.SparkSession.active))
+    if (ident.name().endsWith("$files"))
+      return new LakeMetaTable(metaRoot("$files"), "files", { t =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        import spark.implicits._
+        val s = t.currentSnapshot().get
+        t.resolveFiles(s).toSeq
+          .flatMap { case (b, fs) =>
+            fs.map(f => (b, f.path, f.bytes, s.bucketRows.getOrElse(b, 0L))) }
+          .sortBy(r => (r._1, r._2))
+          .toDF("bucket", "path", "bytes", "bucket_rows")
+      })
     val root = rootFor(ident)
     if (!isLakeTable(root)) throw new NoSuchTableException(ident)
     new LakeSourceTable(root, CaseInsensitiveStringMap.empty())
@@ -110,22 +123,22 @@ final class LakeCatalog extends TableCatalog with FunctionCatalog {
     else throw new NoSuchFunctionException(ident)
 }
 
-/** `tbl$history` metadata table: the commit log (version, lineage counts,
-  * per-writer ledger, metrics) as a queryable relation — DESCRIBE HISTORY
-  * for dashboards and debugging, via plain SQL. The rows are O(retained
-  * snapshots) metadata JSONs, computed driver-side at scan time
-  * ([[org.apache.spark.sql.connector.read.LocalScan]] — no executor work
-  * for a metadata read).
+/** Metadata tables (`tbl$history` — the commit log with lineage and the
+  * per-writer ledger; `tbl$files` — the current snapshot's per-bucket file
+  * inventory) as queryable relations: DESCRIBE HISTORY / ops dashboards via
+  * plain SQL. Rows come from O(metadata) driver-side reads, served through
+  * [[org.apache.spark.sql.connector.read.LocalScan]] — no executor work for
+  * a metadata read.
   */
-private final class LakeHistoryTable(root: String)
+private final class LakeMetaTable(root: String, kind: String,
+    df: LakeTable => org.apache.spark.sql.DataFrame)
     extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
   import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
 
-  private def historyDf = LakeTable.open(root)
-    .history(org.apache.spark.sql.SparkSession.active)
+  private def metaDf = df(LakeTable.open(root))
 
-  override def name(): String = s"lake(`$root`$$history)"
-  override def schema(): StructType = historyDf.schema
+  override def name(): String = s"lake(`$root`$$$kind)"
+  override def schema(): StructType = metaDf.schema
   override def capabilities()
       : java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
     java.util.EnumSet.of(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
@@ -133,14 +146,14 @@ private final class LakeHistoryTable(root: String)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new LocalScan {
-        private val df = historyDf // snapshot log pinned at scan build
-        override val readSchema: StructType = df.schema
+        private val pinned = metaDf // metadata pinned at scan build
+        override val readSchema: StructType = pinned.schema
         override val rows: Array[org.apache.spark.sql.catalyst.InternalRow] = {
           val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
-            .createToCatalystConverter(df.schema)
-          df.collect().map(conv(_).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+            .createToCatalystConverter(pinned.schema)
+          pinned.collect().map(conv(_).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
         }
-        override def description(): String = s"LakeHistory(`$root`)"
+        override def description(): String = s"LakeMeta(`$root`, $kind)"
       }
     }
 }

@@ -128,6 +128,11 @@ class LakeSourceSpec extends SparkSpecBase {
       .collect()
     assert(hist.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq ==
       Seq((1L, 1L, false), (2L, 1L, false)))
+    // the $files metadata table: the current snapshot's file inventory
+    val files = spark.sql(
+      "SELECT bucket, path, bytes FROM lakecat.`convs$files`").collect()
+    assert(files.nonEmpty && files.forall(r =>
+      r.getLong(2) > 0 && r.getString(1).endsWith(".parquet")))
     // the V2 bucket function must agree bit-for-bit with the layout hash
     val rnd = new scala.util.Random(7)
     (0 until 200).foreach { _ =>
