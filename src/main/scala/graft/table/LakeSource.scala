@@ -164,7 +164,35 @@ private[table] final class LakeSourceTable(root: String, tableOptions: CaseInsen
 private final class LakeSourceScan(table: LakeTable, snap: Snapshot,
     required: StructType, buckets: Option[Set[Int]])
     extends Scan with Batch with SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** RUNTIME bucket pruning (the DSv2 face of dynamic partition pruning):
+    * a join whose build side resolves to few keys hands this scan
+    * `In(conv_id, …)` / `In(turn_idx, …)` filters at execution time;
+    * [[LakeSource.prunedBuckets]] applies the same soundness rule as the
+    * static path (BOTH key parts required — the murmur3 bucket hashes the
+    * full key), and partition re-planning after `filter()` drops the
+    * untouched buckets before any file opens. The cohort-fetch join
+    * ("these 50 conversations ⋈ the 10^10-row table") reads O(cohort
+    * buckets), not O(table).
+    */
+  @volatile private var runtimeBuckets: Option[Set[Int]] = None
+
+  /** Only advertise key columns that survived column pruning: Spark's
+    * PartitionPruning rule resolves these against the scan OUTPUT, so naming
+    * a pruned-away column fails analysis. Pruning needs both parts anyway
+    * (soundness rule below), so a projection without them simply opts out.
+    */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val present = required.fieldNames.toSet
+    Array("conv_id", "turn_idx").filter(present)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  }
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeBuckets = LakeSource.prunedBuckets(table, filters)
+      .filter(_.size < snap.numBuckets)
 
   override def readSchema(): StructType = required
   override def description(): String =
@@ -172,8 +200,14 @@ private final class LakeSourceScan(table: LakeTable, snap: Snapshot,
       buckets.map(b => s", buckets=${b.toSeq.sorted.mkString("{", ",", "}")}").getOrElse("") + ")"
   override def toBatch: Batch = this
 
+  // static (compile-time) pruning ∩ runtime pruning
+  private def effectiveBuckets: Option[Set[Int]] = (buckets, runtimeBuckets) match {
+    case (Some(a), Some(b)) => Some(a.intersect(b))
+    case (a, b) => a.orElse(b)
+  }
+
   private def plannedBuckets: Seq[Int] =
-    buckets.map(_.toSeq.sorted).getOrElse(0 until snap.numBuckets)
+    effectiveBuckets.map(_.toSeq.sorted).getOrElse(0 until snap.numBuckets)
 
   /** One partition PER BUCKET (empty buckets included when unpruned): the
     * key set is then total and identical across same-layout tables, so the
@@ -193,9 +227,9 @@ private final class LakeSourceScan(table: LakeTable, snap: Snapshot,
   // ESTIMATE, and tombstone-heavy tables over-estimate, which is the safe
   // direction for broadcast decisions.
   override def estimateStatistics(): Statistics = {
-    val files = table.resolveFiles(snap, buckets)
+    val files = table.resolveFiles(snap, effectiveBuckets)
     val bytes = files.values.flatten.map(_.bytes).sum
-    val rows = buckets match {
+    val rows = effectiveBuckets match {
       case Some(bs) => snap.bucketRows.view.filterKeys(bs).values.sum
       case None => snap.totalRows
     }
@@ -206,7 +240,7 @@ private final class LakeSourceScan(table: LakeTable, snap: Snapshot,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = table.resolveFiles(snap, buckets)
+    val files = table.resolveFiles(snap, effectiveBuckets)
     plannedBuckets.toArray.map { b =>
       LakeInputPartition(b,
         files.getOrElse(b, Seq.empty).map(f => (f.path, f.bytes)).toArray): InputPartition

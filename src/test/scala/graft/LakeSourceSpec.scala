@@ -183,6 +183,42 @@ class LakeSourceSpec extends SparkSpecBase {
     }
   }
 
+  test("runtime filtering prunes buckets at execution time (sound rule, intersection with static)") {
+    val root = tmpDir("lake-rtf")
+    val table = new LakeTable(root, numBuckets = 8)
+    apply(table, (0 until 40).map(i =>
+      ev(s"c${i % 10}", i / 10, s"t$i", "2025-01-01 00:00:00", "insert", i.toLong)), 0L)
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import org.apache.spark.sql.sources.{In => SIn}
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.head.asInstanceOf[SupportsRuntimeFiltering]
+
+    // this is the exact call path Spark's dynamic partition pruning drives:
+    // filterAttributes names the prunable columns, filter() delivers the
+    // build side's key values, partition re-planning happens after
+    val rf = scanOf(lake(root))
+    assert(rf.filterAttributes().map(_.describe()).toSeq == Seq("conv_id", "turn_idx"))
+    assert(rf.toBatch.planInputPartitions().length == 8)
+    rf.filter(Array[org.apache.spark.sql.sources.Filter](
+      SIn("conv_id", Array("c3", "c7")), SIn("turn_idx", Array(2))))
+    val pruned = rf.toBatch.planInputPartitions()
+    val want = Set(table.bucketFor("c3", 2), table.bucketFor("c7", 2))
+    assert(pruned.length == want.size)
+    // conv-only runtime filters must NOT prune (same soundness rule as the
+    // static path — the bucket hashes the full key)
+    val rf2 = scanOf(lake(root))
+    rf2.filter(Array[org.apache.spark.sql.sources.Filter](SIn("conv_id", Array("c3"))))
+    assert(rf2.toBatch.planInputPartitions().length == 8)
+    // runtime ∩ static: a statically-pruned scan narrows further at runtime
+    val rf3 = scanOf(lake(root).filter(
+      col("conv_id").isin("c3", "c7") && col("turn_idx") === 2))
+    rf3.filter(Array[org.apache.spark.sql.sources.Filter](
+      SIn("conv_id", Array("c3")), SIn("turn_idx", Array(2))))
+    assert(rf3.toBatch.planInputPartitions().length == 1)
+  }
+
   test("MOR snapshot: fold happens in-task and column pruning reaches the parquet read") {
     val root = tmpDir("lake-mor")
     val table = new LakeTable(root, numBuckets = 2)
