@@ -1,17 +1,19 @@
 package graft.table
 
 import graft.model.Model
-import graft.operators.BucketLocal
+import graft.operators.{BucketLocal, MergeApplier}
 import org.apache.spark.paths.SparkPath
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graftbridge.ScanBridge
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -111,10 +113,120 @@ private object LakeSource {
       turns <- values("turn_idx").map(_.collect { case i: Int => i })
     } yield (for (c <- convs; t <- turns) yield table.bucketFor(c, t)).toSet
   }
+
+  /** Driver-side body of the SQL append (see `newWriteBuilder`). Explicit
+    * (writerId, batchId) options get ledger exactly-once: a replayed id is a
+    * committed duplicate and no-ops. Without them the insert auto-assigns
+    * maxBatchId("sql")+1 and MUST re-apply when `skipped` comes back: skipped
+    * there means a CONCURRENT insert won the race to that id — a different
+    * statement's data — not that ours committed. The retry recomputes the id
+    * off the new snapshot; each round some racer commits, so the loop is
+    * lock-free-progress bounded by the number of concurrent inserters.
+    */
+  def sqlAppend(root: String, data: DataFrame, options: CaseInsensitiveStringMap): Unit = {
+    val mor = Option(options.get("mode")).map(_.toLowerCase) match {
+      case Some("mor") => true
+      case None | Some("cow") => false
+      case Some(m) => throw new IllegalArgumentException(s"unknown lake write mode '$m' (cow|mor)")
+    }
+    applyEvents(data.sparkSession, LakeTable.open(root),
+      data.withColumn("op", lit(Model.OpInsert)), mor, options)
+  }
+
+  /** Driver-side body of SQL `DELETE FROM` ([[LakeSourceTable.deleteWhere]]).
+    * A group/metadata delete cannot express CDC tombstones, so this is a
+    * read-then-merge: scan the CURRENT winners matching the predicate
+    * (through the lake source itself, so key filters bucket-prune the scan),
+    * and merge a tombstone per match stamped `(row.ts, row.seq + 1)` — it
+    * beats exactly the version it saw (ties keep the incumbent) and LOSES to
+    * any strictly newer concurrent event, which is SQL DELETE's snapshot
+    * semantics: a racing update to the same key survives the delete rather
+    * than being silently killed. Tombstoned keys never match (the scan
+    * already folds them out), so a replayed DELETE is naturally a no-op.
+    */
+  def sqlDelete(root: String, filters: Array[Filter]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val table = LakeTable.open(root)
+    if (table.currentSnapshot().isEmpty) return // nothing committed: nothing to delete
+    val cond = filters.map(filterToColumn).reduceOption(_ && _).getOrElse(lit(true))
+    val current = spark.read.format("lake").option("path", root).load()
+    val schema = outputSchema(table.currentSnapshot().get.schema)
+    val tombstones = current.filter(cond).select(schema.fields.toIndexedSeq.map { f =>
+      f.name match {
+        case "conv_id" | "turn_idx" | "ts" => col(f.name)
+        case "seq" => (col("seq") + 1L).as("seq")
+        case other => lit(null).cast(f.dataType).as(other)
+      }
+    }: _*).withColumn("op", lit(Model.OpDelete))
+    applyEvents(spark, table, tombstones, mor = false, CaseInsensitiveStringMap.empty())
+  }
+
+  /** V1 pushed-filter → Column, for the predicate subset `canDeleteWhere`
+    * accepts. Spark re-checks `canDeleteWhere` before calling `deleteWhere`,
+    * so an untranslatable predicate surfaces as Spark's standard
+    * "cannot delete where" analysis error, never a runtime surprise.
+    */
+  def filterToColumn(f: Filter): Column = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => col(a) === lit(v)
+      case EqualNullSafe(a, v) => col(a) <=> lit(v)
+      case GreaterThan(a, v) => col(a) > lit(v)
+      case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+      case LessThan(a, v) => col(a) < lit(v)
+      case LessThanOrEqual(a, v) => col(a) <= lit(v)
+      case In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+      case IsNull(a) => col(a).isNull
+      case IsNotNull(a) => col(a).isNotNull
+      case StringStartsWith(a, v) => col(a).startsWith(v)
+      case StringEndsWith(a, v) => col(a).endsWith(v)
+      case StringContains(a, v) => col(a).contains(v)
+      case And(l, r) => filterToColumn(l) && filterToColumn(r)
+      case Or(l, r) => filterToColumn(l) || filterToColumn(r)
+      case Not(c) => !filterToColumn(c)
+      case AlwaysTrue() => lit(true)
+      case AlwaysFalse() => lit(false)
+      case other => throw new UnsupportedOperationException(
+        s"DELETE predicate not supported: $other")
+    }
+  }
+
+  def canTranslate(f: Filter): Boolean =
+    try { filterToColumn(f); true } catch { case _: UnsupportedOperationException => false }
+
+  /** The shared commit loop for SQL-driven writes (`events` already carries
+    * `op`): explicit (writerId, batchId) = ledger exactly-once; otherwise
+    * auto-assign maxBatchId(writerId)+1 and re-apply on an id race.
+    */
+  private def applyEvents(spark: SparkSession, table: LakeTable, events: DataFrame,
+      mor: Boolean, options: CaseInsensitiveStringMap): Unit = {
+    def apply1(writerId: String, batchId: Long): Boolean = {
+      val r = if (mor) MergeApplier.applyBatchMor(spark, table, events, writerId, batchId)
+              else MergeApplier.applyBatch(spark, table, events, writerId, batchId)
+      r.skipped
+    }
+    (Option(options.get("writerId")), Option(options.get("batchId")).map(_.toLong)) match {
+      case (Some(w), Some(b)) => apply1(w, b) // skipped = exactly-once replay no-op
+      case (None, Some(_)) => throw new IllegalArgumentException(
+        "batchId requires writerId (the ledger is per-writer)")
+      case (w, None) =>
+        val writerId = w.getOrElse("sql")
+        var attempts = 0
+        var raced = true
+        while (raced) {
+          attempts += 1
+          require(attempts <= 16,
+            s"append lost the batch-id race $attempts times (writerId=$writerId); " +
+              "give concurrent inserters distinct writerId options")
+          val bid = table.currentSnapshot().map(_.maxBatchId(writerId)).getOrElse(-1L) + 1
+          raced = apply1(writerId, bid)
+        }
+    }
+  }
 }
 
 private[table] final class LakeSourceTable(root: String, tableOptions: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   // pin once per handle: schema, stats and partition planning all agree
   private val snap = LakeSource.snapshot(root, tableOptions)
   private val table = LakeTable.open(root)
@@ -122,7 +234,65 @@ private[table] final class LakeSourceTable(root: String, tableOptions: CaseInsen
   override def name(): String = s"lake(`$root`, v${snap.version})"
   override def schema(): StructType = LakeSource.outputSchema(snap.schema)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    // TRUNCATE is declared ONLY so `INSERT OVERWRITE` reaches our insert()
+    // and gets the clear CDC-semantics rejection there, instead of Spark's
+    // opaque capability error (the overwrite itself is always refused)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  /** SQL append = CDC upsert apply. `INSERT INTO lake.t …` (and
+    * `df.writeTo("lake.t").append()`) routes each inserted row through the
+    * SAME engine path as the streaming tail — [[MergeApplier.applyBatch]]
+    * with `op = insert` — so LWW versioning, bucket-local merge, schema
+    * alignment, OCC commit and lineage all hold for SQL-driven writes; an
+    * INSERT whose (key, ts, seq) loses to a stored row is an upsert no-op,
+    * exactly like the equivalent change event. Deletes and conditional
+    * updates are MERGE INTO's job, not INSERT's.
+    *
+    * The V1 fallback ([[V1Write]]) is deliberate, not a shortcut: the
+    * engine's apply IS a driver-orchestrated Spark job (merge fold + commit
+    * with conflict retry), so the DataFrame handoff loses nothing — the
+    * heavy work stays distributed, and INSERT gets the multi-writer retry
+    * loop for free instead of re-implementing it inside a BatchWrite.
+    *
+    * Write options: `mode` = cow (default) | mor; `writerId`+`batchId` for
+    * exactly-once replays (ledger contract); bare INSERTs auto-assign the
+    * next batchId under writerId "sql" and retry on an id race.
+    */
+  /** SQL `DELETE FROM lake.t WHERE …` = CDC tombstones through the same
+    * merge engine (see [[LakeSource.sqlDelete]]): match the current winners,
+    * tombstone each at `(ts, seq + 1)` — snapshot-delete semantics where a
+    * concurrent newer write to the same key survives.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    tableOptions.get("asOfVersion") == null && filters.forall(LakeSource.canTranslate)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(tableOptions.get("asOfVersion") == null,
+      s"cannot delete from a time-travel handle of lake table at $root")
+    LakeSource.sqlDelete(root, filters)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(tableOptions.get("asOfVersion") == null,
+      s"cannot write to a time-travel handle of lake table at $root")
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // declared (with TRUNCATE capability) only to intercept INSERT
+      // OVERWRITE at plan time with a semantic error instead of Spark's
+      // opaque capability message
+      override def truncate(): WriteBuilder = throw new UnsupportedOperationException(
+        "INSERT OVERWRITE is unsupported: lake rows change via CDC upserts/deletes")
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+          override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+            require(!overwrite,
+              "INSERT OVERWRITE is unsupported: lake rows change via CDC upserts/deletes")
+            LakeSource.sqlAppend(root, data, info.options())
+          }
+        }
+      }
+    }
+  }
 
   /** The physical layout as a V2 transform. Through [[LakeCatalog]] (which
     * resolves `bucket` to [[LakeBucketFunction]]) this is what makes two

@@ -219,6 +219,95 @@ class LakeSourceSpec extends SparkSpecBase {
     assert(rf3.toBatch.planInputPartitions().length == 1)
   }
 
+  test("SQL INSERT routes through the CDC merge: LWW upsert, exactly-once replay, OVERWRITE rejected") {
+    val base = tmpDir("lake-ins")
+    val t = new LakeTable(s"$base/convs", numBuckets = 4)
+    apply(t, Seq(ev("c", 0, "old", "2025-01-01 00:00:00", "insert", 1)), 0L)
+    spark.conf.set("spark.sql.catalog.inscat", classOf[graft.table.LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.inscat.base", base)
+    def text() = spark.sql("SELECT text FROM inscat.convs WHERE conv_id='c' AND turn_idx=0")
+      .collect().map(_.getString(0)).toSeq
+
+    // a plain INSERT with a newer (ts, seq) is an upsert: it REPLACES the row
+    spark.sql("INSERT INTO inscat.convs VALUES " +
+      "('c', 0, 'user', 'new', NULL, TIMESTAMP '2025-01-01 00:02:00', 10)")
+    assert(text() == Seq("new"))
+    // an INSERT carrying an OLDER (ts, seq) loses LWW — no duplicate, no downgrade
+    spark.sql("INSERT INTO inscat.convs VALUES " +
+      "('c', 0, 'user', 'stale', NULL, TIMESTAMP '2025-01-01 00:01:00', 5)")
+    assert(text() == Seq("new"))
+    assert(spark.sql("SELECT * FROM inscat.convs").count() == 1)
+
+    // writerId+batchId = the ledger contract: an exact replay is a no-op
+    import spark.implicits._
+    val batch = Seq(("c", 1, "user", "turn1", null: String,
+      ts("2025-01-01 00:03:00"), 11L))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "seq")
+    val versionsBefore = t.currentSnapshot().get.version
+    batch.writeTo("inscat.convs").option("writerId", "w2").option("batchId", "0").append()
+    assert(t.currentSnapshot().get.version == versionsBefore + 1)
+    batch.writeTo("inscat.convs").option("writerId", "w2").option("batchId", "0").append()
+    assert(t.currentSnapshot().get.version == versionsBefore + 1, "replay must no-op")
+    assert(spark.sql("SELECT * FROM inscat.convs").count() == 2)
+
+    // mode=mor appends a delta instead of rewriting the bucket
+    batch.withColumn("turn_idx", lit(2)).writeTo("inscat.convs")
+      .option("mode", "mor").append()
+    assert(t.currentSnapshot().get.morDeltas)
+    assert(spark.sql("SELECT * FROM inscat.convs").count() == 3)
+
+    // INSERT OVERWRITE contradicts CDC semantics — rejected loudly
+    val e = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE inscat.convs VALUES " +
+        "('x', 0, 'user', 'boom', NULL, TIMESTAMP '2025-01-01 00:00:00', 99)")
+    }
+    assert(e.getMessage.contains("INSERT OVERWRITE") || e.getMessage.contains("unsupported"),
+      s"unexpected error: ${e.getMessage}")
+    // a time-travel handle is read-only
+    intercept[Exception] {
+      batch.write.format("lake").option("path", s"$base/convs")
+        .option("asOfVersion", "1").mode("append").save()
+    }
+  }
+
+  test("SQL DELETE = snapshot tombstones: key delete, predicate delete, LWW survival of newer writes") {
+    val base = tmpDir("lake-del")
+    val t = new LakeTable(s"$base/convs", numBuckets = 4)
+    apply(t, (0 until 12).map(i =>
+      ev(s"c${i % 3}", i / 3, s"t$i", "2025-01-01 00:00:00", "insert", i.toLong)), 0L)
+    spark.conf.set("spark.sql.catalog.delcat", classOf[graft.table.LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.delcat.base", base)
+
+    // key-equality delete: one turn gone, the rest intact
+    spark.sql("DELETE FROM delcat.convs WHERE conv_id = 'c1' AND turn_idx = 2")
+    assert(spark.sql("SELECT * FROM delcat.convs").count() == 11)
+    assert(spark.sql("SELECT * FROM delcat.convs WHERE conv_id='c1' AND turn_idx=2").count() == 0)
+    // replayed DELETE is a no-op (tombstoned keys never match the scan)
+    val v = t.currentSnapshot().get.version
+    spark.sql("DELETE FROM delcat.convs WHERE conv_id = 'c1' AND turn_idx = 2")
+    assert(spark.sql("SELECT * FROM delcat.convs").count() == 11)
+
+    // non-key predicate delete works too (full scan, still a tombstone merge)
+    spark.sql("DELETE FROM delcat.convs WHERE text LIKE 't1%' OR text = 't3'")
+    // t1, t3, t10, t11 minus the already-deleted (c1, turn 2)=t7? no — t10/t11 match LIKE
+    val left = spark.sql("SELECT text FROM delcat.convs").collect().map(_.getString(0)).toSet
+    assert(!left.exists(s => s == "t1" || s == "t3" || s.startsWith("t1")), s"left=$left")
+
+    // snapshot-delete stamp (ts, seq+1): it kills exactly the version it saw —
+    // a replay of that version loses to the tombstone…
+    apply(t, Seq(ev("c2", 1, "fresh", "2025-01-01 00:02:00", "update", 50L)), 200L)
+    spark.sql("DELETE FROM delcat.convs WHERE conv_id = 'c2' AND turn_idx = 1")
+    apply(t, Seq(ev("c2", 1, "fresh", "2025-01-01 00:02:00", "insert", 50L)), 201L)
+    assert(spark.sql("SELECT * FROM delcat.convs WHERE conv_id='c2' AND turn_idx=1").count() == 0,
+      "a replayed pre-delete version must not resurrect a SQL-deleted turn")
+    // …while a STRICTLY newer CDC event outranks the snapshot tombstone (the
+    // delete never silently kills data it did not see)
+    apply(t, Seq(ev("c2", 1, "newer", "2025-01-01 00:05:00", "update", 60L)), 202L)
+    assert(spark.sql("SELECT text FROM delcat.convs WHERE conv_id='c2' AND turn_idx=1")
+      .collect().map(_.getString(0)).toSeq == Seq("newer"))
+    assert(v > 0)
+  }
+
   test("MOR snapshot: fold happens in-task and column pruning reaches the parquet read") {
     val root = tmpDir("lake-mor")
     val table = new LakeTable(root, numBuckets = 2)
