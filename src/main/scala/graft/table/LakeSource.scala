@@ -91,6 +91,16 @@ private object LakeSource {
   def outputSchema(tableSchema: StructType): StructType =
     StructType(tableSchema.fields.filterNot(_.name == "op"))
 
+  /** The `_bucket` METADATA COLUMN (hidden from `SELECT *`): the storage
+    * bucket a row lives in — the engine's physical group identity, exposed
+    * the way Iceberg exposes `_file`. It is what makes row-level operations
+    * group-prunable: the operation requires it, so the runtime group filter
+    * becomes a single-column `_bucket IN (…)` that actually survives filter
+    * translation (a conv+turn struct-IN would be dropped), and the write
+    * receives each copied row's group without rehashing.
+    */
+  val BucketCol = "_bucket"
+
   /** Driver-side bucket set from pushed key filters; None = no pruning.
     * Pruning requires BOTH key parts equality/IN-constrained — the bucket is
     * murmur3(conv_id, turn_idx), so a conv-only predicate cannot soundly
@@ -108,10 +118,14 @@ private object LakeSource {
       }
       if (vs.isEmpty) None else Some(vs.minBy(_.size))
     }
-    for {
+    (for {
       convs <- values("conv_id").map(_.collect { case s: String => s })
       turns <- values("turn_idx").map(_.collect { case i: Int => i })
-    } yield (for (c <- convs; t <- turns) yield table.bucketFor(c, t)).toSet
+      // driver-side cost cap: a runtime filter carrying millions of keys
+      // (a huge MERGE source) must not hash a conv×turn cross product on
+      // the driver — fall back to "no pruning" (sound, just unpruned)
+      if convs.size.toLong * turns.size <= 1000000L
+    } yield (for (c <- convs; t <- turns) yield table.bucketFor(c, t)).toSet)
   }
 
   /** Driver-side body of the SQL append (see `newWriteBuilder`). Explicit
@@ -226,7 +240,30 @@ private object LakeSource {
 }
 
 private[table] final class LakeSourceTable(root: String, tableOptions: CaseInsensitiveStringMap)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = LakeSource.BucketCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.IntegerType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "storage bucket (murmur3(conv_id, turn_idx) pmod numBuckets) — the row's physical group"
+    })
+
+  /** SQL `MERGE INTO` / `UPDATE` / complex `DELETE` via Spark's group-based
+    * row-level rewrite, group = bucket (see [[LakeRowLevelOperation]]).
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(tableOptions.get("asOfVersion") == null,
+      s"cannot modify a time-travel handle of lake table at $root")
+    new LakeRowLevelOperationBuilder(root, info)
+  }
   // pin once per handle: schema, stats and partition planning all agree
   private val snap = LakeSource.snapshot(root, tableOptions)
   private val table = LakeTable.open(root)
@@ -304,35 +341,45 @@ private[table] final class LakeSourceTable(root: String, tableOptions: CaseInsen
       snap.numBuckets, "conv_id", "turn_idx"))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
-      private var required: StructType = LakeSource.outputSchema(snap.schema)
-      private var pushed: Array[Filter] = Array.empty
-
-      override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-
-      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-        // keep the key-equality filters for physical pruning; EVERYTHING is
-        // returned as residual — Spark re-applies row-level, so pruning can
-        // only skip files, never change results
-        pushed = filters.filter {
-          case EqualTo("conv_id", _) | In("conv_id", _) => true
-          case EqualTo("turn_idx", _) | In("turn_idx", _) => true
-          case _ => false
-        }
-        filters
-      }
-      override def pushedFilters(): Array[Filter] = pushed
-
-      override def build(): Scan = {
-        val buckets = LakeSource.prunedBuckets(table, pushed)
-          .filter(_.size < snap.numBuckets) // saturated = no pruning
-        new LakeSourceScan(table, snap, required, buckets)
-      }
-    }
+    new LakeScanBuilder(table, snap)
 }
 
-private final class LakeSourceScan(table: LakeTable, snap: Snapshot,
-    required: StructType, buckets: Option[Set[Int]])
+/** The scan builder behind both the plain read path and the row-level
+  * operation's target scan; `onPlan` (row-level only) receives the FINAL
+  * planned bucket set — static ∩ runtime pruning — so the replacing write
+  * knows exactly which groups its output stands for.
+  */
+private[table] final class LakeScanBuilder(table: LakeTable, snap: Snapshot,
+    onPlan: Set[Int] => Unit = _ => (), rowLevel: Boolean = false)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = LakeSource.outputSchema(snap.schema)
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // keep the key-equality filters for physical pruning; EVERYTHING is
+    // returned as residual — Spark re-applies row-level, so pruning can
+    // only skip files, never change results
+    pushed = filters.filter {
+      case EqualTo("conv_id", _) | In("conv_id", _) => true
+      case EqualTo("turn_idx", _) | In("turn_idx", _) => true
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    val buckets = LakeSource.prunedBuckets(table, pushed)
+      .filter(_.size < snap.numBuckets) // saturated = no pruning
+    new LakeSourceScan(table, snap, required, buckets, onPlan, rowLevel)
+  }
+}
+
+private[table] final class LakeSourceScan(table: LakeTable, snap: Snapshot,
+    required: StructType, buckets: Option[Set[Int]],
+    onPlan: Set[Int] => Unit = _ => (), rowLevel: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -356,13 +403,24 @@ private final class LakeSourceScan(table: LakeTable, snap: Snapshot,
     */
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     val present = required.fieldNames.toSet
-    Array("conv_id", "turn_idx").filter(present)
-      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+    // the row-level target scan filters on the GROUP identity (_bucket is in
+    // its output by requiredMetadataAttributes): single-column, exact, and
+    // translatable. Plain scans keep the key pair for cohort-join pruning.
+    val cols = if (rowLevel) Array(LakeSource.BucketCol) else Array("conv_id", "turn_idx")
+    cols.filter(present).map(org.apache.spark.sql.connector.expressions.Expressions.column)
   }
 
-  override def filter(filters: Array[Filter]): Unit =
-    runtimeBuckets = LakeSource.prunedBuckets(table, filters)
+  override def filter(filters: Array[Filter]): Unit = {
+    // the row-level group filter arrives as `_bucket IN (matched buckets)`
+    // (single-column, so it survives V1 translation — a multi-attribute
+    // struct-IN would be silently dropped before reaching the scan)
+    val byBucket = filters.collectFirst {
+      case In(LakeSource.BucketCol, vs) => vs.collect { case i: Int => i }.toSet
+      case EqualTo(LakeSource.BucketCol, v: Int) => Set(v)
+    }
+    runtimeBuckets = byBucket.orElse(LakeSource.prunedBuckets(table, filters))
       .filter(_.size < snap.numBuckets)
+  }
 
   override def readSchema(): StructType = required
   override def description(): String =
@@ -410,6 +468,7 @@ private final class LakeSourceScan(table: LakeTable, snap: Snapshot,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    onPlan(plannedBuckets.toSet)
     val files = table.resolveFiles(snap, effectiveBuckets)
     plannedBuckets.toArray.map { b =>
       LakeInputPartition(b,
@@ -423,6 +482,8 @@ private final class LakeSourceScan(table: LakeTable, snap: Snapshot,
     val needed: Set[String] =
       if (snap.morDeltas) Set("conv_id", "turn_idx", "ts", "seq", "op") ++ required.fieldNames
       else Set("op") ++ required.fieldNames
+    // _bucket is not a stored column: it is the partition's identity,
+    // injected per-partition by the reader factory
     val readSchema = StructType(snap.schema.fields.filter(f => needed.contains(f.name)))
     new LakeReaderFactory(ScanBridge.parquetReader(SparkSession.active, readSchema),
       readSchema, required, snap.morDeltas)
@@ -461,8 +522,13 @@ private final class LakeReaderFactory(
     val live = resolved.filter(r => r.getUTF8String(opI) != deleteOp)
     val proj = UnsafeProjection.create(
       outputSchema.fields.toIndexedSeq.map { f =>
-        val i = readSchema.fieldIndex(f.name)
-        BoundReference(i, readSchema.fields(i).dataType, readSchema.fields(i).nullable)
+        if (f.name == LakeSource.BucketCol)
+          org.apache.spark.sql.catalyst.expressions.Literal(p.bucket,
+            org.apache.spark.sql.types.IntegerType)
+        else {
+          val i = readSchema.fieldIndex(f.name)
+          BoundReference(i, readSchema.fields(i).dataType, readSchema.fields(i).nullable)
+        }
       })
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _
