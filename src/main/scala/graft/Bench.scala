@@ -507,6 +507,44 @@ object Bench {
       oldAutoBroadcast.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
     }
+    // ---- SQL MERGE leg: group-based row-level rewrite, group-pruned ----
+    // A MERGE INTO touching ONE conversation must rewrite O(that
+    // conversation's buckets), never the table: the `_bucket` runtime group
+    // filter is the 10^10-scale contract. rowsWritten (the replaced groups'
+    // full content) over wall time is the honest cost; replacedBuckets < 32
+    // is the pruning proof, recorded off the commit's own metrics.
+    val sqlMergeS = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var sqlMergeSrcRows = 0L
+    var sqlMergeRowsWritten = 0L
+    var sqlMergeReplaced = 0L
+    var sqlMergeTableRows = 0L
+    locally {
+      import org.apache.spark.sql.functions.concat
+      val convs = spark.table("benchspj.a").select("conv_id").distinct()
+        .orderBy("conv_id").limit(2).collect().map(_.getString(0))
+      (1 to 2).foreach { r =>
+        progress(s"sql merge round $r/2: group-pruned MERGE INTO")
+        val conv = convs(r - 1)
+        sqlMergeSrcRows = spark.table("benchspj.a")
+          .filter(col("conv_id") === conv).count()
+        val (_, sec) = timed {
+          spark.sql(s"""MERGE INTO benchspj.a t USING (
+              SELECT conv_id, turn_idx, role, concat('m', text) AS text,
+                     tool, ts, seq + 1000000 AS seq
+              FROM benchspj.a WHERE conv_id = '$conv') s
+            ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""")
+        }
+        sqlMergeS += sec
+        val snap = spjA.currentSnapshot().get
+        sqlMergeRowsWritten = snap.metrics.getOrElse("batchRows", -1L)
+        sqlMergeReplaced = snap.metrics.getOrElse("replacedBuckets", -1L)
+        sqlMergeTableRows = snap.totalRows
+        require(sqlMergeReplaced > 0 && sqlMergeReplaced < 32,
+          s"MERGE group pruning regressed: replaced $sqlMergeReplaced of 32 buckets")
+      }
+    }
     rmDir(spjBase)
     // change-feed read cost on the raw-MOR table BEFORE compaction: diff the
     // first tail commit against the head — the incremental-consumer path
@@ -529,7 +567,7 @@ object Bench {
     val mwCowSec = mwCowS.min
     val mwMorSec = mwMorS.min
     val tailBatches = (tailFiles * tailParts + tailMft - 1) / tailMft // derived, not hardcoded
-    val cdcJson = f"""{"rounds":$cdcRounds,"replayEvents":$benchEvents,"replaySamples":${jsonArr(replayS.toSeq)},"replaySec":$replaySec%.2f,"replayEventsPerSec":${(benchEvents / replaySec).toLong},"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":$tailBatches,"tailCowSamples":${jsonArr(cowS.toSeq)},"tailSec":$tailSec%.2f,"tailEventsPerSec":${(tailEvents / tailSec).toLong},"tailMorSamples":${jsonArr(morS.toSeq)},"tailMorSec":$morSec%.2f,"tailMorEventsPerSec":${(tailEvents / morSec).toLong},"tailMorAutoSamples":${jsonArr(morAutoS.toSeq)},"tailMorAutoSec":$morAutoSec%.2f,"tailMorAutoEventsPerSec":${(tailEvents / morAutoSec).toLong},"tailMorAutoMaxDeltaDepth":$morAutoMaxDepth,"tailMorAutoCompactions":$morAutoCompactions,"replicateSamples":${jsonArr(replS.toSeq)},"replicateSec":${replS.min}%.2f,"replicateEventsPerSec":${(tailEvents / replS.min).toLong},"replicateVersions":$replVersions,"replicateRowsOk":$replRowsOk,"feedRows":$feedRows,"feedSec":$feedSec%.2f,"morCompactSec":$compactSec%.2f,"bigTailTableRows":$bigTableRows,"bigTailEvents":$bigTailEvents,"bigTailCowSamples":${jsonArr(bigCowS.toSeq)},"bigTailCowSec":$bigCowSec%.2f,"bigTailCowEventsPerSec":${(bigTailEvents / bigCowSec).toLong},"bigTailMorSamples":${jsonArr(bigMorS.toSeq)},"bigTailMorSec":$bigMorSec%.2f,"bigTailMorEventsPerSec":${(bigTailEvents / bigMorSec).toLong},"mwWriters":$mwWriters,"mwChunksPerWriter":$mwChunks,"mwCowSamples":${jsonArr(mwCowS.toSeq)},"mwCowSec":$mwCowSec%.2f,"mwCowEventsPerSec":${(tailEvents / mwCowSec).toLong},"mwMorSamples":${jsonArr(mwMorS.toSeq)},"mwMorSec":$mwMorSec%.2f,"mwMorEventsPerSec":${(tailEvents / mwMorSec).toLong},"mwRebases":$mwRebases,"mwReruns":$mwReruns,"mwRowsOk":$mwRowsOk,"viewBaseRows":$viewBaseRows,"viewRows":$viewRows,"viewIncrSamples":${jsonArr(viewIncrS.toSeq)},"viewIncrSec":${viewIncrS.min}%.2f,"viewFullSamples":${jsonArr(viewFullS.toSeq)},"viewFullSec":${viewFullS.min}%.2f,"spjRows":$spjRows,"spjSamples":${jsonArr(spjS.toSeq)},"spjSec":${spjS.min}%.2f,"spjShuffleSamples":${jsonArr(spjShufS.toSeq)},"spjShuffleSec":${spjShufS.min}%.2f}"""
+    val cdcJson = f"""{"rounds":$cdcRounds,"replayEvents":$benchEvents,"replaySamples":${jsonArr(replayS.toSeq)},"replaySec":$replaySec%.2f,"replayEventsPerSec":${(benchEvents / replaySec).toLong},"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":$tailBatches,"tailCowSamples":${jsonArr(cowS.toSeq)},"tailSec":$tailSec%.2f,"tailEventsPerSec":${(tailEvents / tailSec).toLong},"tailMorSamples":${jsonArr(morS.toSeq)},"tailMorSec":$morSec%.2f,"tailMorEventsPerSec":${(tailEvents / morSec).toLong},"tailMorAutoSamples":${jsonArr(morAutoS.toSeq)},"tailMorAutoSec":$morAutoSec%.2f,"tailMorAutoEventsPerSec":${(tailEvents / morAutoSec).toLong},"tailMorAutoMaxDeltaDepth":$morAutoMaxDepth,"tailMorAutoCompactions":$morAutoCompactions,"replicateSamples":${jsonArr(replS.toSeq)},"replicateSec":${replS.min}%.2f,"replicateEventsPerSec":${(tailEvents / replS.min).toLong},"replicateVersions":$replVersions,"replicateRowsOk":$replRowsOk,"feedRows":$feedRows,"feedSec":$feedSec%.2f,"morCompactSec":$compactSec%.2f,"bigTailTableRows":$bigTableRows,"bigTailEvents":$bigTailEvents,"bigTailCowSamples":${jsonArr(bigCowS.toSeq)},"bigTailCowSec":$bigCowSec%.2f,"bigTailCowEventsPerSec":${(bigTailEvents / bigCowSec).toLong},"bigTailMorSamples":${jsonArr(bigMorS.toSeq)},"bigTailMorSec":$bigMorSec%.2f,"bigTailMorEventsPerSec":${(bigTailEvents / bigMorSec).toLong},"mwWriters":$mwWriters,"mwChunksPerWriter":$mwChunks,"mwCowSamples":${jsonArr(mwCowS.toSeq)},"mwCowSec":$mwCowSec%.2f,"mwCowEventsPerSec":${(tailEvents / mwCowSec).toLong},"mwMorSamples":${jsonArr(mwMorS.toSeq)},"mwMorSec":$mwMorSec%.2f,"mwMorEventsPerSec":${(tailEvents / mwMorSec).toLong},"mwRebases":$mwRebases,"mwReruns":$mwReruns,"mwRowsOk":$mwRowsOk,"viewBaseRows":$viewBaseRows,"viewRows":$viewRows,"viewIncrSamples":${jsonArr(viewIncrS.toSeq)},"viewIncrSec":${viewIncrS.min}%.2f,"viewFullSamples":${jsonArr(viewFullS.toSeq)},"viewFullSec":${viewFullS.min}%.2f,"spjRows":$spjRows,"spjSamples":${jsonArr(spjS.toSeq)},"spjSec":${spjS.min}%.2f,"spjShuffleSamples":${jsonArr(spjShufS.toSeq)},"spjShuffleSec":${spjShufS.min}%.2f,"sqlMergeSamples":${jsonArr(sqlMergeS.toSeq)},"sqlMergeSec":${sqlMergeS.min}%.2f,"sqlMergeSrcRows":$sqlMergeSrcRows,"sqlMergeRowsWritten":$sqlMergeRowsWritten,"sqlMergeReplacedBuckets":$sqlMergeReplaced,"sqlMergeNumBuckets":32,"sqlMergeTableRows":$sqlMergeTableRows}"""
 
     // ---- query sweep (one warmup pass, then timed) ----
     progress("queries: warmup pass")

@@ -101,6 +101,30 @@ class RowLevelSpec extends SparkSpecBase {
       .map(_.getAs[String]("text")).toSeq == Seq("a0'"))
   }
 
+  test("self-MERGE via inline subquery over the target table") {
+    // NOTE: the source must be an inline subquery (or a non-V2 relation); a
+    // TEMP VIEW over a DSv2 catalog table is stored as a lazy
+    // V2TableReference that Spark does not re-resolve inside MERGE
+    // ("No plan for TableReference" at planning) — a Spark-side resolution
+    // gap, not an engine one. The inline form is what Bench measures.
+    val base = tmpDir("rlo-self")
+    val t = new LakeTable(s"$base/convs", numBuckets = 4)
+    apply(t, Seq(
+      ev("a", 0, "a0", "2025-01-01 00:00:00", "insert", 1),
+      ev("b", 0, "b0", "2025-01-01 00:00:00", "insert", 2)), 0L)
+    cat("selfcat", base)
+    spark.sql("""MERGE INTO selfcat.convs t USING (
+        SELECT conv_id, turn_idx, role, concat('m', text) AS text, tool, ts,
+               seq + 100 AS seq
+        FROM selfcat.convs WHERE conv_id = 'a') s
+      ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val out = spark.sql("SELECT conv_id, text FROM selfcat.convs ORDER BY conv_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out == Seq(("a", "ma0"), ("b", "b0")))
+  }
+
   test("MERGE preserves replaced buckets' tombstones: stale insert stays dead after a rewrite") {
     val base = tmpDir("rlo-tomb")
     val t = new LakeTable(s"$base/convs", numBuckets = 2)
