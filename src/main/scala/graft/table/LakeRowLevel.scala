@@ -235,86 +235,103 @@ private final class LakeReplaceWriterFactory(
     outDir: String) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DataWriter[InternalRow] {
-      // Row-layout protocol: with no metadata projection, Spark's
-      // ReplaceDataExec.writingTask falls back to the plain
-      // DataWritingSparkTask, which hands the writer the RAW rewrite-plan
-      // output — `[__row_operation: int] ++ dataColumns` — rather than the
-      // row projection the LogicalWriteInfo schema describes. The shift is
-      // detected from the first row's arity (0 = already projected, 1 = the
-      // leading operation column) and anything else fails loudly.
-      private var shift = -1
-      private var project: UnsafeProjection = _
-      private var hash: Murmur3Hash = _
-      private def bind(row: InternalRow): Unit = {
-        shift = row.numFields - inputSchema.size
-        require(shift == 0 || shift == 1,
-          s"unexpected replace-data row arity ${row.numFields} for schema " +
-            s"${inputSchema.fieldNames.mkString(",")} — Spark write protocol changed?")
-        def ref(name: String): BoundReference = {
-          val i = inputSchema.fieldIndex(name)
-          BoundReference(i + shift, inputSchema.fields(i).dataType, inputSchema.fields(i).nullable)
-        }
-        // input row (no op) → table-schema row with constant op = "insert"
-        project = UnsafeProjection.create(
-          tableSchema.fields.toIndexedSeq.map { f =>
-            if (f.name == "op") Literal(UTF8String.fromString(Model.OpInsert), StringType)
-            else ref(f.name)
-          })
-        hash = Murmur3Hash(Seq(ref("conv_id"), ref("turn_idx")), 42)
-      }
-      private val open = scala.collection.mutable.Map.empty[Int,
-        (org.apache.spark.sql.execution.datasources.OutputWriter, Array[Long])]
+    new LakeBucketDataWriter(writers, inputSchema, tableSchema, numBuckets,
+      outDir, partitionId, taskId)
+}
 
-      /** Metadata-projection path (the normal one): `meta` carries the
-        * copied row's `_bucket`; inserted rows have no source group (null)
-        * and hash like every other write path.
-        */
-      override def write(meta: InternalRow, row: InternalRow): Unit = {
-        if (shift < 0) bind(row)
-        val b = if (meta.isNullAt(0)) bucketOf(row) else meta.getInt(0)
-        writeTo(b, row)
-      }
+/** Per-task bucket-routing parquet writer, shared by the row-level
+  * (ReplaceData) write and the streaming sink: routes each row to its
+  * bucket's parquet file (same murmur3(seed 42) + pmod as every other engine
+  * path), appending the internal `op = insert` column the SQL surface hides.
+  */
+private[table] final class LakeBucketDataWriter(
+    writers: WriteBridge.TaskWriterFactory,
+    inputSchema: StructType,
+    tableSchema: StructType,
+    numBuckets: Int,
+    outDir: String,
+    partitionId: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
 
-      override def write(row: InternalRow): Unit = {
-        if (shift < 0) bind(row)
-        writeTo(bucketOf(row), row)
-      }
-
-      private def bucketOf(row: InternalRow): Int = {
-        val h = hash.eval(row).asInstanceOf[Int]
-        ((h % numBuckets) + numBuckets) % numBuckets
-      }
-
-      private def writeTo(b: Int, row: InternalRow): Unit = {
-        val (w, n) = open.getOrElseUpdate(b, {
-          val dir = java.nio.file.Paths.get(outDir, s"bucket=$b")
-          java.nio.file.Files.createDirectories(dir)
-          val path = dir.resolve(f"part-$b%05d-p$partitionId-t$taskId.parquet").toString
-          (writers.open(path, partitionId, taskId), Array(0L))
-        })
-        w.write(project(row))
-        n(0) += 1
-      }
-
-      override def commit(): WriterCommitMessage = {
-        val files = open.toSeq.sortBy(_._1).map { case (b, (w, n)) =>
-          w.close()
-          (b, w.path(), java.nio.file.Files.size(java.nio.file.Paths.get(w.path())), n(0))
-        }
-        open.clear()
-        LakeReplaceMessage(files)
-      }
-
-      override def abort(): Unit = {
-        open.values.foreach { case (w, _) =>
-          try w.close() catch { case _: Exception => () }
-          try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(w.path()))
-          catch { case _: Exception => () }
-        }
-        open.clear()
-      }
-
-      override def close(): Unit = ()
+  // Row-layout protocol: with no metadata projection, Spark's
+  // ReplaceDataExec.writingTask falls back to the plain
+  // DataWritingSparkTask, which hands the writer the RAW rewrite-plan
+  // output — `[__row_operation: int] ++ dataColumns` — rather than the
+  // row projection the LogicalWriteInfo schema describes. The shift is
+  // detected from the first row's arity (0 = already projected — also the
+  // only shape streaming epochs produce — and 1 = the leading operation
+  // column) and anything else fails loudly.
+  private var shift = -1
+  private var project: UnsafeProjection = _
+  private var hash: Murmur3Hash = _
+  private def bind(row: InternalRow): Unit = {
+    shift = row.numFields - inputSchema.size
+    require(shift == 0 || shift == 1,
+      s"unexpected write row arity ${row.numFields} for schema " +
+        s"${inputSchema.fieldNames.mkString(",")} — Spark write protocol changed?")
+    def ref(name: String): BoundReference = {
+      val i = inputSchema.fieldIndex(name)
+      BoundReference(i + shift, inputSchema.fields(i).dataType, inputSchema.fields(i).nullable)
     }
+    // input row (no op) → table-schema row with constant op = "insert"
+    project = UnsafeProjection.create(
+      tableSchema.fields.toIndexedSeq.map { f =>
+        if (f.name == "op") Literal(UTF8String.fromString(Model.OpInsert), StringType)
+        else ref(f.name)
+      })
+    hash = Murmur3Hash(Seq(ref("conv_id"), ref("turn_idx")), 42)
+  }
+  private val open = scala.collection.mutable.Map.empty[Int,
+    (org.apache.spark.sql.execution.datasources.OutputWriter, Array[Long])]
+
+  /** Metadata-projection path (the row-level op's normal one): `meta`
+    * carries the copied row's `_bucket`; inserted rows have no source group
+    * (null) and hash like every other write path.
+    */
+  override def write(meta: InternalRow, row: InternalRow): Unit = {
+    if (shift < 0) bind(row)
+    val b = if (meta.isNullAt(0)) bucketOf(row) else meta.getInt(0)
+    writeTo(b, row)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (shift < 0) bind(row)
+    writeTo(bucketOf(row), row)
+  }
+
+  private def bucketOf(row: InternalRow): Int = {
+    val h = hash.eval(row).asInstanceOf[Int]
+    ((h % numBuckets) + numBuckets) % numBuckets
+  }
+
+  private def writeTo(b: Int, row: InternalRow): Unit = {
+    val (w, n) = open.getOrElseUpdate(b, {
+      val dir = java.nio.file.Paths.get(outDir, s"bucket=$b")
+      java.nio.file.Files.createDirectories(dir)
+      val path = dir.resolve(f"part-$b%05d-p$partitionId-t$taskId.parquet").toString
+      (writers.open(path, partitionId, taskId), Array(0L))
+    })
+    w.write(project(row))
+    n(0) += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val files = open.toSeq.sortBy(_._1).map { case (b, (w, n)) =>
+      w.close()
+      (b, w.path(), java.nio.file.Files.size(java.nio.file.Paths.get(w.path())), n(0))
+    }
+    open.clear()
+    LakeReplaceMessage(files)
+  }
+
+  override def abort(): Unit = {
+    open.values.foreach { case (w, _) =>
+      try w.close() catch { case _: Exception => () }
+      try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(w.path()))
+      catch { case _: Exception => () }
+    }
+    open.clear()
+  }
+
+  override def close(): Unit = ()
 }

@@ -275,7 +275,7 @@ private[table] final class LakeSourceTable(root: String, tableOptions: CaseInsen
     // and gets the clear CDC-semantics rejection there, instead of Spark's
     // opaque capability error (the overwrite itself is always refused)
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   /** SQL append = CDC upsert apply. `INSERT INTO lake.t …` (and
     * `df.writeTo("lake.t").append()`) routes each inserted row through the
@@ -327,6 +327,10 @@ private[table] final class LakeSourceTable(root: String, tableOptions: CaseInsen
             LakeSource.sqlAppend(root, data, info.options())
           }
         }
+        // df.writeStream.format("lake") — the exactly-once streaming sink
+        // (delta-append micro-batches under the epoch ledger)
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new LakeStreamingWrite(root, info)
       }
     }
   }
