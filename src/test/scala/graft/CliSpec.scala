@@ -109,5 +109,21 @@ class CliSpec extends SparkSpecBase {
     }
     assert(out.toString.contains("\"n\"") && out.toString.contains("\"convs\""),
       s"unexpected sql output: ${out.toString}")
+
+    // SQL WRITES through the same verb: UPDATE (row-level rewrite) and
+    // DELETE (tombstone merge) — the full DML surface from the shell
+    Cli.run(spark, List("sql", sqlBase,
+      "UPDATE lake.conv SET role = 'assistant' WHERE turn_idx = 0"))
+    Cli.run(spark, List("sql", sqlBase,
+      "DELETE FROM lake.conv WHERE turn_idx > 0"))
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2)) {
+      Cli.run(spark, List("sql", sqlBase,
+        "SELECT count(*) AS left, count(DISTINCT role) AS roles FROM lake.conv WHERE role='assistant'"))
+    }
+    val conv = graft.table.LakeTable.open(s"$sqlBase/conv")
+    val live = conv.read(spark)
+    assert(live.filter(org.apache.spark.sql.functions.col("turn_idx") > 0).count() == 0)
+    assert(live.collect().forall(_.getAs[String]("role") == "assistant"))
   }
 }
