@@ -81,6 +81,33 @@ class StreamSinkSpec extends SparkSpecBase {
     assert(t.read(spark).count() == 3)
   }
 
+  test("additive evolution through the sink: a new stream column widens the snapshot schema") {
+    val src = tmpDir("sink3-src")
+    val root = s"${tmpDir("sink3-tbl")}/t"
+    val t = new LakeTable(root, numBuckets = 4)
+    MergeApplier.applyBatch(spark, t, spark.createDataset(Seq(
+      ev("a", 0, "a0", "2025-01-01 00:00:00", 1))).toDF(), "seed", 0L)
+
+    // stream schema = table minus op PLUS a new nullable column
+    val evolved = spark.createDataset(Seq(
+      ev("b", 0, "b0", "2025-01-01 00:10:00", 10))).toDF()
+      .drop("op").withColumn("lang", lit("en"))
+    writeFlatParquet(evolved, src, "c1.parquet")
+    spark.readStream.schema(evolved.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.format("lake")
+      .option("path", root).option("checkpointLocation", tmpDir("sink3-ckpt"))
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+
+    val snap = t.currentSnapshot().get
+    assert(snap.schema.fieldNames.contains("lang"), s"schema not widened: ${snap.schema}")
+    val rows = t.read(spark).orderBy("conv_id")
+      .select("conv_id", "text", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    // the old (pre-evolution) row reads the new column as null
+    assert(rows == Seq(("a", "a0", null), ("b", "b0", "en")))
+  }
+
   test("sink epochs interleave with engine applies and SQL reads") {
     val src = tmpDir("sink2-src")
     val base = tmpDir("sink2-tbl")
