@@ -546,6 +546,36 @@ object Bench {
       }
     }
     rmDir(spjBase)
+    // ---- point-lookup leg: manifest-stats FILE SKIPPING on the delta-deep
+    // raw-MOR table (before compaction — the regime where a bucket holds
+    // base + many delta files). Honest comparison: the same lookups with the
+    // skip disabled open every file of the key's bucket. lkFilesTotal vs
+    // lkFilesRead is the metadata-derived skip ratio (files the bucket holds
+    // vs files whose key bounds admit the key).
+    progress("cdc: point-lookup file-skipping leg")
+    val lookupKeys: Seq[(String, Int)] = spark.read
+      .schema(graft.model.Model.changeEventSchema).parquet(changelogDir)
+      .select("conv_id", "turn_idx").where(col("turn_idx") === 0)
+      .distinct().orderBy("conv_id").limit(20).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    val snapLk = lastMorTable.currentSnapshot().get
+    var lkFilesTotal = 0L
+    var lkFilesRead = 0L
+    lookupKeys.foreach { case (c, t) =>
+      val b = lastMorTable.bucketFor(c, t)
+      val fs = lastMorTable.resolveFiles(snapLk, Some(Set(b))).getOrElse(b, Seq.empty)
+      lkFilesTotal += fs.size
+      lkFilesRead += fs.count(_.stats.forall(_.mightContain(c, t)))
+    }
+    def runLookups(): Double = timed {
+      lookupKeys.foreach { case (c, t) =>
+        lastMorTable.lookupTurn(spark, c, t).count()
+      }
+    }._2
+    val lkSkipS = (1 to 3).map(_ => runLookups())
+    lastMorTable.fileSkipping = false
+    val lkFullS = (1 to 3).map(_ => runLookups())
+    lastMorTable.fileSkipping = true
     // change-feed read cost on the raw-MOR table BEFORE compaction: diff the
     // first tail commit against the head — the incremental-consumer path
     // (manifest-pruned bucket diff, both endpoints folded in-task)
@@ -567,7 +597,7 @@ object Bench {
     val mwCowSec = mwCowS.min
     val mwMorSec = mwMorS.min
     val tailBatches = (tailFiles * tailParts + tailMft - 1) / tailMft // derived, not hardcoded
-    val cdcJson = f"""{"rounds":$cdcRounds,"replayEvents":$benchEvents,"replaySamples":${jsonArr(replayS.toSeq)},"replaySec":$replaySec%.2f,"replayEventsPerSec":${(benchEvents / replaySec).toLong},"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":$tailBatches,"tailCowSamples":${jsonArr(cowS.toSeq)},"tailSec":$tailSec%.2f,"tailEventsPerSec":${(tailEvents / tailSec).toLong},"tailMorSamples":${jsonArr(morS.toSeq)},"tailMorSec":$morSec%.2f,"tailMorEventsPerSec":${(tailEvents / morSec).toLong},"tailMorAutoSamples":${jsonArr(morAutoS.toSeq)},"tailMorAutoSec":$morAutoSec%.2f,"tailMorAutoEventsPerSec":${(tailEvents / morAutoSec).toLong},"tailMorAutoMaxDeltaDepth":$morAutoMaxDepth,"tailMorAutoCompactions":$morAutoCompactions,"replicateSamples":${jsonArr(replS.toSeq)},"replicateSec":${replS.min}%.2f,"replicateEventsPerSec":${(tailEvents / replS.min).toLong},"replicateVersions":$replVersions,"replicateRowsOk":$replRowsOk,"feedRows":$feedRows,"feedSec":$feedSec%.2f,"morCompactSec":$compactSec%.2f,"bigTailTableRows":$bigTableRows,"bigTailEvents":$bigTailEvents,"bigTailCowSamples":${jsonArr(bigCowS.toSeq)},"bigTailCowSec":$bigCowSec%.2f,"bigTailCowEventsPerSec":${(bigTailEvents / bigCowSec).toLong},"bigTailMorSamples":${jsonArr(bigMorS.toSeq)},"bigTailMorSec":$bigMorSec%.2f,"bigTailMorEventsPerSec":${(bigTailEvents / bigMorSec).toLong},"mwWriters":$mwWriters,"mwChunksPerWriter":$mwChunks,"mwCowSamples":${jsonArr(mwCowS.toSeq)},"mwCowSec":$mwCowSec%.2f,"mwCowEventsPerSec":${(tailEvents / mwCowSec).toLong},"mwMorSamples":${jsonArr(mwMorS.toSeq)},"mwMorSec":$mwMorSec%.2f,"mwMorEventsPerSec":${(tailEvents / mwMorSec).toLong},"mwRebases":$mwRebases,"mwReruns":$mwReruns,"mwRowsOk":$mwRowsOk,"viewBaseRows":$viewBaseRows,"viewRows":$viewRows,"viewIncrSamples":${jsonArr(viewIncrS.toSeq)},"viewIncrSec":${viewIncrS.min}%.2f,"viewFullSamples":${jsonArr(viewFullS.toSeq)},"viewFullSec":${viewFullS.min}%.2f,"spjRows":$spjRows,"spjSamples":${jsonArr(spjS.toSeq)},"spjSec":${spjS.min}%.2f,"spjShuffleSamples":${jsonArr(spjShufS.toSeq)},"spjShuffleSec":${spjShufS.min}%.2f,"sqlMergeSamples":${jsonArr(sqlMergeS.toSeq)},"sqlMergeSec":${sqlMergeS.min}%.2f,"sqlMergeSrcRows":$sqlMergeSrcRows,"sqlMergeRowsWritten":$sqlMergeRowsWritten,"sqlMergeReplacedBuckets":$sqlMergeReplaced,"sqlMergeNumBuckets":32,"sqlMergeTableRows":$sqlMergeTableRows}"""
+    val cdcJson = f"""{"rounds":$cdcRounds,"replayEvents":$benchEvents,"replaySamples":${jsonArr(replayS.toSeq)},"replaySec":$replaySec%.2f,"replayEventsPerSec":${(benchEvents / replaySec).toLong},"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":$tailBatches,"tailCowSamples":${jsonArr(cowS.toSeq)},"tailSec":$tailSec%.2f,"tailEventsPerSec":${(tailEvents / tailSec).toLong},"tailMorSamples":${jsonArr(morS.toSeq)},"tailMorSec":$morSec%.2f,"tailMorEventsPerSec":${(tailEvents / morSec).toLong},"tailMorAutoSamples":${jsonArr(morAutoS.toSeq)},"tailMorAutoSec":$morAutoSec%.2f,"tailMorAutoEventsPerSec":${(tailEvents / morAutoSec).toLong},"tailMorAutoMaxDeltaDepth":$morAutoMaxDepth,"tailMorAutoCompactions":$morAutoCompactions,"replicateSamples":${jsonArr(replS.toSeq)},"replicateSec":${replS.min}%.2f,"replicateEventsPerSec":${(tailEvents / replS.min).toLong},"replicateVersions":$replVersions,"replicateRowsOk":$replRowsOk,"feedRows":$feedRows,"feedSec":$feedSec%.2f,"lookupKeys":${lookupKeys.size},"lookupFilesTotal":$lkFilesTotal,"lookupFilesRead":$lkFilesRead,"lookupSkipSec":${lkSkipS.min}%.3f,"lookupFullSec":${lkFullS.min}%.3f,"lookupSkipSamples":${jsonArr(lkSkipS)},"lookupFullSamples":${jsonArr(lkFullS)},"morCompactSec":$compactSec%.2f,"bigTailTableRows":$bigTableRows,"bigTailEvents":$bigTailEvents,"bigTailCowSamples":${jsonArr(bigCowS.toSeq)},"bigTailCowSec":$bigCowSec%.2f,"bigTailCowEventsPerSec":${(bigTailEvents / bigCowSec).toLong},"bigTailMorSamples":${jsonArr(bigMorS.toSeq)},"bigTailMorSec":$bigMorSec%.2f,"bigTailMorEventsPerSec":${(bigTailEvents / bigMorSec).toLong},"mwWriters":$mwWriters,"mwChunksPerWriter":$mwChunks,"mwCowSamples":${jsonArr(mwCowS.toSeq)},"mwCowSec":$mwCowSec%.2f,"mwCowEventsPerSec":${(tailEvents / mwCowSec).toLong},"mwMorSamples":${jsonArr(mwMorS.toSeq)},"mwMorSec":$mwMorSec%.2f,"mwMorEventsPerSec":${(tailEvents / mwMorSec).toLong},"mwRebases":$mwRebases,"mwReruns":$mwReruns,"mwRowsOk":$mwRowsOk,"viewBaseRows":$viewBaseRows,"viewRows":$viewRows,"viewIncrSamples":${jsonArr(viewIncrS.toSeq)},"viewIncrSec":${viewIncrS.min}%.2f,"viewFullSamples":${jsonArr(viewFullS.toSeq)},"viewFullSec":${viewFullS.min}%.2f,"spjRows":$spjRows,"spjSamples":${jsonArr(spjS.toSeq)},"spjSec":${spjS.min}%.2f,"spjShuffleSamples":${jsonArr(spjShufS.toSeq)},"spjShuffleSec":${spjShufS.min}%.2f,"sqlMergeSamples":${jsonArr(sqlMergeS.toSeq)},"sqlMergeSec":${sqlMergeS.min}%.2f,"sqlMergeSrcRows":$sqlMergeSrcRows,"sqlMergeRowsWritten":$sqlMergeRowsWritten,"sqlMergeReplacedBuckets":$sqlMergeReplaced,"sqlMergeNumBuckets":32,"sqlMergeTableRows":$sqlMergeTableRows}"""
 
     // ---- query sweep (one warmup pass, then timed) ----
     progress("queries: warmup pass")

@@ -134,6 +134,33 @@ object Cli {
       val s = LakeTable.open(tableDir).rollback(to.toLong)
       println(s"""{"mode":"rollback","version":${s.version},"rolledBackTo":${s.metrics("rollbackTo")},"rows":${s.totalRows}}""")
 
+    case "tag" :: tableDir :: name :: rest =>
+      val t = LakeTable.open(tableDir)
+      val v = rest.headOption.map(_.toLong)
+        .orElse(t.currentSnapshot().map(_.version))
+        .getOrElse(throw new IllegalStateException("empty table cannot be tagged"))
+      t.tag(name, v)
+      println(s"""{"mode":"tag","name":"$name","version":$v}""")
+
+    case "tags" :: tableDir :: Nil =>
+      val t = LakeTable.open(tableDir)
+      val body = t.tags().toSeq.sortBy(_._1)
+        .map { case (n, v) => s""""$n":$v""" }.mkString(",")
+      val staged = t.stagedRefs().map(n => s""""$n"""").mkString(",")
+      println(s"""{"mode":"tags","tags":{$body},"staged":[$staged]}""")
+
+    case "drop-tag" :: tableDir :: name :: Nil =>
+      LakeTable.open(tableDir).dropTag(name)
+      println(s"""{"mode":"drop-tag","name":"$name"}""")
+
+    case "publish" :: tableDir :: name :: Nil =>
+      val s = LakeTable.open(tableDir).publishStaged(name)
+      println(s"""{"mode":"publish","name":"$name","version":${s.version},"rows":${s.totalRows}}""")
+
+    case "drop-staged" :: tableDir :: name :: Nil =>
+      LakeTable.open(tableDir).dropStaged(name)
+      println(s"""{"mode":"drop-staged","name":"$name"}""")
+
     case "lookup" :: tableDir :: convId :: turnIdx :: Nil =>
       val rows = LakeTable.open(tableDir)
         .lookupTurn(spark, convId, turnIdx.toInt).collect()

@@ -172,6 +172,18 @@ object SparkEntry {
       t.read(s).select(TableCols.map(col): _*)
     }),
 
+    // Spill-safe fold: the SAME build read through the sort-spill path
+    // (spillFoldBytes = 0 forces the policy) — the disk-backed fold for a
+    // bucket that outgrew its executor must produce bit-identical winners.
+    "cdc_spill_fold" -> ((s, dir) => {
+      val cl = changelog(s, dir)
+      val t = gateTable("cdc_spill_fold")
+      (0 until 4).foreach(i =>
+        MergeApplier.applyBatchMor(s, t, cl.filter(col("seq") % 4 === i), "gate", i.toLong))
+      t.spillFoldBytes = 0L
+      t.read(s).select(TableCols.map(col): _*)
+    }),
+
     // C8: MOR appends + a full compaction — gates the bucket-local
     // fold-and-rewrite (and its key-clustered output) against the oracle.
     "cdc_table_mor_compact" -> ((s, dir) => {
@@ -581,6 +593,7 @@ object SparkEntry {
       "dedup_clusters_star" -> oracleSqlBase("dedup_clusters"),
       "cdc_table_incremental" -> oracleSqlBase("cdc_replay_final"),
       "cdc_table_mor_read" -> oracleSqlBase("cdc_replay_final"),
+      "cdc_spill_fold" -> oracleSqlBase("cdc_replay_final"),
       "cdc_table_mor_compact" -> oracleSqlBase("cdc_replay_final"),
       "cdc_replicated" -> oracleSqlBase("cdc_replay_final"),
       "cdc_lake_source" -> oracleSqlBase("cdc_replay_final"),

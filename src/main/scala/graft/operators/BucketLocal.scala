@@ -54,6 +54,64 @@ object BucketLocal {
     foldWinnersMap(rows, convI, turnI, tsI, seqI).values().iterator().asScala
   }
 
+  /** Streaming last-per-key fold over rows already SORTED by
+    * (conv_id, turn_idx, ts ASC NULLS FIRST, seq ASC NULLS FIRST): within a
+    * key group ascending (ts, seq) order makes the LAST row the LWW winner
+    * (nulls-first == `ver()`'s nulls-lowest), so the fold holds ONE row at a
+    * time — O(1) memory regardless of bucket size. This is the spill-safe
+    * twin of [[foldWinnersMap]]: the upstream sort is Spark's SortExec,
+    * which spills to disk, so a bucket that outgrew its executor degrades
+    * to disk-backed sorting instead of OOMing the hash fold.
+    *
+    * Semantics caveat (shared with every LWW path): a full (ts, seq) tie is
+    * resolved arbitrarily here (sort order among equal keys is unstable)
+    * where the hash fold keeps the first-scanned — unreachable in practice
+    * because seq is unique per changelog.
+    */
+  private[graft] def foldWinnersSorted(rows: Iterator[InternalRow],
+      convI: Int, turnI: Int): Iterator[InternalRow] = new Iterator[InternalRow] {
+    // `pending` is a COPY (sorted-scan rows reuse buffers): the winner-so-far
+    // (= last row seen) of the current key group
+    private var pending: InternalRow = null
+    private var out: InternalRow = null
+    private var done = false
+    private def advance(): Unit = {
+      while (out == null && !done) {
+        if (!rows.hasNext) { done = true; out = pending; pending = null }
+        else {
+          val r = rows.next()
+          if (pending != null &&
+              pending.getUTF8String(convI).equals(r.getUTF8String(convI)) &&
+              pending.getInt(turnI) == r.getInt(turnI)) {
+            pending = r.copy() // same key, later in (ts, seq) order: r wins
+          } else {
+            out = pending // may be null on the very first row
+            pending = r.copy()
+          }
+        }
+      }
+    }
+    override def hasNext: Boolean = { advance(); out != null }
+    override def next(): InternalRow = {
+      advance(); val o = out; out = null
+      if (o == null) throw new NoSuchElementException("empty fold")
+      o
+    }
+  }
+
+  /** Partition-local (conv_id, turn_idx, ts, seq) sort — the spill-safe
+    * fold's upstream. sortWithinPartitions is a NARROW dependency: partition
+    * count and the partition-i == bucket-i alignment are preserved, and
+    * SortExec's UnsafeExternalSorter spills to disk under memory pressure.
+    * ASC NULLS FIRST on ts/seq mirrors `ver()`'s null → Long.MinValue
+    * ordering (nulls lowest).
+    */
+  private def sortedByKeyVersion(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.sortWithinPartitions(col("conv_id").asc, col("turn_idx").asc,
+      col("ts").asc_nulls_first, col("seq").asc_nulls_first)
+  }
+
   private[graft] def keyIdx(schema: StructType): (Int, Int, Int, Int) =
     (schema.fieldIndex("conv_id"), schema.fieldIndex("turn_idx"),
       schema.fieldIndex("ts"), schema.fieldIndex("seq"))
@@ -85,6 +143,74 @@ object BucketLocal {
     ScanBridge.internalDf(spark, folded, schema)
   }
 
+  /** Spill-safe twin of [[readFolded]]: bucket-aligned scan →
+    * partition-local SORT (SortExec, spills to disk) → streaming
+    * last-per-key fold (O(1) task memory). Still ZERO exchanges — the sort
+    * is narrow, so partition i remains bucket i. Slower than the hash fold
+    * on healthy buckets (copies every row once, pays the sort), which is
+    * why [[graft.table.LakeTable.read]] picks it only when a bucket's
+    * manifest byte size exceeds the handle's `spillFoldBytes` policy — the
+    * graceful-degradation path for a bucket that outgrew its executor,
+    * keeping the table readable (and compactable / rebucketable) so the
+    * operator can restore the sizing invariant with `rebucket`.
+    */
+  def readFoldedSpill(spark: SparkSession, table: LakeTable, snap: Snapshot,
+      buckets: Option[Set[Int]] = None): DataFrame = {
+    val schema = snap.schema
+    val (convI, turnI, _, _) = keyIdx(schema)
+    val raw = ScanBridge.internalDf(spark,
+      ScanBridge.bucketFilesRdd(spark, schema, bucketArray(table, snap, buckets)), schema)
+    val folded = ScanBridge.toInternalRdd(sortedByKeyVersion(raw))
+      .mapPartitions(rows => foldWinnersSorted(rows, convI, turnI))
+    ScanBridge.internalDf(spark, folded, schema)
+  }
+
+  /** Policy switch for every delta-carrying read: the hash fold while each
+    * requested bucket fits the executor-sized contract (fast path), the
+    * sort-spill fold once any exceeds `table.spillFoldBytes`. The decision
+    * reads only manifest metadata (file sizes travel in the manifest).
+    */
+  def readFoldedAuto(spark: SparkSession, table: LakeTable, snap: Snapshot,
+      buckets: Option[Set[Int]] = None): DataFrame =
+    if (table.maxBucketBytes(snap, buckets) > table.spillFoldBytes) {
+      lastFoldWasSpill = true
+      readFoldedSpill(spark, table, snap, buckets)
+    } else {
+      lastFoldWasSpill = false
+      readFolded(spark, table, snap, buckets)
+    }
+
+  /** Test observability only: which branch the last [[readFoldedAuto]] call
+    * took (the sort is inside the bridged inner plan, invisible to the outer
+    * DataFrame's executedPlan).
+    */
+  @volatile private[graft] var lastFoldWasSpill: Boolean = false
+
+  /** Bucket-local fold over an EXPLICIT per-bucket file subset — the read
+    * behind the key-addressed lookups after file skipping (a pruned file's
+    * key bounds exclude the looked-up key, so the fold of every key the
+    * caller then filters FOR is unchanged). Same zero-exchange shape as
+    * [[readFolded]]; `spill` selects the sort-spill fold for oversized
+    * buckets.
+    */
+  def readFoldedFiles(spark: SparkSession, schema: StructType, numBuckets: Int,
+      files: Map[Int, Seq[graft.table.FileEntry]], spill: Boolean = false): DataFrame = {
+    val arr = Array.fill(numBuckets)(Array.empty[(String, Long)])
+    files.foreach { case (b, fs) => arr(b) = fs.map(f => (f.path, f.bytes)).toArray }
+    val (convI, turnI, tsI, seqI) = keyIdx(schema)
+    if (spill) {
+      val raw = ScanBridge.internalDf(spark,
+        ScanBridge.bucketFilesRdd(spark, schema, arr), schema)
+      val folded = ScanBridge.toInternalRdd(sortedByKeyVersion(raw))
+        .mapPartitions(rows => foldWinnersSorted(rows, convI, turnI))
+      ScanBridge.internalDf(spark, folded, schema)
+    } else {
+      val folded = ScanBridge.bucketFilesRdd(spark, schema, arr)
+        .mapPartitions(rows => foldWinners(rows, convI, turnI, tsI, seqI))
+      ScanBridge.internalDf(spark, folded, schema)
+    }
+  }
+
   /** One bucket-local compaction pass: fold deltas (when present), drop
     * tombstones older than the watermark, CLUSTER the bucket's rows by
     * (conv_id, turn_idx), tag rows with the bucket id (= partition id, the
@@ -102,20 +228,43 @@ object BucketLocal {
     * is the rewrite unit, sized to the executor via numBuckets).
     */
   def compactRows(spark: SparkSession, table: LakeTable, snap: Snapshot,
-      watermarkMicros: Long): DataFrame = {
+      watermarkMicros: Long, spill: Boolean = false): DataFrame = {
     val schema = snap.schema
     val (convI, turnI, tsI, seqI) = keyIdx(schema)
     val opI = schema.fieldIndex("op")
     val fold = snap.morDeltas
-    val compacted = ScanBridge.bucketFilesRdd(spark, schema, bucketArray(table, snap))
+    val deleteOp = UTF8String.fromString(Model.OpDelete)
+    // a null-ts tombstone has UNKNOWN event time — it must never expire
+    // (ver() maps null to Long.MinValue for ordering, which would
+    // otherwise make it "older than" any watermark)
+    def expired(r: InternalRow): Boolean =
+      !r.isNullAt(opI) && r.getUTF8String(opI).equals(deleteOp) &&
+        !r.isNullAt(tsI) && r.getLong(tsI) < watermarkMicros
+    def tag(rows: Iterator[InternalRow]): Iterator[InternalRow] = {
+      val bucketRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](org.apache.spark.TaskContext.getPartitionId()))
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      rows.map(r => joined(r, bucketRow): InternalRow)
+    }
+    val compacted = if (spill) {
+      // Spill-safe compaction — THE maintenance pass that must survive an
+      // oversized bucket (it is how the operator shrinks one): partition-
+      // local SortExec (spills) already clusters by key, so the streaming
+      // fold + expiry filter hold O(1) rows per task. Zero shuffles, same
+      // key-clustered output contract as the hash path.
+      val raw = ScanBridge.internalDf(spark,
+        ScanBridge.bucketFilesRdd(spark, schema, bucketArray(table, snap)), schema)
+      ScanBridge.toInternalRdd(sortedByKeyVersion(raw)).mapPartitions { rows =>
+        // un-folded rows come off the sorter's buffers too — foldWinnersSorted
+        // copies its survivors; the raw (COW, key-unique) branch streams the
+        // sorted iterator straight into the write, which consumes each row
+        // before pulling the next, so no copy is needed there
+        val resolved =
+          if (fold) foldWinnersSorted(rows, convI, turnI) else rows
+        tag(resolved.filter(r => !expired(r)))
+      }
+    } else ScanBridge.bucketFilesRdd(spark, schema, bucketArray(table, snap))
       .mapPartitions { rows =>
-        val deleteOp = UTF8String.fromString(Model.OpDelete)
-        // a null-ts tombstone has UNKNOWN event time — it must never expire
-        // (ver() maps null to Long.MinValue for ordering, which would
-        // otherwise make it "older than" any watermark)
-        def expired(r: InternalRow): Boolean =
-          !r.isNullAt(opI) && r.getUTF8String(opI).equals(deleteOp) &&
-            !r.isNullAt(tsI) && r.getLong(tsI) < watermarkMicros
         val resolved =
           if (fold) foldWinners(rows, convI, turnI, tsI, seqI) else rows
         // cluster by key: fold-path rows are already safe copies (map
@@ -131,10 +280,7 @@ object BucketLocal {
             if (c != 0) c else Integer.compare(a.getInt(turnI), b.getInt(turnI))
           }
         })
-        val bucketRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](org.apache.spark.TaskContext.getPartitionId()))
-        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-        arr.iterator.map(r => joined(r, bucketRow): InternalRow)
+        tag(arr.iterator)
       }
     val outSchema = StructType(schema.fields :+
       org.apache.spark.sql.types.StructField("bucket",

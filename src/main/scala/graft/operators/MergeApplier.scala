@@ -57,6 +57,15 @@ object MergeApplier {
       upserts: Long,
       deletes: Long)
 
+  /** One task attempt's write-side stats, deduplicated by partition id on
+    * the driver: batch rows seen, batch deletes, rows written, and the
+    * WRITTEN rows' key bounds — which become the commit's per-file
+    * [[graft.table.FileStats]] (file skipping for point lookups) with zero
+    * added I/O: the task already had every written row in hand.
+    */
+  private final case class TaskWriteStats(pid: Int, rows: Long, dels: Long,
+      written: Long, range: Option[(String, String, Int, Int)])
+
   /** In-task LWW merge of one bucket: fold the batch partition's rows and
     * the bucket's stored rows into a per-key winner map under the SAME rule
     * as [[Lww.latestByKeyAgg]] — winner = max by (ts, seq), nulls lowest;
@@ -70,7 +79,7 @@ object MergeApplier {
     * copied only when stored; losers are never copied.
     */
   private def mergeBucket(convI: Int, turnI: Int, tsI: Int, seqI: Int, opI: Int,
-      statsAcc: CollectionAccumulator[(Int, Long, Long, Long)])(
+      statsAcc: CollectionAccumulator[TaskWriteStats])(
       batch: Iterator[InternalRow], target: Iterator[InternalRow]): Iterator[InternalRow] = {
     if (!batch.hasNext) return Iterator.empty // untouched bucket: no file opened
     val deleteOp = UTF8String.fromString(Model.OpDelete)
@@ -100,7 +109,21 @@ object MergeApplier {
     // LongAccumulators, which double-count on any transformation
     // re-execution. `winners` = rows this bucket writes, so commit lineage
     // needs no post-write parquet footer reads on the hot path.
-    statsAcc.add((partitionId, nRows, nDel, winners.size.toLong))
+    // key bounds over the WRITTEN rows (winner keys are safe copies):
+    // becomes the commit's per-file FileStats — free, the map is in hand
+    var minConv: UTF8String = null; var maxConv: UTF8String = null
+    var minTurn = Int.MaxValue; var maxTurn = Int.MinValue
+    val keys = winners.keySet().iterator()
+    while (keys.hasNext) {
+      val (c, t) = keys.next()
+      if (minConv == null || c.compareTo(minConv) < 0) minConv = c
+      if (maxConv == null || c.compareTo(maxConv) > 0) maxConv = c
+      if (t < minTurn) minTurn = t
+      if (t > maxTurn) maxTurn = t
+    }
+    val range = if (winners.isEmpty) None
+      else Some((minConv.toString, maxConv.toString, minTurn, maxTurn))
+    statsAcc.add(TaskWriteStats(partitionId, nRows, nDel, winners.size.toLong, range))
     val bucketRow = new GenericInternalRow(Array[Any](partitionId))
     val joined = new JoinedRow
     import scala.jdk.CollectionConverters._
@@ -163,8 +186,30 @@ object MergeApplier {
       "(stale-expiry misconfiguration), not ordinary contention")
   }
 
+  /** Stage a COW merge WITHOUT publishing it — the WRITE of
+    * write-audit-publish (Iceberg's WAP, from scratch). The full distributed
+    * merge runs against the current snapshot; its output is recorded as a
+    * staged ref (`meta/wap-<writerId>-<batchId>.json`) that pins the files
+    * from vacuum but is invisible to every reader. Audit with
+    * [[graft.table.LakeTable.readStaged]], then
+    * [[graft.table.LakeTable.publishStaged]] (O(metadata) CAS) or
+    * [[graft.table.LakeTable.dropStaged]]. Returns the staged ref name, or
+    * None when the ledger already carries the batch (exactly-once holds
+    * through staging too) or the batch was empty.
+    */
+  def stageBatch(spark: SparkSession, table: LakeTable, batch: DataFrame,
+      writerId: String, batchId: Long): Option[String] = {
+    val name = s"$writerId-$batchId"
+    cowAttempt(spark, table, batch, writerId, batchId, stageName = Some(name)) match {
+      case Some(r) if r.skipped || (r.batchRows == 0 && r.touchedBuckets == 0) => None
+      case Some(_) => Some(name)
+      case None => None // unreachable: staging never enters the publish race
+    }
+  }
+
   private def cowAttempt(spark: SparkSession, table: LakeTable, batch: DataFrame,
-      writerId: String, batchId: Long, attempt: Int = 1): Option[ApplyResult] = {
+      writerId: String, batchId: Long, attempt: Int = 1,
+      stageName: Option[String] = None): Option[ApplyResult] = {
     val t0 = System.nanoTime()
     val snap = table.currentSnapshot()
     val ledger = snap.map(_.maxBatchId(writerId)).getOrElse(-1L)
@@ -199,6 +244,7 @@ object MergeApplier {
     var nDeletes = 0L
     var touchedCount = 0
     var statsWinners: Map[Int, Long] = Map.empty
+    var keyRanges: Map[Int, graft.table.FileStats] = Map.empty
 
     val coldObs = new org.apache.spark.sql.Observation("cold-stats")
     snap match {
@@ -243,7 +289,7 @@ object MergeApplier {
         // recompute, or speculation (a re-executed task re-emits the same
         // deterministic counts, which collapse).
         val statsAcc = spark.sparkContext
-          .collectionAccumulator[(Int, Long, Long, Long)]("graft.batchStats")
+          .collectionAccumulator[TaskWriteStats]("graft.batchStats")
         val batchRdd = ScanBridge.toInternalRdd(
           aligned.repartition(table.numBuckets, keyCols: _*))
         val targetRdd = ScanBridge.bucketFilesRdd(spark, mergedSchema,
@@ -262,10 +308,12 @@ object MergeApplier {
           .partitionBy("bucket")
           .parquet(outDir.toString)
         import scala.jdk.CollectionConverters._
-        val perPartition = statsAcc.value.asScala.groupBy(_._1).values.map(_.head)
-        batchRows = perPartition.map(_._2).sum
-        nDeletes = perPartition.map(_._3).sum
-        statsWinners = perPartition.map(s => s._1 -> s._4).toMap
+        val perPartition = statsAcc.value.asScala.groupBy(_.pid).values.map(_.head)
+        batchRows = perPartition.map(_.rows).sum
+        nDeletes = perPartition.map(_.dels).sum
+        statsWinners = perPartition.map(s => s.pid -> s.written).toMap
+        keyRanges = perPartition.flatMap(s => s.range.map(r =>
+          s.pid -> graft.table.FileStats(r._1, r._2, r._3, r._4))).toMap
         if (batchRows == 0) {
           // Idle trigger: nothing arrived. Emptiness detection piggybacks on
           // the merge job itself — an empty batch side makes every mergeBucket
@@ -280,7 +328,10 @@ object MergeApplier {
     }
     val tMeta = System.nanoTime()
 
-    val newBucketFiles = table.listBucketFiles(outDir)
+    // key bounds from the merge fold ride into the manifest (file skipping
+    // for point lookups); cold start has no per-partition stats — its base
+    // files carry no bounds, which only disables skipping, never correctness
+    val newBucketFiles = table.attachStats(table.listBucketFiles(outDir), keyRanges)
     if (snap.isEmpty && newBucketFiles.isEmpty) {
       // Empty FIRST batch on a cold table: same no-orphan-version contract as
       // the hot path's idle-trigger handling — commit nothing.
@@ -331,6 +382,17 @@ object MergeApplier {
       (if (attempt > 1) Map("rerunAttempt" -> attempt.toLong) else Map.empty) ++
       extra
 
+    stageName.foreach { n =>
+      // WRITE of write-audit-publish: the full merge ran and its files +
+      // manifest exist, but nothing is published — readers see the old head
+      // until LakeTable.publishStaged CASes the staged ref in (O(metadata))
+      // after LakeTable.readStaged's audit passes
+      table.writeStaged(graft.table.StagedRef(n, snap.map(_.version).getOrElse(0L),
+        mine, myRef.path, newRows, writerId, batchId, mergedSchema.json,
+        metricsFor(Map.empty)))
+      return Some(ApplyResult(skipped = false, snap.map(_.version).getOrElse(0L),
+        batchRows, touchedCount, batchRows - nDeletes, nDeletes))
+    }
     var cand = Snapshot(
       version = version,
       schemaJson = mergedSchema.json,
@@ -430,8 +492,10 @@ object MergeApplier {
     // driver collapses duplicates by partition id (exact under retry /
     // speculation, like the COW stats).
     val statsAcc = spark.sparkContext
-      .collectionAccumulator[(Int, Long, Long)]("graft.morStats")
+      .collectionAccumulator[TaskWriteStats]("graft.morStats")
     val opI = mergedSchema.fieldIndex("op")
+    val convI = mergedSchema.fieldIndex("conv_id")
+    val turnI = mergedSchema.fieldIndex("turn_idx")
     val deltaRdd = ScanBridge.toInternalRdd(
         aligned.repartition(table.numBuckets, keyCols: _*))
       .mapPartitions { it =>
@@ -442,16 +506,34 @@ object MergeApplier {
           private val joined = new JoinedRow
           private var nRows = 0L
           private var nDel = 0L
+          // key bounds of the delta file as it streams through — the
+          // row's UTF8String points into a reused buffer, so min/max are
+          // CLONED on update (rare after the first few rows)
+          private var minConv: UTF8String = null
+          private var maxConv: UTF8String = null
+          private var minTurn = Int.MaxValue
+          private var maxTurn = Int.MinValue
           private var reported = false
           override def hasNext: Boolean = {
             val h = it.hasNext
-            if (!h && !reported) { reported = true; statsAcc.add((pid, nRows, nDel)) }
+            if (!h && !reported) {
+              reported = true
+              val range = if (nRows == 0) None
+                else Some((minConv.toString, maxConv.toString, minTurn, maxTurn))
+              statsAcc.add(TaskWriteStats(pid, nRows, nDel, nRows, range))
+            }
             h
           }
           override def next(): InternalRow = {
             val r = it.next()
             nRows += 1
             if (!r.isNullAt(opI) && r.getUTF8String(opI).equals(deleteOp)) nDel += 1
+            val c = r.getUTF8String(convI)
+            if (minConv == null || c.compareTo(minConv) < 0) minConv = c.clone()
+            if (maxConv == null || c.compareTo(maxConv) > 0) maxConv = c.clone()
+            val t = r.getInt(turnI)
+            if (t < minTurn) minTurn = t
+            if (t > maxTurn) maxTurn = t
             joined(r, bucketRow)
           }
         }
@@ -463,23 +545,28 @@ object MergeApplier {
       .partitionBy("bucket")
       .parquet(outDir.toString)
     import scala.jdk.CollectionConverters._
-    val perPartition = statsAcc.value.asScala.groupBy(_._1).values.map(_.head)
-    val batchRows = perPartition.map(_._2).sum
-    val nDeletes = perPartition.map(_._3).sum
+    val perPartition = statsAcc.value.asScala.groupBy(_.pid).values.map(_.head)
+    val batchRows = perPartition.map(_.rows).sum
+    val nDeletes = perPartition.map(_.dels).sum
     if (batchRows == 0) {
       // same no-orphan contract as the COW idle path: drop the empty dir
       deleteDir(outDir)
       return ApplyResult(skipped = false, snap.map(_.version).getOrElse(0L), 0, 0, 0, 0)
     }
     val tMeta = System.nanoTime()
-    val newBucketFiles = table.listBucketFiles(outDir)
+    // delta files carry their key bounds (from the same accumulator pass) —
+    // the skip input that keeps point lookups O(files holding the key) on a
+    // delta-deep tail
+    val keyRanges = perPartition.flatMap(s => s.range.map(r =>
+      s.pid -> graft.table.FileStats(r._1, r._2, r._3, r._4))).toMap
+    val newBucketFiles = table.attachStats(table.listBucketFiles(outDir), keyRanges)
     val myRef = ManifestRef(table.writeManifest(version, newBucketFiles),
       newBucketFiles.keySet, delta = true)
     val prevRows = snap.map(_.bucketRows).getOrElse(Map.empty)
     // bucketRows counts STORED rows (incl. superseded versions until
     // compact); per-bucket counts come from the write-side accumulator — no
     // footer reads on the hot path
-    val newRows = perPartition.filter(_._2 > 0).map(s => s._1 -> s._2).toMap
+    val newRows = perPartition.filter(_.rows > 0).map(s => s.pid -> s.rows).toMap
     def rowsOn(base: Map[Int, Long]) = (base.keySet ++ newBucketFiles.keySet).map { b =>
       b -> (base.getOrElse(b, 0L) + newRows.getOrElse(b, 0L))
     }.toMap
@@ -600,7 +687,7 @@ object MergeApplier {
     // fold deltas first if present (the rewrite must land key-unique rows);
     // COW state reads raw — tombstones included on both paths
     val state =
-      if (snap.morDeltas) BucketLocal.readFolded(spark, table, snap)
+      if (snap.morDeltas) BucketLocal.readFoldedAuto(spark, table, snap)
       else table.readRaw(spark)
     val keyCols = Model.KeyCols.map(col)
     // same alignment trick as the merge: repartition(newN, key) partitions
@@ -645,7 +732,12 @@ object MergeApplier {
       // ZERO shuffles; compaction cost is exactly read + write (BucketLocal).
       val version = snap.version + 1
       val outDir = table.attemptDir(version, "compact", snap.version)
-      BucketLocal.compactRows(spark, table, snap, watermarkMicros)
+      // spill policy (manifest metadata only): an oversized bucket compacts
+      // through the disk-backed sort instead of OOMing the hash fold —
+      // compaction is exactly how the operator SHRINKS such a bucket, so it
+      // is the one pass that must survive it
+      val spill = table.maxBucketBytes(snap) > table.spillFoldBytes
+      BucketLocal.compactRows(spark, table, snap, watermarkMicros, spill)
         .write.mode("overwrite").partitionBy("bucket").parquet(outDir.toString)
       val newFiles = table.listBucketFiles(outDir)
       val rows = table.footerRowCounts(newFiles)

@@ -127,10 +127,11 @@ private final class LakeReplaceDataWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val entries = messages.flatMap(_.asInstanceOf[LakeReplaceMessage].files)
-    val newFiles: Map[Int, Seq[FileEntry]] = entries.groupBy(_._1)
-      .view.mapValues(_.map(e => FileEntry(e._2, e._3)).toSeq.sortBy(_.path)).toMap
-    val newRows: Map[Int, Long] = entries.groupBy(_._1)
-      .view.mapValues(_.map(_._4).sum).toMap
+    val newFiles: Map[Int, Seq[FileEntry]] = entries.groupBy(_.bucket)
+      .view.mapValues(_.map(e => FileEntry(e.path, e.bytes,
+        e.stats.map(r => FileStats(r._1, r._2, r._3, r._4)))).toSeq.sortBy(_.path)).toMap
+    val newRows: Map[Int, Long] = entries.groupBy(_.bucket)
+      .view.mapValues(_.map(_.rows).sum).toMap
     // the groups this output REPLACES = what the target scan actually read
     // (a never-planned scan means Spark read nothing — replace nothing)
     val replaced: Set[Int] = op.scannedBuckets.getOrElse(Set.empty)
@@ -220,8 +221,15 @@ private final class LakeReplaceDataWrite(
     org.apache.commons.io.FileUtils.deleteDirectory(outDir.toFile)
 }
 
+/** One task-written data file: bucket, path, bytes, rows, and the rows'
+  * key bounds (tracked as the rows streamed through the writer — zero extra
+  * I/O; becomes the manifest's [[FileStats]] for file skipping).
+  */
+private final case class ReplaceFile(bucket: Int, path: String, bytes: Long,
+    rows: Long, stats: Option[(String, String, Int, Int)])
+
 private final case class LakeReplaceMessage(
-    files: Seq[(Int, String, Long, Long)]) extends WriterCommitMessage // (bucket, path, bytes, rows)
+    files: Seq[ReplaceFile]) extends WriterCommitMessage
 
 /** Per-task writer: routes each replacement row to its bucket's parquet file
   * (same murmur3(seed 42) + pmod as every other engine path), appending the
@@ -281,8 +289,34 @@ private[table] final class LakeBucketDataWriter(
       })
     hash = Murmur3Hash(Seq(ref("conv_id"), ref("turn_idx")), 42)
   }
-  private val open = scala.collection.mutable.Map.empty[Int,
-    (org.apache.spark.sql.execution.datasources.OutputWriter, Array[Long])]
+  /** Per-open-file write stats: row count + key bounds of the rows written
+    * so far. Bounds track the PROJECTED (table-schema) row; its UTF8Strings
+    * point into the projection's reused buffer, so min/max are cloned on
+    * update (rare after the first rows).
+    */
+  private final class FileAcc(val w: org.apache.spark.sql.execution.datasources.OutputWriter,
+      convI: Int, turnI: Int) {
+    var rows = 0L
+    private var minConv: UTF8String = null
+    private var maxConv: UTF8String = null
+    private var minTurn = Int.MaxValue
+    private var maxTurn = Int.MinValue
+    def track(p: InternalRow): Unit = {
+      rows += 1
+      val c = p.getUTF8String(convI)
+      if (minConv == null || c.compareTo(minConv) < 0) minConv = c.clone()
+      if (maxConv == null || c.compareTo(maxConv) > 0) maxConv = c.clone()
+      val t = p.getInt(turnI)
+      if (t < minTurn) minTurn = t
+      if (t > maxTurn) maxTurn = t
+    }
+    def range: Option[(String, String, Int, Int)] =
+      if (rows == 0) None
+      else Some((minConv.toString, maxConv.toString, minTurn, maxTurn))
+  }
+  private lazy val tConvI = tableSchema.fieldIndex("conv_id")
+  private lazy val tTurnI = tableSchema.fieldIndex("turn_idx")
+  private val open = scala.collection.mutable.Map.empty[Int, FileAcc]
 
   /** Metadata-projection path (the row-level op's normal one): `meta`
     * carries the copied row's `_bucket`; inserted rows have no source group
@@ -305,29 +339,32 @@ private[table] final class LakeBucketDataWriter(
   }
 
   private def writeTo(b: Int, row: InternalRow): Unit = {
-    val (w, n) = open.getOrElseUpdate(b, {
+    val acc = open.getOrElseUpdate(b, {
       val dir = java.nio.file.Paths.get(outDir, s"bucket=$b")
       java.nio.file.Files.createDirectories(dir)
       val path = dir.resolve(f"part-$b%05d-p$partitionId-t$taskId.parquet").toString
-      (writers.open(path, partitionId, taskId), Array(0L))
+      new FileAcc(writers.open(path, partitionId, taskId), tConvI, tTurnI)
     })
-    w.write(project(row))
-    n(0) += 1
+    val p = project(row)
+    acc.track(p)
+    acc.w.write(p)
   }
 
   override def commit(): WriterCommitMessage = {
-    val files = open.toSeq.sortBy(_._1).map { case (b, (w, n)) =>
-      w.close()
-      (b, w.path(), java.nio.file.Files.size(java.nio.file.Paths.get(w.path())), n(0))
+    val files = open.toSeq.sortBy(_._1).map { case (b, acc) =>
+      acc.w.close()
+      ReplaceFile(b, acc.w.path(),
+        java.nio.file.Files.size(java.nio.file.Paths.get(acc.w.path())),
+        acc.rows, acc.range)
     }
     open.clear()
     LakeReplaceMessage(files)
   }
 
   override def abort(): Unit = {
-    open.values.foreach { case (w, _) =>
-      try w.close() catch { case _: Exception => () }
-      try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(w.path()))
+    open.values.foreach { acc =>
+      try acc.w.close() catch { case _: Exception => () }
+      try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(acc.w.path()))
       catch { case _: Exception => () }
     }
     open.clear()

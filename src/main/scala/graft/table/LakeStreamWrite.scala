@@ -72,10 +72,14 @@ private[table] final class LakeStreamingWrite(
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.flatMap(_.asInstanceOf[LakeReplaceMessage].files)
-    val newFiles: Map[Int, Seq[FileEntry]] = entries.groupBy(_._1)
-      .view.mapValues(_.map(e => FileEntry(e._2, e._3)).toSeq.sortBy(_.path)).toMap
-    val newRows: Map[Int, Long] = entries.groupBy(_._1)
-      .view.mapValues(_.map(_._4).sum).toMap
+    // epoch delta files carry their key bounds (tracked in the task writer)
+    // — sink-written deltas are skippable by point lookups like every other
+    // delta, at zero added I/O
+    val newFiles: Map[Int, Seq[FileEntry]] = entries.groupBy(_.bucket)
+      .view.mapValues(_.map(e => FileEntry(e.path, e.bytes,
+        e.stats.map(r => FileStats(r._1, r._2, r._3, r._4)))).toSeq.sortBy(_.path)).toMap
+    val newRows: Map[Int, Long] = entries.groupBy(_.bucket)
+      .view.mapValues(_.map(_.rows).sum).toMap
     def dropStaged(): Unit = newFiles.values.flatten.foreach { f =>
       try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path))
       catch { case _: Exception => () }
@@ -127,7 +131,7 @@ private[table] final class LakeStreamingWrite(
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.filter(_ != null).flatMap(_.asInstanceOf[LakeReplaceMessage].files)
       .foreach { f =>
-        try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f._2))
+        try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path))
         catch { case _: Exception => () }
       }
 }

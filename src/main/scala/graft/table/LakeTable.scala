@@ -21,11 +21,59 @@ import scala.jdk.CollectionConverters._
   */
 final case class ManifestRef(path: String, buckets: Set[Int], delta: Boolean)
 
-/** One data file in a manifest: path + byte size. The size travels with the
-  * metadata so readers (including the bucket-aligned merge scan) never stat
-  * files — on an object store a per-file HEAD per commit would dominate.
+/** Key-range statistics of one data file's rows — the file-skipping input
+  * (Iceberg's per-file column bounds, for the table's two key columns).
+  * Written by the hot apply paths from their existing per-partition write
+  * accumulators (NO footer reads added), so every COW / MOR / streaming-sink
+  * file carries its range for free; files from stat-less paths (cold start,
+  * compaction) simply have none and are never skipped.
+  *
+  * Comparisons are in UTF8 BYTE order (`UTF8String.compareTo`, unsigned
+  * bytes) — the same ordering the accumulators used to compute min/max, so
+  * pruning is exact for any conv_id content, ASCII or not.
+  *
+  * What this buys at scale: a point lookup on a delta-carrying bucket opens
+  * base + K delta files; with bounds it opens only the files whose range can
+  * contain the key — on a tailing table almost every delta misses, so lookup
+  * I/O is O(files that can hold the key), not O(files in the bucket).
   */
-final case class FileEntry(path: String, bytes: Long)
+final case class FileStats(minConv: String, maxConv: String, minTurn: Int, maxTurn: Int) {
+  import org.apache.spark.unsafe.types.UTF8String
+  def mightContainConv(conv: String): Boolean = {
+    val c = UTF8String.fromString(conv)
+    c.compareTo(UTF8String.fromString(minConv)) >= 0 &&
+      c.compareTo(UTF8String.fromString(maxConv)) <= 0
+  }
+  def mightContain(conv: String, turn: Int): Boolean =
+    turn >= minTurn && turn <= maxTurn && mightContainConv(conv)
+}
+
+/** One data file in a manifest: path + byte size (+ optional key bounds).
+  * The size travels with the metadata so readers (including the
+  * bucket-aligned merge scan) never stat files — on an object store a
+  * per-file HEAD per commit would dominate.
+  */
+final case class FileEntry(path: String, bytes: Long, stats: Option[FileStats] = None)
+
+/** A staged (not yet published) COW commit — the WRITE of write-audit-
+  * publish (Iceberg's WAP pattern, from scratch). The full distributed
+  * merge has run and its manifest + data files exist on disk, but no
+  * snapshot references them: readers see nothing, [[LakeTable.readStaged]]
+  * audits exactly what publish would make current, and
+  * [[LakeTable.publishStaged]] CASes it in as pure metadata. `touched` and
+  * `baseVersion` carry the audit-validity condition: publish requires the
+  * touched buckets unchanged since the staging fold read them.
+  */
+final case class StagedRef(
+    name: String,
+    baseVersion: Long,
+    touched: Set[Int],
+    manifest: String,
+    bucketRows: Map[Int, Long],
+    writerId: String,
+    batchId: Long,
+    schemaJson: String,
+    metrics: Map[String, Long])
 
 /** Snapshot metadata of one table version (Iceberg-style, from scratch —
   * no Iceberg/Delta runtime exists in this environment).
@@ -342,6 +390,220 @@ final class LakeTable(val root: String, val numBuckets: Int) {
     }
   }
 
+  // --- named refs: tags + write-audit-publish staged commits ----------------
+
+  private def refName(name: String): String = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid ref name '$name'")
+    name
+  }
+  private def tagPath(name: String) = metaDir.resolve(s"ref-${refName(name)}.json")
+  private def stagedPath(name: String) = metaDir.resolve(s"wap-${refName(name)}.json")
+
+  /** Tag a snapshot version under an immutable name (Iceberg tags): the
+    * tagged version — snapshot JSON, manifests and data files — is retained
+    * by [[vacuum]] regardless of `keepLast` until the tag is dropped.
+    * Creation is atomic create-if-absent (the commit CAS's link primitive);
+    * re-tagging a live name fails loudly — [[dropTag]] first.
+    */
+  def tag(name: String, version: Long): Unit = {
+    require(snapshotAt(version).nonEmpty, s"no snapshot v$version to tag")
+    Files.createDirectories(metaDir)
+    val tmp = metaDir.resolve(s".tmp-ref-${refName(name)}-${System.nanoTime()}.json")
+    val j = new java.util.LinkedHashMap[String, Object]()
+    j.put("version", java.lang.Long.valueOf(version))
+    mapper.writeValue(tmp.toFile, j)
+    try {
+      Files.createLink(tagPath(name), tmp)
+      Files.deleteIfExists(tmp)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalStateException(
+          s"tag '$name' already exists (tags are immutable — dropTag first)")
+      case _: UnsupportedOperationException => // no-hardlink FS: pre-checked move
+        if (Files.exists(tagPath(name))) {
+          Files.deleteIfExists(tmp)
+          throw new IllegalStateException(
+            s"tag '$name' already exists (tags are immutable — dropTag first)")
+        }
+        Files.move(tmp, tagPath(name), StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  def tags(): Map[String, Long] = {
+    if (!Files.isDirectory(metaDir)) return Map.empty
+    LakeTable.listing(Files.list(metaDir)) {
+      _.map(_.getFileName.toString)
+        .filter(n => n.startsWith("ref-") && n.endsWith(".json"))
+        .toSeq
+    }.map { n =>
+      val name = n.stripPrefix("ref-").stripSuffix(".json")
+      name -> readTag(name)
+    }.toMap
+  }
+
+  def readTag(name: String): Long = {
+    require(Files.exists(tagPath(name)), s"no tag '$name'")
+    mapper.readValue(tagPath(name).toFile, classOf[java.util.Map[String, Object]])
+      .get("version").toString.toLong
+  }
+
+  def dropTag(name: String): Unit = Files.deleteIfExists(tagPath(name))
+
+  /** Read the table as of a tag — [[read]] at the tagged version. */
+  def readTagged(spark: SparkSession, name: String): DataFrame =
+    read(spark, asOfVersion = Some(readTag(name)))
+
+  private[graft] def writeStaged(r: StagedRef): Unit = {
+    Files.createDirectories(metaDir)
+    val j = new java.util.LinkedHashMap[String, Object]()
+    j.put("baseVersion", java.lang.Long.valueOf(r.baseVersion))
+    j.put("touched", r.touched.toSeq.sorted.map(Integer.valueOf).asJava)
+    j.put("manifest", r.manifest)
+    j.put("bucketRows", r.bucketRows.map { case (b, n) =>
+      b.toString -> java.lang.Long.valueOf(n) }.asJava)
+    j.put("writerId", r.writerId)
+    j.put("batchId", java.lang.Long.valueOf(r.batchId))
+    j.put("schemaJson", r.schemaJson)
+    j.put("metrics", r.metrics.map { case (k, v) =>
+      k -> java.lang.Long.valueOf(v) }.asJava)
+    val tmp = metaDir.resolve(s".tmp-wap-${refName(r.name)}-${System.nanoTime()}.json")
+    mapper.writeValue(tmp.toFile, j)
+    // atomic replace: re-staging after a crashed/abandoned attempt supersedes
+    Files.move(tmp, stagedPath(r.name), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def stagedRefs(): Seq[String] = {
+    if (!Files.isDirectory(metaDir)) return Seq.empty
+    LakeTable.listing(Files.list(metaDir)) {
+      _.map(_.getFileName.toString)
+        .filter(n => n.startsWith("wap-") && n.endsWith(".json"))
+        .toSeq
+    }.map(_.stripPrefix("wap-").stripSuffix(".json")).sorted
+  }
+
+  def readStagedRef(name: String): StagedRef = {
+    require(Files.exists(stagedPath(name)), s"no staged commit '$name'")
+    val m = mapper.readValue(stagedPath(name).toFile, classOf[java.util.Map[String, Object]])
+    StagedRef(
+      name = name,
+      baseVersion = m.get("baseVersion").toString.toLong,
+      touched = m.get("touched").asInstanceOf[java.util.List[Object]].asScala
+        .map(_.toString.toInt).toSet,
+      manifest = m.get("manifest").toString,
+      bucketRows = m.get("bucketRows").asInstanceOf[java.util.Map[String, Object]].asScala
+        .map { case (b, n) => b.toInt -> n.toString.toLong }.toMap,
+      writerId = m.get("writerId").toString,
+      batchId = m.get("batchId").toString.toLong,
+      schemaJson = m.get("schemaJson").toString,
+      metrics = m.get("metrics").asInstanceOf[java.util.Map[String, Object]].asScala
+        .map { case (k, v) => k -> v.toString.toLong }.toMap)
+  }
+
+  /** Discard a staged commit: the ref dies now; its unpublished manifest and
+    * data files become unreferenced and the next [[vacuum]] sweeps them.
+    */
+  def dropStaged(name: String): Unit = Files.deleteIfExists(stagedPath(name))
+
+  /** The staged commit's AUDIT view — the base snapshot with the staged
+    * rewrite applied, i.e. exactly the state publish would make current.
+    */
+  def stagedSnapshot(name: String): Snapshot = {
+    val r = readStagedRef(name)
+    val base = snapshotAt(r.baseVersion)
+    require(base.nonEmpty || r.baseVersion == 0L,
+      s"staged commit '$name' bases on vacuumed v${r.baseVersion}")
+    val myRef = ManifestRef(r.manifest, r.touched, delta = false)
+    Snapshot(
+      version = r.baseVersion,
+      schemaJson = base.map(b => Model.mergeSchemas(b.schema,
+        DataType.fromJson(r.schemaJson).asInstanceOf[StructType]).json).getOrElse(r.schemaJson),
+      numBuckets = numBuckets,
+      manifests = base.map(_.manifests).getOrElse(Seq.empty)
+        .map(m => m.copy(buckets = m.buckets -- r.touched))
+        .filter(_.buckets.nonEmpty) :+ myRef,
+      committed = base.map(_.committed).getOrElse(Map.empty) + (r.writerId -> r.batchId),
+      bucketRows = base.map(_.bucketRows).getOrElse(Map.empty) ++ r.bucketRows,
+      metrics = r.metrics,
+      parentVersion = r.baseVersion,
+      morDeltas = base.exists(_.morDeltas))
+  }
+
+  /** Audit read of a staged commit (live rows, tombstones filtered) —
+    * exactly what the table will serve after [[publishStaged]].
+    */
+  def readStaged(spark: SparkSession, name: String): DataFrame = {
+    val s = stagedSnapshot(name)
+    val resolved =
+      if (s.morDeltas) graft.operators.BucketLocal.readFoldedAuto(spark, this, s)
+      else {
+        val paths = resolveFiles(s).values.flatten.map(_.path).toSeq
+        if (paths.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+        else spark.read.schema(s.schema).parquet(paths: _*)
+      }
+    resolved.filter(col("op") =!= Model.OpDelete).drop("op")
+  }
+
+  /** PUBLISH of write-audit-publish: CAS the staged commit in as the next
+    * snapshot — O(metadata), no data moves. Publishing against a head that
+    * advanced since staging REBASES (mask + append, merge ledger/rows/
+    * schema) when the winner left the staged commit's touched buckets
+    * untouched — the audit still holds; any change to them means the
+    * audited content is stale, which only the auditor can resolve:
+    * ConcurrentModificationException, drop and re-stage. Exactly-once: a
+    * (writerId, batchId) already in the head's ledger publishes as a no-op
+    * (the staged copy is dropped).
+    */
+  def publishStaged(name: String): Snapshot = {
+    val r = readStagedRef(name)
+    val base = snapshotAt(r.baseVersion)
+    require(base.nonEmpty || r.baseVersion == 0L,
+      s"staged commit '$name' bases on vacuumed v${r.baseVersion}")
+    val myRef = ManifestRef(r.manifest, r.touched, delta = false)
+    val baseFiles = base.map(b => resolveFiles(b, Some(r.touched)))
+      .getOrElse(Map.empty[Int, Seq[FileEntry]])
+    while (true) {
+      val cur = currentSnapshot()
+      cur.foreach { c =>
+        require(c.numBuckets == numBuckets,
+          s"table was rebucketed to ${c.numBuckets} buckets since staging " +
+            s"(staged under $numBuckets) — drop and re-stage")
+      }
+      if (cur.exists(_.maxBatchId(r.writerId) >= r.batchId)) {
+        // the (writer, batch) already landed — a racing publish or the live
+        // writer re-applied it; exactly-once makes this staged copy moot
+        dropStaged(name)
+        return cur.get
+      }
+      if (cur.map(c => resolveFiles(c, Some(r.touched))).getOrElse(Map.empty) != baseFiles)
+        throw new java.util.ConcurrentModificationException(
+          s"staged commit '$name' audited buckets " +
+            s"${r.touched.toSeq.sorted.mkString("{", ",", "}")} at v${r.baseVersion}, " +
+            "which changed concurrently; drop and re-stage")
+      val cand = Snapshot(
+        version = cur.map(_.version).getOrElse(0L) + 1,
+        schemaJson = cur.map(c => Model.mergeSchemas(c.schema,
+          DataType.fromJson(r.schemaJson).asInstanceOf[StructType]).json)
+          .getOrElse(r.schemaJson),
+        numBuckets = numBuckets,
+        manifests = cur.map(_.manifests).getOrElse(Seq.empty)
+          .map(m => m.copy(buckets = m.buckets -- r.touched))
+          .filter(_.buckets.nonEmpty) :+ myRef,
+        committed = cur.map(_.committed).getOrElse(Map.empty) + (r.writerId -> r.batchId),
+        bucketRows = cur.map(_.bucketRows).getOrElse(Map.empty) ++ r.bucketRows,
+        metrics = r.metrics ++ Map("publishedFromStage" -> 1L, "stagedBase" -> r.baseVersion),
+        parentVersion = cur.map(_.version).getOrElse(0L),
+        morDeltas = cur.exists(_.morDeltas))
+      try {
+        commit(cand)
+        dropStaged(name)
+        return cand
+      } catch { case _: CommitConflictException => () } // head moved: re-check and rebase
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   // --- manifests ----------------------------------------------------------
 
   /** Write one commit's per-bucket file lists as an immutable manifest file;
@@ -354,13 +616,39 @@ final class LakeTable(val root: String, val numBuckets: Int) {
     Files.createDirectories(metaDir)
     val target = metaDir.resolve(f"man-$version%012d-${System.nanoTime()}.json")
     val j = new java.util.LinkedHashMap[String, Object]()
+    // stat-less entries keep the compact legacy string form; entries with
+    // key bounds become objects (conv ids may contain any character, so the
+    // bounds ride as separate JSON fields rather than more '|' splits)
+    def entry(f: FileEntry): Object = f.stats match {
+      case None => s"${f.bytes}|${f.path}"
+      case Some(st) =>
+        val e = new java.util.LinkedHashMap[String, Object]()
+        e.put("e", s"${f.bytes}|${f.path}")
+        e.put("c0", st.minConv); e.put("c1", st.maxConv)
+        e.put("t0", Integer.valueOf(st.minTurn)); e.put("t1", Integer.valueOf(st.maxTurn))
+        e
+    }
     j.put("files", files.map { case (b, fs) =>
-      b.toString -> fs.map(f => s"${f.bytes}|${f.path}").asJava }.asJava)
+      b.toString -> fs.map(entry).asJava }.asJava)
     val tmp = metaDir.resolve(s".tmp-${target.getFileName}")
     mapper.writeValue(tmp.toFile, j)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
     target.toString
   }
+
+  /** Attach per-bucket key bounds (from a write-side accumulator) to the
+    * bucket's files — every file of the bucket gets the bucket-commit's
+    * union range, which is SOUND for skipping (a file's true range is within
+    * it) and exact in the common one-file-per-bucket-per-commit layout.
+    */
+  def attachStats(files: Map[Int, Seq[FileEntry]],
+      ranges: Map[Int, FileStats]): Map[Int, Seq[FileEntry]] =
+    files.map { case (b, fs) =>
+      b -> (ranges.get(b) match {
+        case Some(st) => fs.map(_.copy(stats = Some(st)))
+        case None => fs
+      })
+    }
 
   /** Manifests are immutable once published, so a driver-side cache makes
     * re-resolution (once per micro-batch on a streaming driver) free. Bounded
@@ -375,12 +663,24 @@ final class LakeTable(val root: String, val numBuckets: Int) {
     if (cached != null) return cached
     val m = mapper.readValue(Paths.get(path).toFile,
       classOf[java.util.Map[String, Object]])
+    def parseEntry(o: Object): FileEntry = {
+      def split(e: String): FileEntry = {
+        val cut = e.indexOf('|')
+        FileEntry(e.substring(cut + 1), e.substring(0, cut).toLong)
+      }
+      o match {
+        case s: String => split(s) // legacy / stat-less form
+        case mm: java.util.Map[_, _] =>
+          val e = mm.asInstanceOf[java.util.Map[String, Object]]
+          split(e.get("e").toString).copy(stats = Some(FileStats(
+            e.get("c0").toString, e.get("c1").toString,
+            e.get("t0").toString.toInt, e.get("t1").toString.toInt)))
+      }
+    }
     val files = m.get("files").asInstanceOf[java.util.Map[String, Object]].asScala
       .map { case (b, fs) =>
-        b.toInt -> fs.asInstanceOf[java.util.List[String]].asScala.toSeq.map { e =>
-          val cut = e.indexOf('|')
-          FileEntry(e.substring(cut + 1), e.substring(0, cut).toLong)
-        } }.toMap
+        b.toInt -> fs.asInstanceOf[java.util.List[Object]].asScala.toSeq.map(parseEntry)
+      }.toMap
     if (manifestCache.size > 4096) manifestCache.clear()
     manifestCache.put(path, files)
     files
@@ -409,6 +709,35 @@ final class LakeTable(val root: String, val numBuckets: Int) {
 
   def allFiles(s: Snapshot): Seq[String] =
     resolveFiles(s).values.flatten.map(_.path).toSeq
+
+  /** Largest per-bucket byte footprint among the requested buckets —
+    * manifest metadata only (file sizes travel in the manifest), no I/O.
+    * The input to the spill-fold policy below.
+    */
+  def maxBucketBytes(s: Snapshot, buckets: Option[Set[Int]] = None): Long =
+    resolveFiles(s, buckets).values
+      .foldLeft(0L)((m, fs) => math.max(m, fs.iterator.map(_.bytes).sum))
+
+  /** Spill-fold policy threshold: a delta-carrying read (or compaction)
+    * whose bucket exceeds this byte size runs the SORT-SPILL fold
+    * (BucketLocal.readFoldedSpill / compactRows(spill=true)) instead of the
+    * in-memory hash fold. The hash fold's memory bound is one bucket's
+    * post-merge contents — the COW sizing contract — so a bucket that
+    * outgrew its executor (hot-key flood, delayed compaction, undersized
+    * numBuckets) would OOM it; above the threshold the engine degrades to
+    * disk-backed sorting instead, keeping the table readable, compactable
+    * and REBUCKETABLE — the recovery path that restores the sizing
+    * invariant. Default 2 GiB ≈ a conservative executor-task budget; tune
+    * per deployment (file bytes are compressed parquet, so in-memory row
+    * size is larger).
+    */
+  var spillFoldBytes: Long = 2L << 30
+
+  /** Operational kill-switch for manifest-stats file skipping in the
+    * key-addressed lookups (and the bench's honest skip-vs-full comparison).
+    * Correctness never depends on skipping — disabling it only reads more.
+    */
+  var fileSkipping: Boolean = true
 
   // --- data ---------------------------------------------------------------
 
@@ -489,7 +818,7 @@ final class LakeTable(val root: String, val numBuckets: Int) {
     // for analytical readers.
     val resolved = snap match {
       case Some(s) if s.morDeltas =>
-        graft.operators.BucketLocal.readFolded(spark, this, s)
+        graft.operators.BucketLocal.readFoldedAuto(spark, this, s)
       case _ => readRaw(spark, None, asOfVersion)
     }
     resolved.filter(col("op") =!= Model.OpDelete).drop("op")
@@ -568,16 +897,39 @@ final class LakeTable(val root: String, val numBuckets: Int) {
         // rebucket would silently name the wrong bucket of the new layout
         require(s.numBuckets == numBuckets,
           s"table has ${s.numBuckets} buckets; handle opened with $numBuckets")
-        val one = Some(Set(bucketFor(convId, turnIdx)))
+        val one = Set(bucketFor(convId, turnIdx))
         // pin the read to the SNAPSHOT the bucket id was derived from — a
-        // concurrent commit between resolution and read must not retarget it
-        val base =
-          if (s.morDeltas) graft.operators.BucketLocal.readFolded(spark, this, s, one)
-          else readRaw(spark, one, asOfVersion = Some(s.version))
+        // concurrent commit between resolution and read must not retarget it.
+        // File skipping within the bucket: a file whose key bounds exclude
+        // the key cannot hold any version of it, so dropping it leaves the
+        // key's LWW fold unchanged (sound — bounds are supersets); on a
+        // delta-carrying bucket this opens O(files that can hold the key),
+        // not O(base + every delta).
+        val pruned = resolveFiles(s, Some(one)).map { case (bk, fs) =>
+          bk -> (if (fileSkipping)
+            fs.filter(_.stats.forall(_.mightContain(convId, turnIdx))) else fs)
+        }.filter(_._2.nonEmpty)
+        val base = readPrunedFiles(spark, s, pruned)
         base.filter(col("conv_id") === convId && col("turn_idx") === turnIdx &&
             col("op") =!= Model.OpDelete)
           .drop("op")
     }
+  }
+
+  /** Read an explicitly pruned per-bucket file subset of a pinned snapshot —
+    * the shared tail of the key-addressed lookups. MOR snapshots fold
+    * bucket-locally over exactly these files (spill policy applies); COW
+    * snapshots read them as a plain pushdown-friendly parquet scan.
+    */
+  private def readPrunedFiles(spark: SparkSession, s: Snapshot,
+      pruned: Map[Int, Seq[FileEntry]]): DataFrame = {
+    if (pruned.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+    else if (s.morDeltas) {
+      val spill = pruned.values.map(_.iterator.map(_.bytes).sum).max > spillFoldBytes
+      graft.operators.BucketLocal.readFoldedFiles(spark, s.schema, numBuckets, pruned, spill)
+    } else
+      spark.read.schema(s.schema).parquet(pruned.values.flatten.map(_.path).toSeq: _*)
   }
 
   /** Fetch a whole conversation's live turns — THE read pattern of a
@@ -606,12 +958,15 @@ final class LakeTable(val root: String, val numBuckets: Int) {
           buckets += bucketFor(convId, t)
           t += 1
         }
-        val some = Some(buckets.toSet)
         // pin to the snapshot the bucket set was derived from (same contract
-        // as lookupTurn)
-        val base =
-          if (s.morDeltas) graft.operators.BucketLocal.readFolded(spark, this, s, some)
-          else readRaw(spark, some, asOfVersion = Some(s.version))
+        // as lookupTurn); within those buckets skip files whose conv bounds
+        // exclude this conversation (sound for the fold — every file that
+        // can hold any of its turns is read)
+        val pruned = resolveFiles(s, Some(buckets.toSet)).map { case (bk, fs) =>
+          bk -> (if (fileSkipping)
+            fs.filter(_.stats.forall(_.mightContainConv(convId))) else fs)
+        }.filter(_._2.nonEmpty)
+        val base = readPrunedFiles(spark, s, pruned)
         base.filter(col("conv_id") === convId &&
             col("turn_idx") < maxTurnExclusive &&
             col("op") =!= Model.OpDelete)
@@ -663,9 +1018,20 @@ final class LakeTable(val root: String, val numBuckets: Int) {
           catch { case _: java.io.IOException | _: java.io.UncheckedIOException => Seq.empty }
       p +: children.flatMap(walkTolerant)
     }
-    val (expire, keep) = names.splitAt(math.max(0, names.size - keepLast))
-    val keptSnaps = keep.map(n => readSnapshot(metaDir.resolve(n)))
-    val referenced: Set[String] = keptSnaps.flatMap(allFiles).toSet
+    // tagged snapshots are retained regardless of keepLast; staged WAP
+    // commits pin their manifest + data files until published or dropped
+    val taggedNames = tags().values.map(snapName).toSet
+    val keepSet = names.takeRight(keepLast).toSet ++ taggedNames.filter(names.contains)
+    val expire = names.filterNot(keepSet.contains)
+    val keptSnaps = names.filter(keepSet.contains).map(n => readSnapshot(metaDir.resolve(n)))
+    val stagedPins = stagedRefs().flatMap { n =>
+      try Some(readStagedRef(n)) catch { case _: Exception => None } // raced away
+    }
+    val referenced: Set[String] = keptSnaps.flatMap(allFiles).toSet ++
+      stagedPins.flatMap { r =>
+        try readManifest(r.manifest).values.flatten.map(_.path)
+        catch { case _: Exception => Seq.empty }
+      }
     var deleted = 0
     if (Files.isDirectory(dataDir)) {
       walkTolerant(dataDir).reverse.foreach { p =>
@@ -687,7 +1053,8 @@ final class LakeTable(val root: String, val numBuckets: Int) {
         }
       }
     }
-    val liveManifests: Set[String] = keptSnaps.flatMap(_.manifests.map(_.path)).toSet
+    val liveManifests: Set[String] = keptSnaps.flatMap(_.manifests.map(_.path)).toSet ++
+      stagedPins.map(_.manifest)
     LakeTable.listing(Files.list(metaDir)) {
       _.filter { p =>
         val n = p.getFileName.toString
