@@ -228,7 +228,8 @@ object BucketLocal {
     * is the rewrite unit, sized to the executor via numBuckets).
     */
   def compactRows(spark: SparkSession, table: LakeTable, snap: Snapshot,
-      watermarkMicros: Long, spill: Boolean = false): DataFrame = {
+      watermarkMicros: Long, spill: Boolean = false,
+      buckets: Option[Set[Int]] = None): DataFrame = {
     val schema = snap.schema
     val (convI, turnI, tsI, seqI) = keyIdx(schema)
     val opI = schema.fieldIndex("op")
@@ -253,7 +254,7 @@ object BucketLocal {
       // fold + expiry filter hold O(1) rows per task. Zero shuffles, same
       // key-clustered output contract as the hash path.
       val raw = ScanBridge.internalDf(spark,
-        ScanBridge.bucketFilesRdd(spark, schema, bucketArray(table, snap)), schema)
+        ScanBridge.bucketFilesRdd(spark, schema, bucketArray(table, snap, buckets)), schema)
       ScanBridge.toInternalRdd(sortedByKeyVersion(raw)).mapPartitions { rows =>
         // un-folded rows come off the sorter's buffers too — foldWinnersSorted
         // copies its survivors; the raw (COW, key-unique) branch streams the
@@ -263,7 +264,7 @@ object BucketLocal {
           if (fold) foldWinnersSorted(rows, convI, turnI) else rows
         tag(resolved.filter(r => !expired(r)))
       }
-    } else ScanBridge.bucketFilesRdd(spark, schema, bucketArray(table, snap))
+    } else ScanBridge.bucketFilesRdd(spark, schema, bucketArray(table, snap, buckets))
       .mapPartitions { rows =>
         val resolved =
           if (fold) foldWinners(rows, convI, turnI, tsI, seqI) else rows

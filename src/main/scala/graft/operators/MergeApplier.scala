@@ -64,7 +64,7 @@ object MergeApplier {
     * added I/O: the task already had every written row in hand.
     */
   private final case class TaskWriteStats(pid: Int, rows: Long, dels: Long,
-      written: Long, range: Option[(String, String, Int, Int)])
+      written: Long, range: Option[graft.table.FileStats])
 
   /** In-task LWW merge of one bucket: fold the batch partition's rows and
     * the bucket's stored rows into a per-key winner map under the SAME rule
@@ -109,10 +109,12 @@ object MergeApplier {
     // LongAccumulators, which double-count on any transformation
     // re-execution. `winners` = rows this bucket writes, so commit lineage
     // needs no post-write parquet footer reads on the hot path.
-    // key bounds over the WRITTEN rows (winner keys are safe copies):
-    // becomes the commit's per-file FileStats — free, the map is in hand
+    // key stats over the WRITTEN rows (winner keys are safe copies): bounds
+    // + conv bloom become the commit's per-file FileStats — free, the map
+    // is in hand
     var minConv: UTF8String = null; var maxConv: UTF8String = null
     var minTurn = Int.MaxValue; var maxTurn = Int.MinValue
+    val bloom = graft.table.ConvBloom.empty()
     val keys = winners.keySet().iterator()
     while (keys.hasNext) {
       val (c, t) = keys.next()
@@ -120,9 +122,11 @@ object MergeApplier {
       if (maxConv == null || c.compareTo(maxConv) > 0) maxConv = c
       if (t < minTurn) minTurn = t
       if (t > maxTurn) maxTurn = t
+      graft.table.ConvBloom.add(bloom, c)
     }
     val range = if (winners.isEmpty) None
-      else Some((minConv.toString, maxConv.toString, minTurn, maxTurn))
+      else Some(graft.table.FileStats(minConv.toString, maxConv.toString, minTurn, maxTurn,
+        Some(graft.table.ConvBloom.seal(bloom))))
     statsAcc.add(TaskWriteStats(partitionId, nRows, nDel, winners.size.toLong, range))
     val bucketRow = new GenericInternalRow(Array[Any](partitionId))
     val joined = new JoinedRow
@@ -312,8 +316,7 @@ object MergeApplier {
         batchRows = perPartition.map(_.rows).sum
         nDeletes = perPartition.map(_.dels).sum
         statsWinners = perPartition.map(s => s.pid -> s.written).toMap
-        keyRanges = perPartition.flatMap(s => s.range.map(r =>
-          s.pid -> graft.table.FileStats(r._1, r._2, r._3, r._4))).toMap
+        keyRanges = perPartition.flatMap(s => s.range.map(r => s.pid -> r)).toMap
         if (batchRows == 0) {
           // Idle trigger: nothing arrived. Emptiness detection piggybacks on
           // the merge job itself — an empty batch side makes every mergeBucket
@@ -506,20 +509,23 @@ object MergeApplier {
           private val joined = new JoinedRow
           private var nRows = 0L
           private var nDel = 0L
-          // key bounds of the delta file as it streams through — the
+          // key stats of the delta file as it streams through — the
           // row's UTF8String points into a reused buffer, so min/max are
-          // CLONED on update (rare after the first few rows)
+          // CLONED on update (rare after the first few rows); the bloom
+          // hashes the buffer in place (no copies, 4 murmur probes/row)
           private var minConv: UTF8String = null
           private var maxConv: UTF8String = null
           private var minTurn = Int.MaxValue
           private var maxTurn = Int.MinValue
+          private val bloom = graft.table.ConvBloom.empty()
           private var reported = false
           override def hasNext: Boolean = {
             val h = it.hasNext
             if (!h && !reported) {
               reported = true
               val range = if (nRows == 0) None
-                else Some((minConv.toString, maxConv.toString, minTurn, maxTurn))
+                else Some(graft.table.FileStats(minConv.toString, maxConv.toString,
+                  minTurn, maxTurn, Some(graft.table.ConvBloom.seal(bloom))))
               statsAcc.add(TaskWriteStats(pid, nRows, nDel, nRows, range))
             }
             h
@@ -531,6 +537,7 @@ object MergeApplier {
             val c = r.getUTF8String(convI)
             if (minConv == null || c.compareTo(minConv) < 0) minConv = c.clone()
             if (maxConv == null || c.compareTo(maxConv) > 0) maxConv = c.clone()
+            graft.table.ConvBloom.add(bloom, c)
             val t = r.getInt(turnI)
             if (t < minTurn) minTurn = t
             if (t > maxTurn) maxTurn = t
@@ -554,11 +561,10 @@ object MergeApplier {
       return ApplyResult(skipped = false, snap.map(_.version).getOrElse(0L), 0, 0, 0, 0)
     }
     val tMeta = System.nanoTime()
-    // delta files carry their key bounds (from the same accumulator pass) —
-    // the skip input that keeps point lookups O(files holding the key) on a
-    // delta-deep tail
-    val keyRanges = perPartition.flatMap(s => s.range.map(r =>
-      s.pid -> graft.table.FileStats(r._1, r._2, r._3, r._4))).toMap
+    // delta files carry their key bounds + conv bloom (from the same
+    // accumulator pass) — the skip input that keeps point lookups
+    // O(files holding the key) on a delta-deep tail
+    val keyRanges = perPartition.flatMap(s => s.range.map(r => s.pid -> r)).toMap
     val newBucketFiles = table.attachStats(table.listBucketFiles(outDir), keyRanges)
     val myRef = ManifestRef(table.writeManifest(version, newBucketFiles),
       newBucketFiles.keySet, delta = true)
@@ -657,6 +663,23 @@ object MergeApplier {
     compactMicros(spark, table,
       org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(watermark))
 
+  /** SELECTIVE compaction: fold only the given buckets' deltas and commit a
+    * masked manifest list (old refs lose the targets, one new non-delta ref
+    * claims them) — the rewrite is O(target buckets), not O(table). This is
+    * the maintenance unit that holds at scale: a skewed tail drives deltas
+    * into a few hot buckets, and rewriting the other 99% of a 100-TB table
+    * to fold them is the wrong cost class. Tombstones are retained (a
+    * maintenance policy cannot know how late the source runs); the manifest
+    * LIST still grows by one ref per partial pass, so a periodic full
+    * [[compactRetainTombstones]] (which resets the list) remains the
+    * list-length bound — [[graft.streaming.CdcStream]]'s policy does both.
+    * Returns rows written for the targets, 0 when none of them hold files,
+    * or -1 after yielding to sustained concurrent commits.
+    */
+  def compactBucketsRetainTombstones(spark: SparkSession, table: LakeTable,
+      buckets: Set[Int]): Long =
+    compactMicros(spark, table, Long.MinValue, Some(buckets))
+
   /** Maintenance: rewrite the table under a NEW bucket count — the resize
     * path for the COW rewrite unit. A bucket must fit an executor (it is
     * both the merge fold's memory bound and the rewrite granularity), so a
@@ -712,7 +735,7 @@ object MergeApplier {
   }
 
   private def compactMicros(spark: SparkSession, table: LakeTable,
-      watermarkMicros: Long): Long = {
+      watermarkMicros: Long, targets: Option[Set[Int]] = None): Long = {
     // Compaction rewrites EVERY bucket, so a concurrent commit (which by
     // construction touches some bucket or the ledger) always invalidates the
     // attempt — a lost CAS can never rebase, it re-runs against the fresh
@@ -730,28 +753,55 @@ object MergeApplier {
         s"table has ${snap.numBuckets} buckets; handle opened with ${table.numBuckets}")
       // Bucket-local compaction: fold + expire inside each bucket's own task —
       // ZERO shuffles; compaction cost is exactly read + write (BucketLocal).
+      // With `targets`, read + write only THOSE buckets (the others' tasks
+      // open no file).
+      val claimed = snap.manifests.flatMap(_.buckets).toSet
+      // a target set covering every claimed bucket IS a full compaction —
+      // take the list-resetting branch so the manifest list stays bounded
+      val sel = targets.map(_.intersect(claimed)).filterNot(_ == claimed)
+      if (targets.nonEmpty && sel.exists(_.isEmpty)) return 0L // nothing to fold
       val version = snap.version + 1
       val outDir = table.attemptDir(version, "compact", snap.version)
       // spill policy (manifest metadata only): an oversized bucket compacts
       // through the disk-backed sort instead of OOMing the hash fold —
       // compaction is exactly how the operator SHRINKS such a bucket, so it
       // is the one pass that must survive it
-      val spill = table.maxBucketBytes(snap) > table.spillFoldBytes
-      BucketLocal.compactRows(spark, table, snap, watermarkMicros, spill)
+      val spill = table.maxBucketBytes(snap, sel) > table.spillFoldBytes
+      BucketLocal.compactRows(spark, table, snap, watermarkMicros, spill, sel)
         .write.mode("overwrite").partitionBy("bucket").parquet(outDir.toString)
       val newFiles = table.listBucketFiles(outDir)
       val rows = table.footerRowCounts(newFiles)
-      // Compaction resets the manifest list to a single full manifest — the
-      // bound on manifest-list growth (one delta ref per MOR commit between
-      // compactions).
       beforePublish("compact", snap.version)
       try {
-        table.commit(Snapshot(version, snap.schemaJson, table.numBuckets,
-          Seq(ManifestRef(table.writeManifest(version, newFiles),
-            newFiles.keySet, delta = false)),
-          snap.committed, rows,
-          Map("compactedRows" -> rows.values.sum), snap.version,
-          morDeltas = false))
+        val cand = sel match {
+          case None =>
+            // Full compaction resets the manifest list to a single full
+            // manifest — the bound on manifest-list growth (one delta ref
+            // per MOR commit between compactions).
+            Snapshot(version, snap.schemaJson, table.numBuckets,
+              Seq(ManifestRef(table.writeManifest(version, newFiles),
+                newFiles.keySet, delta = false)),
+              snap.committed, rows,
+              Map("compactedRows" -> rows.values.sum), snap.version,
+              morDeltas = false)
+          case Some(t) =>
+            // Partial: mask the targets out of every prior ref, append one
+            // non-delta ref claiming them (a target whose rows all expired
+            // simply ends up claimed-with-no-files = empty). Other buckets'
+            // files and the ledger are untouched; morDeltas reflects
+            // whatever deltas REMAIN on the un-compacted buckets.
+            val masked = snap.manifests
+              .map(m => m.copy(buckets = m.buckets -- t))
+              .filter(_.buckets.nonEmpty)
+            Snapshot(version, snap.schemaJson, table.numBuckets,
+              masked :+ ManifestRef(table.writeManifest(version, newFiles), t,
+                delta = false),
+              snap.committed, (snap.bucketRows -- t) ++ rows,
+              Map("compactedRows" -> rows.values.sum,
+                "compactedBuckets" -> t.size.toLong), snap.version,
+              morDeltas = masked.exists(_.delta))
+        }
+        table.commit(cand)
         return rows.values.sum
       } catch {
         case _: graft.table.CommitConflictException => deleteDir(outDir)

@@ -81,21 +81,32 @@ object CdcStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         apply(batch, batchId)
-        // LSM maintenance policy: once the manifest list carries
-        // `autoCompactEvery` delta refs, fold them down. Compaction is
-        // bucket-local (zero shuffles, read+write only), runs BETWEEN
-        // batches on the same single-writer driver, and commits its own
-        // snapshot version — a crash mid-compact loses nothing (the
-        // un-published rewrite is an orphan; the ledger is untouched, so
-        // resume re-tails from the last applied batch). Auto-compaction
-        // must never expire a tombstone late events could still contend
-        // with, so it only merges versions (compactRetainTombstones);
-        // explicit compact(watermark) is the tombstone-expiry path.
+        // LSM maintenance policy: once a BUCKET's delta depth reaches
+        // `autoCompactEvery`, fold that bucket down — selective compaction
+        // rewrites O(deep buckets), not O(table), which is the unit that
+        // holds when a skewed tail drives deltas into a few hot buckets of
+        // a 100-TB table. Compaction is bucket-local (zero shuffles,
+        // read+write only), runs BETWEEN batches on the same single-writer
+        // driver, and commits its own snapshot version — a crash
+        // mid-compact loses nothing (the un-published rewrite is an
+        // orphan; the ledger is untouched, so resume re-tails from the
+        // last applied batch). Auto-compaction must never expire a
+        // tombstone late events could still contend with, so it only
+        // merges versions (retain-tombstones variants); explicit
+        // compact(watermark) is the tombstone-expiry path. Each partial
+        // pass appends one manifest ref; a uniform tail reaches the depth
+        // bound on every bucket at once, which compactMicros detects and
+        // turns into the list-RESETTING full branch — but a skewed tail
+        // keeps shallow buckets' refs alive, so the manifest LIST length
+        // gets its own bound: past 4× the depth bound, run one full pass.
         if (autoCompactEvery > 0) {
-          val deltas = table.currentSnapshot()
-            .map(_.manifests.count(_.delta)).getOrElse(0)
-          if (deltas >= autoCompactEvery) {
-            MergeApplier.compactRetainTombstones(spark, table)
+          table.currentSnapshot().foreach { s =>
+            val deep = table.deltaDepths(s)
+              .filter(_._2 >= autoCompactEvery).keySet
+            if (s.manifests.size >= 4 * autoCompactEvery.max(2))
+              MergeApplier.compactRetainTombstones(spark, table)
+            else if (deep.nonEmpty)
+              MergeApplier.compactBucketsRetainTombstones(spark, table, deep)
           }
         }
         ()

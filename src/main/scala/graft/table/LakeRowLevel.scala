@@ -128,8 +128,8 @@ private final class LakeReplaceDataWrite(
     val spark = SparkSession.active
     val entries = messages.flatMap(_.asInstanceOf[LakeReplaceMessage].files)
     val newFiles: Map[Int, Seq[FileEntry]] = entries.groupBy(_.bucket)
-      .view.mapValues(_.map(e => FileEntry(e.path, e.bytes,
-        e.stats.map(r => FileStats(r._1, r._2, r._3, r._4)))).toSeq.sortBy(_.path)).toMap
+      .view.mapValues(_.map(e => FileEntry(e.path, e.bytes, e.stats))
+        .toSeq.sortBy(_.path)).toMap
     val newRows: Map[Int, Long] = entries.groupBy(_.bucket)
       .view.mapValues(_.map(_.rows).sum).toMap
     // the groups this output REPLACES = what the target scan actually read
@@ -226,7 +226,7 @@ private final class LakeReplaceDataWrite(
   * I/O; becomes the manifest's [[FileStats]] for file skipping).
   */
 private final case class ReplaceFile(bucket: Int, path: String, bytes: Long,
-    rows: Long, stats: Option[(String, String, Int, Int)])
+    rows: Long, stats: Option[FileStats])
 
 private final case class LakeReplaceMessage(
     files: Seq[ReplaceFile]) extends WriterCommitMessage
@@ -301,18 +301,21 @@ private[table] final class LakeBucketDataWriter(
     private var maxConv: UTF8String = null
     private var minTurn = Int.MaxValue
     private var maxTurn = Int.MinValue
+    private val bloom = ConvBloom.empty()
     def track(p: InternalRow): Unit = {
       rows += 1
       val c = p.getUTF8String(convI)
       if (minConv == null || c.compareTo(minConv) < 0) minConv = c.clone()
       if (maxConv == null || c.compareTo(maxConv) > 0) maxConv = c.clone()
+      ConvBloom.add(bloom, c)
       val t = p.getInt(turnI)
       if (t < minTurn) minTurn = t
       if (t > maxTurn) maxTurn = t
     }
-    def range: Option[(String, String, Int, Int)] =
+    def range: Option[FileStats] =
       if (rows == 0) None
-      else Some((minConv.toString, maxConv.toString, minTurn, maxTurn))
+      else Some(FileStats(minConv.toString, maxConv.toString, minTurn, maxTurn,
+        Some(ConvBloom.seal(bloom))))
   }
   private lazy val tConvI = tableSchema.fieldIndex("conv_id")
   private lazy val tTurnI = tableSchema.fieldIndex("turn_idx")

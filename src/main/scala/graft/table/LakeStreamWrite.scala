@@ -76,8 +76,8 @@ private[table] final class LakeStreamingWrite(
     // — sink-written deltas are skippable by point lookups like every other
     // delta, at zero added I/O
     val newFiles: Map[Int, Seq[FileEntry]] = entries.groupBy(_.bucket)
-      .view.mapValues(_.map(e => FileEntry(e.path, e.bytes,
-        e.stats.map(r => FileStats(r._1, r._2, r._3, r._4)))).toSeq.sortBy(_.path)).toMap
+      .view.mapValues(_.map(e => FileEntry(e.path, e.bytes, e.stats))
+        .toSeq.sortBy(_.path)).toMap
     val newRows: Map[Int, Long] = entries.groupBy(_.bucket)
       .view.mapValues(_.map(_.rows).sum).toMap
     def dropStaged(): Unit = newFiles.values.flatten.foreach { f =>

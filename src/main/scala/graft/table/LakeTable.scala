@@ -21,28 +21,99 @@ import scala.jdk.CollectionConverters._
   */
 final case class ManifestRef(path: String, buckets: Set[Int], delta: Boolean)
 
-/** Key-range statistics of one data file's rows — the file-skipping input
-  * (Iceberg's per-file column bounds, for the table's two key columns).
-  * Written by the hot apply paths from their existing per-partition write
-  * accumulators (NO footer reads added), so every COW / MOR / streaming-sink
-  * file carries its range for free; files from stat-less paths (cold start,
-  * compaction) simply have none and are never skipped.
+/** Fixed-size bloom filter over a file's distinct conv_ids — the file-skip
+  * input that works where min/max bounds cannot: on a HASH-bucketed table
+  * every delta file holds a near-uniform sample of the key space, so its
+  * (minConv, maxConv) range spans nearly everything and range pruning keeps
+  * every file (the bench's lookup leg measured exactly that: 100/100 files
+  * kept by bounds alone). Bloom membership is layout-independent, so it
+  * prunes the files a key CANNOT be in regardless of how keys are spread.
   *
-  * Comparisons are in UTF8 BYTE order (`UTF8String.compareTo`, unsigned
-  * bytes) — the same ordering the accumulators used to compute min/max, so
-  * pruning is exact for any conv_id content, ASCII or not.
-  *
-  * What this buys at scale: a point lookup on a delta-carrying bucket opens
-  * base + K delta files; with bounds it opens only the files whose range can
-  * contain the key — on a tailing table almost every delta misses, so lookup
-  * I/O is O(files that can hold the key), not O(files in the bucket).
+  * Shape: 4096 bits (64 longs, ~684 base64 chars per manifest entry), k = 4
+  * probes via double hashing over two murmur3 seeds of the conv's UTF8
+  * bytes. The write side hashes the task's UTF8String bytes and the probe
+  * side hashes `UTF8String.fromString(conv)` — identical bytes, so a false
+  * NEGATIVE is impossible by construction; saturation (a base file holding
+  * the whole key space) only degrades the false-positive rate toward 1,
+  * i.e. back to pre-bloom behavior, never past it. At a delta file's
+  * natural fill (a few hundred convs in one bucket's batch slice)
+  * fpp ≈ 0.2%, so a point lookup on a delta-deep bucket opens ~only the
+  * files that really hold the key.
   */
-final case class FileStats(minConv: String, maxConv: String, minTurn: Int, maxTurn: Int) {
+object ConvBloom {
+  import org.apache.spark.unsafe.types.UTF8String
+  val NumLongs = 64
+  private val Bits = NumLongs * 64
+  private val Seed1 = 0x9747b28c
+  private val Seed2 = 0x1b873593
+
+  def empty(): Array[Long] = new Array[Long](NumLongs)
+
+  private def h(c: UTF8String, seed: Int): Int =
+    org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+      c.getBaseObject, c.getBaseOffset, c.numBytes, seed)
+
+  def add(bits: Array[Long], c: UTF8String): Unit = {
+    val h1 = h(c, Seed1)
+    val h2 = h(c, Seed2) | 1 // odd step: the probe walk covers all bits
+    var i = 0
+    while (i < 4) {
+      val idx = ((h1 + i * h2) & Int.MaxValue) % Bits
+      bits(idx >> 6) |= 1L << (idx & 63)
+      i += 1
+    }
+  }
+
+  def mightContain(bits: scala.collection.immutable.ArraySeq[Long], conv: String): Boolean = {
+    val c = UTF8String.fromString(conv)
+    val h1 = h(c, Seed1)
+    val h2 = h(c, Seed2) | 1
+    var i = 0
+    while (i < 4) {
+      val idx = ((h1 + i * h2) & Int.MaxValue) % Bits
+      if ((bits(idx >> 6) & (1L << (idx & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  def seal(bits: Array[Long]): scala.collection.immutable.ArraySeq[Long] =
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(bits)
+
+  def toBase64(bits: scala.collection.immutable.ArraySeq[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(NumLongs * 8)
+    bits.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  def fromBase64(s: String): scala.collection.immutable.ArraySeq[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(s))
+    seal(Array.fill(NumLongs)(bb.getLong))
+  }
+}
+
+/** Key statistics of one data file's rows — the file-skipping input
+  * (Iceberg's per-file column bounds, for the table's two key columns, plus
+  * a conv_id bloom — see [[ConvBloom]] for why bounds alone cannot prune a
+  * hash-bucketed layout). Written by the hot apply paths from their existing
+  * per-partition write accumulators (NO footer reads added), so every COW /
+  * MOR / streaming-sink / SQL-write file carries its stats for free; files
+  * from stat-less paths (cold start, compaction) simply have none and are
+  * never skipped.
+  *
+  * Range comparisons are in UTF8 BYTE order (`UTF8String.compareTo`,
+  * unsigned bytes) — the same ordering the accumulators used to compute
+  * min/max, so pruning is exact for any conv_id content, ASCII or not.
+  * The bloom rides as `ArraySeq[Long]` (value equality, unboxed backing).
+  */
+final case class FileStats(minConv: String, maxConv: String, minTurn: Int, maxTurn: Int,
+    bloom: Option[scala.collection.immutable.ArraySeq[Long]] = None) {
   import org.apache.spark.unsafe.types.UTF8String
   def mightContainConv(conv: String): Boolean = {
     val c = UTF8String.fromString(conv)
     c.compareTo(UTF8String.fromString(minConv)) >= 0 &&
-      c.compareTo(UTF8String.fromString(maxConv)) <= 0
+      c.compareTo(UTF8String.fromString(maxConv)) <= 0 &&
+      bloom.forall(ConvBloom.mightContain(_, conv))
   }
   def mightContain(conv: String, turn: Int): Boolean =
     turn >= minTurn && turn <= maxTurn && mightContainConv(conv)
@@ -626,6 +697,7 @@ final class LakeTable(val root: String, val numBuckets: Int) {
         e.put("e", s"${f.bytes}|${f.path}")
         e.put("c0", st.minConv); e.put("c1", st.maxConv)
         e.put("t0", Integer.valueOf(st.minTurn)); e.put("t1", Integer.valueOf(st.maxTurn))
+        st.bloom.foreach(b => e.put("b", ConvBloom.toBase64(b)))
         e
     }
     j.put("files", files.map { case (b, fs) =>
@@ -674,7 +746,8 @@ final class LakeTable(val root: String, val numBuckets: Int) {
           val e = mm.asInstanceOf[java.util.Map[String, Object]]
           split(e.get("e").toString).copy(stats = Some(FileStats(
             e.get("c0").toString, e.get("c1").toString,
-            e.get("t0").toString.toInt, e.get("t1").toString.toInt)))
+            e.get("t0").toString.toInt, e.get("t1").toString.toInt,
+            Option(e.get("b")).map(b => ConvBloom.fromBase64(b.toString)))))
       }
     }
     val files = m.get("files").asInstanceOf[java.util.Map[String, Object]].asScala
@@ -717,6 +790,17 @@ final class LakeTable(val root: String, val numBuckets: Int) {
   def maxBucketBytes(s: Snapshot, buckets: Option[Set[Int]] = None): Long =
     resolveFiles(s, buckets).values
       .foldLeft(0L)((m, fs) => math.max(m, fs.iterator.map(_.bytes).sum))
+
+  /** Per-bucket DELTA depth — how many delta refs cover each bucket — from
+    * the manifest LIST alone (no manifest files opened, no I/O beyond the
+    * snapshot already in hand). This is the selective-compaction driver:
+    * a bucket's read amplification is its depth, so maintenance targets
+    * `deltaDepths(s).filter(_._2 >= k).keySet` instead of rewriting the
+    * table. Buckets with no deltas are absent from the result.
+    */
+  def deltaDepths(s: Snapshot): Map[Int, Int] =
+    s.manifests.filter(_.delta).flatMap(_.buckets)
+      .groupBy(identity).view.mapValues(_.size).toMap
 
   /** Spill-fold policy threshold: a delta-carrying read (or compaction)
     * whose bucket exceeds this byte size runs the SORT-SPILL fold

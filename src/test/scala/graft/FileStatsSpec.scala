@@ -7,15 +7,19 @@ import org.apache.spark.sql.streaming.Trigger
 
 import java.sql.Timestamp
 
-/** Per-file key bounds in the manifest (Iceberg's column-bounds file
-  * skipping, for the table's key columns): written by the hot apply paths
-  * from their existing accumulators — zero added I/O — and used by the
+/** Per-file key stats in the manifest (Iceberg's column bounds + a conv_id
+  * bloom filter, for the table's key columns): written by the hot apply
+  * paths from their existing accumulators — zero added I/O — and used by the
   * key-addressed lookups to open only the files that can hold the key.
   * The physical proofs DELETE the skippable files from disk: a lookup that
-  * still answers exactly cannot have opened them.
+  * still answers exactly cannot have opened them. The bloom cases pin the
+  * hash-layout scenario bounds cannot prune (every file's range covers the
+  * key) and the no-false-negative contract.
   */
 class FileStatsSpec extends SparkSpecBase {
   import Model.changeEventEncoder
+
+  private def bounds(st: FileStats) = (st.minConv, st.maxConv, st.minTurn, st.maxTurn)
 
   private def ev(conv: String, turn: Int, text: String, t: String, seq: Long,
       op: String = "insert") =
@@ -36,8 +40,9 @@ class FileStatsSpec extends SparkSpecBase {
     assert(entries.nonEmpty && entries.forall(_.stats.nonEmpty),
       s"every delta file must carry bounds: $entries")
     val byMin = entries.flatMap(_.stats).sortBy(_.minConv)
-    assert(byMin.head == FileStats("a0", "a4", 0, 3))
-    assert(byMin.last == FileStats("b0", "b4", 0, 3))
+    assert(bounds(byMin.head) == ("a0", "a4", 0, 3))
+    assert(bounds(byMin.last) == ("b0", "b4", 0, 3))
+    assert(byMin.forall(_.bloom.nonEmpty), "delta stats must carry the conv bloom")
   }
 
   test("COW merge commits carry the written bucket's key bounds") {
@@ -109,15 +114,76 @@ class FileStatsSpec extends SparkSpecBase {
 
   test("manifest format: stat-less entries keep the legacy string form; both round-trip") {
     val t = new LakeTable(tmpDir("fs-manifest"), numBuckets = 2)
+    val bits = graft.table.ConvBloom.empty()
+    graft.table.ConvBloom.add(bits, org.apache.spark.unsafe.types.UTF8String.fromString("c|3"))
     val files = Map(
       0 -> Seq(FileEntry("/x/old.parquet", 10L),
         FileEntry("/x/new.parquet", 20L, Some(FileStats("c|0", "c|9", 0, 7)))), // '|' in conv ids survives
-      1 -> Seq(FileEntry("/x/plain.parquet", 30L)))
+      1 -> Seq(FileEntry("/x/plain.parquet", 30L),
+        FileEntry("/x/bloomed.parquet", 40L, Some(FileStats("c|0", "c|9", 0, 7,
+          Some(graft.table.ConvBloom.seal(bits)))))))
     val path = t.writeManifest(1L, files)
-    assert(t.readManifest(path) == files)
+    assert(t.readManifest(path) == files) // incl. bloom bits, value-equal ArraySeq
     val raw = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
     assert(raw.contains("\"10|/x/old.parquet\""), s"legacy string form expected: $raw")
     assert(raw.contains("\"c0\""), "stats object form expected")
+    assert(raw.contains("\"b\""), "bloom field expected on the bloomed entry")
+    val back = t.readManifest(path)(1).last.stats.get
+    assert(back.mightContainConv("c|3") && !back.mightContainConv("c|4"),
+      "bloom must prune INSIDE the covering range after the round-trip")
+  }
+
+  test("bloom skips where bounds cannot: interleaved key ranges on a hash layout") {
+    // three deltas whose conv RANGES all cover the probe key — the exact
+    // shape a hash-bucketed tail produces (each delta = a uniform sample of
+    // the key space), where min/max pruning keeps every file
+    val t = new LakeTable(tmpDir("fs-bloom"), numBuckets = 1)
+    def span(mid: String, seq0: Long) = Seq(
+      ev("a0", 0, s"a0@$seq0", "2025-01-01 10:00:00", seq0),
+      ev(mid, 0, s"$mid@$seq0", "2025-01-01 10:00:00", seq0 + 1),
+      ev("z9", 0, s"z9@$seq0", "2025-01-01 10:00:00", seq0 + 2))
+    MergeApplier.applyBatchMor(spark, t, spark.createDataset(span("m1", 0)).toDF(), "w", 0L)
+    MergeApplier.applyBatchMor(spark, t, spark.createDataset(span("m2", 10)).toDF(), "w", 1L)
+    MergeApplier.applyBatchMor(spark, t, spark.createDataset(span("m3", 20)).toDF(), "w", 2L)
+    val entries = allEntries(t)
+    assert(entries.size == 3)
+    // bounds alone keep ALL files (every range is [a0, z9] ⊇ "m2")...
+    assert(entries.forall { f =>
+      val st = f.stats.get
+      "m2" >= st.minConv && "m2" <= st.maxConv
+    })
+    // ...the bloom keeps exactly the one that holds it
+    val (keep, skip) = entries.partition(_.stats.get.mightContainConv("m2"))
+    assert(keep.size == 1 && skip.size == 2,
+      s"bloom must prune the two m2-free deltas: keep=$keep skip=$skip")
+    // physical proof: the lookup cannot have needed the skipped files
+    skip.foreach(f => java.nio.file.Files.delete(java.nio.file.Paths.get(f.path)))
+    val row = t.lookupTurn(spark, "m2", 0).collect()
+    assert(row.length == 1 && row.head.getAs[String]("text") == "m2@10")
+  }
+
+  test("bloom has no false negatives: every written conv admits its own file") {
+    val t = new LakeTable(tmpDir("fs-bloom-fn"), numBuckets = 4)
+    // COW merge + MOR delta + unicode/edge conv ids through both paths
+    val odd = Seq("", "日本-語", "a|b|c", "x" * 300, " nul")
+    val evs = batch("fn", 8, 0) ++ odd.zipWithIndex.map { case (c, i) =>
+      ev(c, 0, s"odd$i", "2025-01-01 10:00:00", 1000 + i) }
+    MergeApplier.applyBatch(spark, t, spark.createDataset(batch("cold", 2, 500)).toDF(), "w", 0L)
+    MergeApplier.applyBatch(spark, t, spark.createDataset(evs).toDF(), "w", 1L)
+    MergeApplier.applyBatchMor(spark, t, spark.createDataset(batch("tail", 3, 2000)).toDF(), "w", 2L)
+    val live = t.read(spark).select("conv_id", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    assert(live.length == (8 + 2 + 3) * 4 + odd.size)
+    val snap = t.currentSnapshot().get
+    live.foreach { case (c, turn) =>
+      val fs = t.resolveFiles(snap, Some(Set(t.bucketFor(c, turn)))).values.flatten
+      assert(fs.exists(_.stats.forall(_.mightContain(c, turn))),
+        s"($c,$turn) pruned everywhere — false negative")
+    }
+    // and the pruned lookups still answer for the edge ids
+    odd.foreach { c =>
+      assert(t.lookupTurn(spark, c, 0).collect().length == 1, s"lookup lost '$c'")
+    }
   }
 
   test("streaming sink epochs carry bounds; sink deltas are skippable") {
@@ -137,7 +203,8 @@ class FileStatsSpec extends SparkSpecBase {
     val entries = allEntries(t)
     assert(entries.forall(_.stats.nonEmpty), s"sink files must carry bounds: $entries")
     val sinkStats = entries.flatMap(_.stats).filter(_.minConv.startsWith("q"))
-    assert(sinkStats.nonEmpty && sinkStats.forall(_ == FileStats("q0", "q2", 0, 3)))
+    assert(sinkStats.nonEmpty && sinkStats.forall(st =>
+      bounds(st) == ("q0", "q2", 0, 3) && st.bloom.nonEmpty))
     // and they skip: drop the sink delta, the seed conversation still reads
     entries.filter(!_.stats.get.mightContainConv("a1"))
       .foreach(f => java.nio.file.Files.delete(java.nio.file.Paths.get(f.path)))
