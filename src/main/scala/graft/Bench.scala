@@ -560,12 +560,18 @@ object Bench {
       .map(r => (r.getString(0), r.getInt(1))).toSeq
     val snapLk = lastMorTable.currentSnapshot().get
     var lkFilesTotal = 0L
-    var lkFilesRead = 0L
+    var lkFilesBounds = 0L // admitted by min/max key bounds alone
+    var lkFilesRead = 0L // admitted by bounds + conv bloom (what lookups open)
+    var lkFilesTruth = 0L // ground truth: files that really hold the key
     lookupKeys.foreach { case (c, t) =>
       val b = lastMorTable.bucketFor(c, t)
       val fs = lastMorTable.resolveFiles(snapLk, Some(Set(b))).getOrElse(b, Seq.empty)
       lkFilesTotal += fs.size
+      lkFilesBounds += fs.count(_.stats.forall(st =>
+        t >= st.minTurn && t <= st.maxTurn && st.boundsContainConv(c)))
       lkFilesRead += fs.count(_.stats.forall(_.mightContain(c, t)))
+      lkFilesTruth += fs.count(f => !spark.read.parquet(f.path)
+        .filter(col("conv_id") === c && col("turn_idx") === t).isEmpty)
     }
     def runLookups(): Double = timed {
       lookupKeys.foreach { case (c, t) =>
@@ -582,6 +588,15 @@ object Bench {
     val (feedRows, feedSec) = timed {
       graft.operators.ChangeFeed.changesSince(spark, lastMorTable, 1L).count()
     }
+    // ---- SELECTIVE compaction: fold 4 of 32 buckets first — the
+    // maintenance unit for a skewed tail (hot buckets go delta-deep, the
+    // rest shouldn't pay). Cost should scale ~|targets|/|table| vs the full
+    // pass that follows (which then rewrites the remaining 28 + 4 clean).
+    progress("cdc: selective compaction leg (4 of 32 buckets)")
+    val selBuckets = Set(0, 1, 2, 3)
+    val (selCompactRows, selCompactSec) = timed {
+      MergeApplier.compactBucketsRetainTombstones(spark, lastMorTable, selBuckets)
+    }
     // final compaction cost of a raw-MOR table (the amortized read-side debt)
     val (_, compactSec) = timed {
       MergeApplier.compact(spark, lastMorTable,
@@ -597,7 +612,7 @@ object Bench {
     val mwCowSec = mwCowS.min
     val mwMorSec = mwMorS.min
     val tailBatches = (tailFiles * tailParts + tailMft - 1) / tailMft // derived, not hardcoded
-    val cdcJson = f"""{"rounds":$cdcRounds,"replayEvents":$benchEvents,"replaySamples":${jsonArr(replayS.toSeq)},"replaySec":$replaySec%.2f,"replayEventsPerSec":${(benchEvents / replaySec).toLong},"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":$tailBatches,"tailCowSamples":${jsonArr(cowS.toSeq)},"tailSec":$tailSec%.2f,"tailEventsPerSec":${(tailEvents / tailSec).toLong},"tailMorSamples":${jsonArr(morS.toSeq)},"tailMorSec":$morSec%.2f,"tailMorEventsPerSec":${(tailEvents / morSec).toLong},"tailMorAutoSamples":${jsonArr(morAutoS.toSeq)},"tailMorAutoSec":$morAutoSec%.2f,"tailMorAutoEventsPerSec":${(tailEvents / morAutoSec).toLong},"tailMorAutoMaxDeltaDepth":$morAutoMaxDepth,"tailMorAutoCompactions":$morAutoCompactions,"replicateSamples":${jsonArr(replS.toSeq)},"replicateSec":${replS.min}%.2f,"replicateEventsPerSec":${(tailEvents / replS.min).toLong},"replicateVersions":$replVersions,"replicateRowsOk":$replRowsOk,"feedRows":$feedRows,"feedSec":$feedSec%.2f,"lookupKeys":${lookupKeys.size},"lookupFilesTotal":$lkFilesTotal,"lookupFilesRead":$lkFilesRead,"lookupSkipSec":${lkSkipS.min}%.3f,"lookupFullSec":${lkFullS.min}%.3f,"lookupSkipSamples":${jsonArr(lkSkipS)},"lookupFullSamples":${jsonArr(lkFullS)},"morCompactSec":$compactSec%.2f,"bigTailTableRows":$bigTableRows,"bigTailEvents":$bigTailEvents,"bigTailCowSamples":${jsonArr(bigCowS.toSeq)},"bigTailCowSec":$bigCowSec%.2f,"bigTailCowEventsPerSec":${(bigTailEvents / bigCowSec).toLong},"bigTailMorSamples":${jsonArr(bigMorS.toSeq)},"bigTailMorSec":$bigMorSec%.2f,"bigTailMorEventsPerSec":${(bigTailEvents / bigMorSec).toLong},"mwWriters":$mwWriters,"mwChunksPerWriter":$mwChunks,"mwCowSamples":${jsonArr(mwCowS.toSeq)},"mwCowSec":$mwCowSec%.2f,"mwCowEventsPerSec":${(tailEvents / mwCowSec).toLong},"mwMorSamples":${jsonArr(mwMorS.toSeq)},"mwMorSec":$mwMorSec%.2f,"mwMorEventsPerSec":${(tailEvents / mwMorSec).toLong},"mwRebases":$mwRebases,"mwReruns":$mwReruns,"mwRowsOk":$mwRowsOk,"viewBaseRows":$viewBaseRows,"viewRows":$viewRows,"viewIncrSamples":${jsonArr(viewIncrS.toSeq)},"viewIncrSec":${viewIncrS.min}%.2f,"viewFullSamples":${jsonArr(viewFullS.toSeq)},"viewFullSec":${viewFullS.min}%.2f,"spjRows":$spjRows,"spjSamples":${jsonArr(spjS.toSeq)},"spjSec":${spjS.min}%.2f,"spjShuffleSamples":${jsonArr(spjShufS.toSeq)},"spjShuffleSec":${spjShufS.min}%.2f,"sqlMergeSamples":${jsonArr(sqlMergeS.toSeq)},"sqlMergeSec":${sqlMergeS.min}%.2f,"sqlMergeSrcRows":$sqlMergeSrcRows,"sqlMergeRowsWritten":$sqlMergeRowsWritten,"sqlMergeReplacedBuckets":$sqlMergeReplaced,"sqlMergeNumBuckets":32,"sqlMergeTableRows":$sqlMergeTableRows}"""
+    val cdcJson = f"""{"rounds":$cdcRounds,"replayEvents":$benchEvents,"replaySamples":${jsonArr(replayS.toSeq)},"replaySec":$replaySec%.2f,"replayEventsPerSec":${(benchEvents / replaySec).toLong},"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":$tailBatches,"tailCowSamples":${jsonArr(cowS.toSeq)},"tailSec":$tailSec%.2f,"tailEventsPerSec":${(tailEvents / tailSec).toLong},"tailMorSamples":${jsonArr(morS.toSeq)},"tailMorSec":$morSec%.2f,"tailMorEventsPerSec":${(tailEvents / morSec).toLong},"tailMorAutoSamples":${jsonArr(morAutoS.toSeq)},"tailMorAutoSec":$morAutoSec%.2f,"tailMorAutoEventsPerSec":${(tailEvents / morAutoSec).toLong},"tailMorAutoMaxDeltaDepth":$morAutoMaxDepth,"tailMorAutoCompactions":$morAutoCompactions,"replicateSamples":${jsonArr(replS.toSeq)},"replicateSec":${replS.min}%.2f,"replicateEventsPerSec":${(tailEvents / replS.min).toLong},"replicateVersions":$replVersions,"replicateRowsOk":$replRowsOk,"feedRows":$feedRows,"feedSec":$feedSec%.2f,"lookupKeys":${lookupKeys.size},"lookupFilesTotal":$lkFilesTotal,"lookupFilesBounds":$lkFilesBounds,"lookupFilesRead":$lkFilesRead,"lookupFilesTruth":$lkFilesTruth,"lookupSkipSec":${lkSkipS.min}%.3f,"lookupFullSec":${lkFullS.min}%.3f,"lookupSkipSamples":${jsonArr(lkSkipS)},"lookupFullSamples":${jsonArr(lkFullS)},"selCompactBuckets":${selBuckets.size},"selCompactRows":$selCompactRows,"selCompactSec":$selCompactSec%.2f,"morCompactSec":$compactSec%.2f,"bigTailTableRows":$bigTableRows,"bigTailEvents":$bigTailEvents,"bigTailCowSamples":${jsonArr(bigCowS.toSeq)},"bigTailCowSec":$bigCowSec%.2f,"bigTailCowEventsPerSec":${(bigTailEvents / bigCowSec).toLong},"bigTailMorSamples":${jsonArr(bigMorS.toSeq)},"bigTailMorSec":$bigMorSec%.2f,"bigTailMorEventsPerSec":${(bigTailEvents / bigMorSec).toLong},"mwWriters":$mwWriters,"mwChunksPerWriter":$mwChunks,"mwCowSamples":${jsonArr(mwCowS.toSeq)},"mwCowSec":$mwCowSec%.2f,"mwCowEventsPerSec":${(tailEvents / mwCowSec).toLong},"mwMorSamples":${jsonArr(mwMorS.toSeq)},"mwMorSec":$mwMorSec%.2f,"mwMorEventsPerSec":${(tailEvents / mwMorSec).toLong},"mwRebases":$mwRebases,"mwReruns":$mwReruns,"mwRowsOk":$mwRowsOk,"viewBaseRows":$viewBaseRows,"viewRows":$viewRows,"viewIncrSamples":${jsonArr(viewIncrS.toSeq)},"viewIncrSec":${viewIncrS.min}%.2f,"viewFullSamples":${jsonArr(viewFullS.toSeq)},"viewFullSec":${viewFullS.min}%.2f,"spjRows":$spjRows,"spjSamples":${jsonArr(spjS.toSeq)},"spjSec":${spjS.min}%.2f,"spjShuffleSamples":${jsonArr(spjShufS.toSeq)},"spjShuffleSec":${spjShufS.min}%.2f,"sqlMergeSamples":${jsonArr(sqlMergeS.toSeq)},"sqlMergeSec":${sqlMergeS.min}%.2f,"sqlMergeSrcRows":$sqlMergeSrcRows,"sqlMergeRowsWritten":$sqlMergeRowsWritten,"sqlMergeReplacedBuckets":$sqlMergeReplaced,"sqlMergeNumBuckets":32,"sqlMergeTableRows":$sqlMergeTableRows}"""
 
     // ---- query sweep (one warmup pass, then timed) ----
     progress("queries: warmup pass")

@@ -579,7 +579,71 @@ object SparkEntry {
     // partition-local (stubbed) codec; hash-free columns oracle-checked.
     "mm_features_meta" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.syntheticCorpus(s, dir))
-        .toDF().select("media_id", "kind", "n_bytes", "checksum")))
+        .toDF().select("media_id", "kind", "n_bytes", "checksum")),
+
+    // AS-OF join (temporal lookup — an operator core Spark lacks,
+    // SPARK-22947): each click joined to the user's latest at-or-before
+    // view. Merge formulation: ONE shuffle+sort, no range-pair blowup; the
+    // oracle is DuckDB's NATIVE `ASOF LEFT JOIN` — library-parity for the
+    // operator's semantics, tie-determinism via the (user_id, ts) pre-agg.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("value").as("view_value"))
+      graft.operators.AsofJoin.asofJoin(clicks, views, Seq("user_id"),
+        leftTs = "ts", rightTs = "ts", rightCols = Seq("view_value"))
+    }),
+
+    // RANGE (interval) join with NO equi key: every event inside any error
+    // event's 2-minute window. The binned equi-join plan (each window →
+    // ≤2 bins, each point → 1 bin, exactly-one-match) vs DuckDB's native
+    // IEJoin over the raw BETWEEN predicate.
+    "q_range_join" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val pts = ev.select(col("event_id"), col("ts"), col("event_type"))
+      val wins = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("win_id"), col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 2 MINUTES")).as("win_end"))
+      graft.operators.RangeJoin.rangeJoin(pts, "ts", wins,
+        "win_start", "win_end", binMicros = 120L * 1000000)
+        .select("win_id", "event_id", "event_type", "ts")
+    }),
+
+    // Token-window chunking for context-window packing: overlapping windows
+    // of 40 tokens at stride 30, one row per (doc, chunk). Pure expressions
+    // (split → posexplode(sequence) → slice/array_join) — the fan-out stays
+    // in whole-stage codegen, no UDTF.
+    "text_chunks" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(0), size(col("toks")) - 1, lit(30))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          array_join(slice(col("toks"), col("col") + 1, lit(40)), " ").as("chunk"),
+          least(size(col("toks")) - col("col"), lit(40)).cast("long").as("n_toks"))),
+
+    // PII scrubbing: deterministic synthetic PII (email + phone + IPv4
+    // derived from doc_id) appended, then redacted — both engines must
+    // produce byte-identical scrubbed text (regexes live in the
+    // RE2 ∩ java.util.regex common dialect).
+    "text_pii_redact" -> ((s, dir) =>
+      table(s, dir, "documents").select(col("doc_id"),
+        Text.redactPii(concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1 555 01"), col("doc_id").cast("string"),
+          lit(" from 10.1.2."), (pmod(col("doc_id"), lit(254)) + 1).cast("string")))
+          .as("redacted"))),
+
+    // Composite Gopher/C4-style quality FILTER: keep/drop + the exact rules
+    // failed, as pure expressions over the text-stats primitives.
+    "text_quality_filter" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        Text.qualityKeep(col("text")).as("keep"),
+        concat_ws(",", Text.qualityFailReasons(col("text"))).as("fail_reasons"))))
 
   private val C = Changelog.DuckDbCte
 
@@ -1086,5 +1150,89 @@ object SparkEntry {
         |    ELSE 'video' END AS kind,
         |  strlen(text) AS n_bytes,
         |  md5(text) AS checksum
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    // DuckDB's NATIVE ASOF JOIN is the oracle for the merge-formulation
+    // asof operator; right side pre-deduped per (user_id, ts) on both sides
+    // so the at-ts winner is deterministic.
+    "q_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts, MAX(value) AS view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, c.ts, c.value, v.view_value AS asof_view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+
+    // raw BETWEEN-style range predicate (DuckDB plans it as IEJoin) vs the
+    // engine's binned equi-join plan
+    "q_range_join" ->
+      """WITH wins AS (
+        |  SELECT event_id AS win_id, ts AS win_start,
+        |    ts + INTERVAL 2 MINUTE AS win_end
+        |  FROM events WHERE event_type = 'error')
+        |SELECT w.win_id, e.event_id, e.event_type, e.ts
+        |FROM events e JOIN wins w
+        |  ON e.ts >= w.win_start AND e.ts < w.win_end""".stripMargin,
+
+    "text_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE LENGTH(trim(text)) > 0),
+        |g AS (
+        |  SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 30)) AS s
+        |  FROM t)
+        |SELECT doc_id, CAST(s // 30 AS BIGINT) AS chunk_idx,
+        |  array_to_string(toks[s + 1 : s + 40], ' ') AS chunk,
+        |  CAST(LEAST(len(toks) - s, 40) AS BIGINT) AS n_toks
+        |FROM g""".stripMargin,
+
+    "text_pii_redact" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or +1 555 01' || CAST(doc_id AS VARCHAR) ||
+        |    ' from 10.1.2.' || CAST((doc_id % 254) + 1 AS VARCHAR) AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(txt,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM t""".stripMargin,
+
+    "text_quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN LENGTH(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+        |    CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+        |      GREATEST(CASE WHEN LENGTH(trim(text)) = 0 THEN 0
+        |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1) AS mean_len,
+        |    CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
+        |      GREATEST(LENGTH(text), 1) AS alpha_ratio,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) /
+        |      GREATEST(LENGTH(text), 1) AS punct_ratio,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x IN ('the','a','an','of','to','in','and','is','it','that',
+        |                 'for','on','with','as','at','by','or','be'))) AS DOUBLE) /
+        |      GREATEST(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1) AS stop_ratio
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, list_filter([
+        |    CASE WHEN n_tok < 5 THEN 'too_few_tokens' END,
+        |    CASE WHEN n_tok > 5000 THEN 'too_many_tokens' END,
+        |    CASE WHEN mean_len < 2.0 OR mean_len > 12.0 THEN 'bad_mean_token_len' END,
+        |    CASE WHEN alpha_ratio < 0.5 THEN 'low_alpha' END,
+        |    CASE WHEN punct_ratio >= 0.25 THEN 'high_punct' END,
+        |    CASE WHEN stop_ratio <= 0.02 THEN 'no_stopwords' END],
+        |    x -> x IS NOT NULL) AS reasons
+        |  FROM t)
+        |SELECT doc_id, len(reasons) = 0 AS keep,
+        |  COALESCE(array_to_string(reasons, ','), '') AS fail_reasons
+        |FROM r""".stripMargin)
 }

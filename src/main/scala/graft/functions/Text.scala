@@ -102,4 +102,44 @@ object Text {
     */
   def fingerprint(text: Column, n: Int = 3): Column =
     array_min(transform(wordShingles(text, n), s => md5(s)))
+
+  /** PII redaction for training-data scrubbing: emails → `<EMAIL>`, IPv4
+    * literals → `<IP>`, phone-like digit runs → `<PHONE>`. Pure codegen'd
+    * regexp_replace chain; patterns stay inside the RE2 ∩ java.util.regex
+    * common dialect so external engines (the DuckDB oracle) mirror them
+    * bit-for-bit. Order matters: emails first (their digits must not be
+    * eaten as phones), then IPs, then the greedy phone run.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>")
+  }
+
+  /** Names of the Gopher/C4-style quality rules a document FAILS, in rule
+    * order (empty array = keep). Each rule is a pure expression over the
+    * primitives above, so the whole filter stays in whole-stage codegen and
+    * is mirrorable in ANSI SQL.
+    */
+  def qualityFailReasons(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val mean = meanTokenLen(text)
+    val rules: Seq[(String, Column)] = Seq(
+      "too_few_tokens" -> (nTok < 5),
+      "too_many_tokens" -> (nTok > 5000),
+      "bad_mean_token_len" -> (mean < 2.0 || mean > 12.0),
+      "low_alpha" -> (alphaRatio(text) < 0.5),
+      "high_punct" -> (punctRatio(text) >= 0.25),
+      "no_stopwords" -> (stopwordRatio(text) <= 0.02))
+    filter(
+      array(rules.map { case (name, failed) =>
+        when(failed, lit(name)).otherwise(lit(null).cast("string"))
+      }: _*),
+      x => x.isNotNull)
+  }
+
+  /** Composite keep/drop decision: true iff no quality rule fails. */
+  def qualityKeep(text: Column): Column = size(qualityFailReasons(text)) === 0
 }

@@ -51,32 +51,40 @@ object Phonetic {
     sb.toString
   }
 
-  /** Static entry used by both eval and generated code; `mode` is validated
-    * at plan time so the per-row branch is a constant-folded string match.
-    */
-  def encode(s: UTF8String, mode: UTF8String): UTF8String = {
-    val str = s.toString
-    val out = mode.toString match {
-      case "soundex" => soundex.get.encode(asciiLetters(str))
-      case "metaphone" => metaphone.get.encode(asciiLetters(str))
-      case "doublemetaphone" => doubleMetaphone.get.encode(str)
-      case "cologne" => cologne.get.encode(str)
-    }
-    UTF8String.fromString(out)
-  }
+  // Per-mode entry points (same pattern as [[EscapeText]]): the mode is a
+  // CONSTANT of the expression, so it resolves to a method name once at plan
+  // time — the per-row path is one static call, no mode-string allocation or
+  // comparison chain on the hot path.
+  def soundexEnc(s: UTF8String): UTF8String =
+    UTF8String.fromString(soundex.get.encode(asciiLetters(s.toString)))
+  def metaphoneEnc(s: UTF8String): UTF8String =
+    UTF8String.fromString(metaphone.get.encode(asciiLetters(s.toString)))
+  def doubleMetaphoneEnc(s: UTF8String): UTF8String =
+    UTF8String.fromString(doubleMetaphone.get.encode(s.toString))
+  def cologneEnc(s: UTF8String): UTF8String =
+    UTF8String.fromString(cologne.get.encode(s.toString))
+
+  // ONE dispatch table: method name (codegen) and implementation
+  // (interpreted eval) in the same entry, so the two paths cannot diverge.
+  private val impls: Map[String, (String, UTF8String => UTF8String)] = Map(
+    "soundex" -> (("soundexEnc", soundexEnc)),
+    "metaphone" -> (("metaphoneEnc", metaphoneEnc)),
+    "doublemetaphone" -> (("doubleMetaphoneEnc", doubleMetaphoneEnc)),
+    "cologne" -> (("cologneEnc", cologneEnc)))
+
+  /** The resolved (static-method name, implementation) for a validated mode. */
+  def resolve(mode: String): (String, UTF8String => UTF8String) =
+    impls(validateMode(mode))
 }
 
 case class PhoneticExpr(child: Expression, mode: String) extends UnaryExpression {
-  Phonetic.validateMode(mode)
+  private val fnName = Phonetic.resolve(mode)._1 // validates at construction
+  @transient private lazy val fn = Phonetic.resolve(mode)._2
   override def dataType: DataType = StringType
-  override def nullSafeEval(input: Any): Any =
-    Phonetic.encode(input.asInstanceOf[UTF8String], UTF8String.fromString(mode))
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val modeRef = ctx.addReferenceObj("phoneticMode",
-      UTF8String.fromString(mode), classOf[UTF8String].getName)
+  override def nullSafeEval(input: Any): Any = fn(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.expressions.Phonetic.encode($c, $modeRef)")
-  }
+      s"graft.functions.expressions.Phonetic.$fnName($c)")
   override protected def withNewChildInternal(newChild: Expression): PhoneticExpr =
     copy(child = newChild)
 }
@@ -97,10 +105,18 @@ object PhoneticExpr {
   */
 object Reinterpret {
   def validate(charset: String): String = { java.nio.charset.Charset.forName(charset); charset }
-  def reinterpret(s: UTF8String, charset: UTF8String): UTF8String = {
-    val cs = java.nio.charset.Charset.forName(charset.toString)
-    UTF8String.fromString(new String(s.toString.getBytes(cs), cs))
+
+  /** Serializable charset holder: `Charset` itself is not Serializable, so
+    * the expression references THIS (name travels, instance re-resolves
+    * lazily per JVM) — the per-row path never calls Charset.forName.
+    */
+  final class Resolved(val name: String) extends Serializable {
+    @transient lazy val cs: java.nio.charset.Charset =
+      java.nio.charset.Charset.forName(name)
   }
+
+  def reinterpret(s: UTF8String, r: Resolved): UTF8String =
+    UTF8String.fromString(new String(s.toString.getBytes(r.cs), r.cs))
 }
 
 /** GREL escape/unescape for html | xml | javascript via commons-text — the
@@ -265,12 +281,13 @@ case class UnescapeJsExpr(child: Expression) extends UnaryExpression {
 
 case class ReinterpretExpr(child: Expression, charset: String) extends UnaryExpression {
   Reinterpret.validate(charset)
+  @transient private lazy val csResolved = new Reinterpret.Resolved(charset)
   override def dataType: DataType = StringType
   override def nullSafeEval(input: Any): Any =
-    Reinterpret.reinterpret(input.asInstanceOf[UTF8String], UTF8String.fromString(charset))
+    Reinterpret.reinterpret(input.asInstanceOf[UTF8String], csResolved)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val csRef = ctx.addReferenceObj("reinterpretCharset",
-      UTF8String.fromString(charset), classOf[UTF8String].getName)
+      new Reinterpret.Resolved(charset), classOf[Reinterpret.Resolved].getName)
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.expressions.Reinterpret.reinterpret($c, $csRef)")
   }

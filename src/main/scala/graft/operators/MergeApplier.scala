@@ -126,7 +126,7 @@ object MergeApplier {
     }
     val range = if (winners.isEmpty) None
       else Some(graft.table.FileStats(minConv.toString, maxConv.toString, minTurn, maxTurn,
-        Some(graft.table.ConvBloom.seal(bloom))))
+        graft.table.ConvBloom.seal(bloom)))
     statsAcc.add(TaskWriteStats(partitionId, nRows, nDel, winners.size.toLong, range))
     val bucketRow = new GenericInternalRow(Array[Any](partitionId))
     val joined = new JoinedRow
@@ -525,7 +525,7 @@ object MergeApplier {
               reported = true
               val range = if (nRows == 0) None
                 else Some(graft.table.FileStats(minConv.toString, maxConv.toString,
-                  minTurn, maxTurn, Some(graft.table.ConvBloom.seal(bloom))))
+                  minTurn, maxTurn, graft.table.ConvBloom.seal(bloom)))
               statsAcc.add(TaskWriteStats(pid, nRows, nDel, nRows, range))
             }
             h

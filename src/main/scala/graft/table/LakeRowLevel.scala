@@ -315,7 +315,7 @@ private[table] final class LakeBucketDataWriter(
     def range: Option[FileStats] =
       if (rows == 0) None
       else Some(FileStats(minConv.toString, maxConv.toString, minTurn, maxTurn,
-        Some(ConvBloom.seal(bloom))))
+        ConvBloom.seal(bloom)))
   }
   private lazy val tConvI = tableSchema.fieldIndex("conv_id")
   private lazy val tTurnI = tableSchema.fieldIndex("turn_idx")

@@ -21,44 +21,51 @@ import scala.jdk.CollectionConverters._
   */
 final case class ManifestRef(path: String, buckets: Set[Int], delta: Boolean)
 
-/** Fixed-size bloom filter over a file's distinct conv_ids — the file-skip
+/** ADAPTIVE bloom filter over a file's distinct conv_ids — the file-skip
   * input that works where min/max bounds cannot: on a HASH-bucketed table
   * every delta file holds a near-uniform sample of the key space, so its
   * (minConv, maxConv) range spans nearly everything and range pruning keeps
-  * every file (the bench's lookup leg measured exactly that: 100/100 files
-  * kept by bounds alone). Bloom membership is layout-independent, so it
-  * prunes the files a key CANNOT be in regardless of how keys are spread.
+  * every file. Bloom membership is layout-independent, so it prunes the
+  * files a key CANNOT be in regardless of how keys are spread.
   *
-  * Shape: 4096 bits (64 longs, ~684 base64 chars per manifest entry), k = 4
-  * probes via double hashing over two murmur3 seeds of the conv's UTF8
-  * bytes. The write side hashes the task's UTF8String bytes and the probe
-  * side hashes `UTF8String.fromString(conv)` — identical bytes, so a false
-  * NEGATIVE is impossible by construction; saturation (a base file holding
-  * the whole key space) only degrades the false-positive rate toward 1,
-  * i.e. back to pre-bloom behavior, never past it. At a delta file's
-  * natural fill (a few hundred convs in one bucket's batch slice)
-  * fpp ≈ 0.2%, so a point lookup on a delta-deep bucket opens ~only the
-  * files that really hold the key.
+  * Sizing is the load-bearing decision: a fixed small bloom saturates on a
+  * bulk-batch delta (tens of thousands of convs) and prunes nothing. So
+  * writers TRACK at 2^19 bits (64 KiB — amortized by any file worth a
+  * manifest entry) and [[seal]] FOLDS the tracking buffer down by
+  * OR-halving (a power-of-two bloom probed by mask is exactly downsampled
+  * by OR-ing its halves) to the smallest power of two that keeps fill
+  * ≤ 50% (fpp ≤ 1/16 at k = 4), floored at 4096 bits (~684 base64 chars).
+  * A tiny file stores the floor; a 30k-conv bulk delta stores the few tens
+  * of KiB that keep it prunable; a bloom that is saturated even at full
+  * size is DROPPED (stats stay bounds-only) rather than shipped useless.
+  *
+  * k = 4 probes via double hashing over two murmur3 seeds of the conv's
+  * UTF8 bytes; probe index is `hash & (bits-1)` (sizes are powers of two).
+  * The write side hashes the task's UTF8String bytes and the probe side
+  * hashes `UTF8String.fromString(conv)` — identical bytes, so a false
+  * NEGATIVE is impossible by construction: folding only ORs information
+  * together, and the probe mask adapts to the stored size.
   */
 object ConvBloom {
   import org.apache.spark.unsafe.types.UTF8String
-  val NumLongs = 64
-  private val Bits = NumLongs * 64
+  val TrackLongs = 8192 // 2^19-bit tracking buffer (64 KiB, transient)
+  val MinLongs = 64 // 4096-bit storage floor
   private val Seed1 = 0x9747b28c
   private val Seed2 = 0x1b873593
 
-  def empty(): Array[Long] = new Array[Long](NumLongs)
+  def empty(): Array[Long] = new Array[Long](TrackLongs)
 
   private def h(c: UTF8String, seed: Int): Int =
     org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
       c.getBaseObject, c.getBaseOffset, c.numBytes, seed)
 
   def add(bits: Array[Long], c: UTF8String): Unit = {
+    val mask = (bits.length << 6) - 1
     val h1 = h(c, Seed1)
     val h2 = h(c, Seed2) | 1 // odd step: the probe walk covers all bits
     var i = 0
     while (i < 4) {
-      val idx = ((h1 + i * h2) & Int.MaxValue) % Bits
+      val idx = (h1 + i * h2) & mask
       bits(idx >> 6) |= 1L << (idx & 63)
       i += 1
     }
@@ -66,29 +73,64 @@ object ConvBloom {
 
   def mightContain(bits: scala.collection.immutable.ArraySeq[Long], conv: String): Boolean = {
     val c = UTF8String.fromString(conv)
+    val mask = (bits.length << 6) - 1
     val h1 = h(c, Seed1)
     val h2 = h(c, Seed2) | 1
     var i = 0
     while (i < 4) {
-      val idx = ((h1 + i * h2) & Int.MaxValue) % Bits
+      val idx = (h1 + i * h2) & mask
       if ((bits(idx >> 6) & (1L << (idx & 63))) == 0L) return false
       i += 1
     }
     true
   }
 
-  def seal(bits: Array[Long]): scala.collection.immutable.ArraySeq[Long] =
-    scala.collection.immutable.ArraySeq.unsafeWrapArray(bits)
+  private def fillRatio(a: Array[Long]): Double = {
+    var pop = 0L
+    var i = 0
+    while (i < a.length) { pop += java.lang.Long.bitCount(a(i)); i += 1 }
+    pop.toDouble / (a.length.toLong << 6)
+  }
+
+  /** OR-halving: bit b of the half = bits b and b + half of the whole, so
+    * `idx & (half·64 - 1)` probes exactly the folded positions — membership
+    * is preserved, only the false-positive rate grows with the fold.
+    */
+  private def fold(a: Array[Long]): Array[Long] = {
+    val half = a.length >> 1
+    val out = new Array[Long](half)
+    var i = 0
+    while (i < half) { out(i) = a(i) | a(i + half); i += 1 }
+    out
+  }
+
+  /** Shrink to the smallest power-of-two size with fill ≤ 50% (floor
+    * [[MinLongs]]); None when even the full tracking buffer is ≥ 90% full
+    * (a useless always-true filter is not worth its manifest bytes).
+    */
+  def seal(bits: Array[Long]): Option[scala.collection.immutable.ArraySeq[Long]] = {
+    if (fillRatio(bits) > 0.9) return None
+    var cur = bits
+    while (cur.length > MinLongs && {
+        val folded = fold(cur)
+        if (fillRatio(folded) <= 0.5) { cur = folded; true } else false
+      }) ()
+    Some(scala.collection.immutable.ArraySeq.unsafeWrapArray(cur))
+  }
 
   def toBase64(bits: scala.collection.immutable.ArraySeq[Long]): String = {
-    val bb = java.nio.ByteBuffer.allocate(NumLongs * 8)
+    val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
     bits.foreach(bb.putLong)
     java.util.Base64.getEncoder.encodeToString(bb.array())
   }
 
   def fromBase64(s: String): scala.collection.immutable.ArraySeq[Long] = {
-    val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(s))
-    seal(Array.fill(NumLongs)(bb.getLong))
+    val bytes = java.util.Base64.getDecoder.decode(s)
+    require(bytes.length % 8 == 0 && Integer.bitCount(bytes.length >> 3) == 1,
+      s"bloom payload must be a power-of-two long count, got ${bytes.length} bytes")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      Array.fill(bytes.length >> 3)(bb.getLong))
   }
 }
 
@@ -109,12 +151,14 @@ object ConvBloom {
 final case class FileStats(minConv: String, maxConv: String, minTurn: Int, maxTurn: Int,
     bloom: Option[scala.collection.immutable.ArraySeq[Long]] = None) {
   import org.apache.spark.unsafe.types.UTF8String
-  def mightContainConv(conv: String): Boolean = {
+  /** min/max range admission alone (no bloom) — the bounds-only prune. */
+  def boundsContainConv(conv: String): Boolean = {
     val c = UTF8String.fromString(conv)
     c.compareTo(UTF8String.fromString(minConv)) >= 0 &&
-      c.compareTo(UTF8String.fromString(maxConv)) <= 0 &&
-      bloom.forall(ConvBloom.mightContain(_, conv))
+      c.compareTo(UTF8String.fromString(maxConv)) <= 0
   }
+  def mightContainConv(conv: String): Boolean =
+    boundsContainConv(conv) && bloom.forall(ConvBloom.mightContain(_, conv))
   def mightContain(conv: String, turn: Int): Boolean =
     turn >= minTurn && turn <= maxTurn && mightContainConv(conv)
 }

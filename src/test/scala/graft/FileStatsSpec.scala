@@ -121,7 +121,7 @@ class FileStatsSpec extends SparkSpecBase {
         FileEntry("/x/new.parquet", 20L, Some(FileStats("c|0", "c|9", 0, 7)))), // '|' in conv ids survives
       1 -> Seq(FileEntry("/x/plain.parquet", 30L),
         FileEntry("/x/bloomed.parquet", 40L, Some(FileStats("c|0", "c|9", 0, 7,
-          Some(graft.table.ConvBloom.seal(bits)))))))
+          graft.table.ConvBloom.seal(bits))))))
     val path = t.writeManifest(1L, files)
     assert(t.readManifest(path) == files) // incl. bloom bits, value-equal ArraySeq
     val raw = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
@@ -184,6 +184,30 @@ class FileStatsSpec extends SparkSpecBase {
     odd.foreach { c =>
       assert(t.lookupTurn(spark, c, 0).collect().length == 1, s"lookup lost '$c'")
     }
+  }
+
+  test("bloom sizing adapts to file cardinality and stays prunable on bulk deltas") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // tiny file → storage floor (64 longs)
+    val small = graft.table.ConvBloom.empty()
+    (0 until 50).foreach(i => graft.table.ConvBloom.add(small, UTF8String.fromString(s"c$i")))
+    val sm = graft.table.ConvBloom.seal(small).get
+    assert(sm.length == graft.table.ConvBloom.MinLongs, s"tiny file must fold to floor: ${sm.length}")
+    (0 until 50).foreach(i => assert(graft.table.ConvBloom.mightContain(sm, s"c$i")))
+    // bulk delta (30k convs — the regime that SATURATES a fixed 4096-bit
+    // bloom): the sealed bloom must grow past the floor AND still prune
+    val bulk = graft.table.ConvBloom.empty()
+    (0 until 30000).foreach(i => graft.table.ConvBloom.add(bulk, UTF8String.fromString(s"conv-$i")))
+    val bk = graft.table.ConvBloom.seal(bulk).get
+    assert(bk.length > graft.table.ConvBloom.MinLongs, s"bulk bloom must keep bits: ${bk.length}")
+    (0 until 30000 by 97).foreach(i =>
+      assert(graft.table.ConvBloom.mightContain(bk, s"conv-$i"), "false negative on bulk"))
+    val fp = (0 until 2000).count(i => graft.table.ConvBloom.mightContain(bk, s"absent-$i"))
+    assert(fp < 2000 * 0.07, s"bulk bloom fpp must stay ≤ ~1/16 (fill≤50%, k=4): $fp/2000")
+    // pathological cardinality (≥90% fill even at 2^19 bits) → dropped
+    val sat = graft.table.ConvBloom.empty()
+    (0 until 600000).foreach(i => graft.table.ConvBloom.add(sat, UTF8String.fromString(s"s$i")))
+    assert(graft.table.ConvBloom.seal(sat).isEmpty, "saturated bloom must be dropped, not shipped")
   }
 
   test("streaming sink epochs carry bounds; sink deltas are skippable") {
