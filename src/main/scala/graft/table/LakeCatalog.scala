@@ -40,7 +40,8 @@ import java.nio.file.{Files, Paths}
   * via SQL DDL — createTable/alterTable fail loudly; dropTable/renameTable
   * are metadata-destructive and deliberately unsupported too.
   */
-final class LakeCatalog extends TableCatalog with FunctionCatalog {
+final class LakeCatalog extends TableCatalog with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var base: String = _
 
@@ -121,6 +122,21 @@ final class LakeCatalog extends TableCatalog with FunctionCatalog {
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name() == "bucket") LakeBucketFunction
     else throw new NoSuchFunctionException(ident)
+
+  // ---- maintenance procedures: `CALL cat.system.compact('tbl')` etc. ----
+  // The table argument resolves relative to the catalog base ("tbl" or
+  // "ns.tbl"), through the same path mapping as table identifiers.
+  private def resolveTableArg(arg: String): String =
+    (base +: arg.split('.').toSeq).mkString("/")
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    LakeProcedures.Names.map(n => Identifier.of(Array("system"), n)).toArray
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"lake procedures live under the 'system' namespace, got ${ident.namespace().mkString(".")}")
+    LakeProcedures(ident.name(), resolveTableArg)
+  }
 }
 
 /** Metadata tables (`tbl$history` — the commit log with lineage and the

@@ -1,0 +1,228 @@
+package graft.table
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The SQL maintenance surface: `CALL cat.system.<proc>(...)` stored
+  * procedures (Spark 4's DSv2 ProcedureCatalog, the same mechanism Iceberg
+  * exposes its table maintenance through). Maintenance is the half of a
+  * lakehouse users script from SQL consoles and schedulers — without CALL,
+  * compaction/vacuum/rollback need a JVM entry point; with it, `CALL
+  * lake.system.compact('events')` is a one-liner in any SQL client.
+  *
+  * Procedures delegate to the SAME engine entry points the programmatic and
+  * CLI surfaces use (`MergeApplier.compact*`/`rebucket`, `LakeTable
+  * .vacuum/rollback/tag/dropTag`) — one implementation, three surfaces, so
+  * the SQL path cannot drift semantically. Each returns its result as a
+  * one-row [[LocalScan]] relation (driver-side metadata, no executor work
+  * for the result itself; the distributed work happens inside the engine
+  * call). Spark invokes a procedure during analysis of the CALL statement,
+  * so effects are immediate and exactly-once per statement.
+  *
+  * Concurrency contract is inherited, not reinvented: compaction YIELDS to
+  * sustained concurrent writers (returns `yielded = true`, rows = 0) rather
+  * than fighting ingest; rollback/tag are O(metadata) CAS commits; vacuum
+  * honors tags and the grace window.
+  */
+object LakeProcedures {
+
+  /** Procedure names, exposed under the `system` namespace. */
+  val Names: Seq[String] = Seq("compact", "vacuum", "rollback", "rebucket", "tag", "drop_tag")
+
+  /** @param name        procedure name (one of [[Names]])
+    * @param resolveRoot  maps the `table` argument ("tbl" or "ns.tbl",
+    *                     relative to the catalog base) to a filesystem root
+    */
+  def apply(name: String, resolveRoot: String => String): UnboundProcedure = name match {
+    case "compact" => new CompactProc(resolveRoot)
+    case "vacuum" => new VacuumProc(resolveRoot)
+    case "rollback" => new RollbackProc(resolveRoot)
+    case "rebucket" => new RebucketProc(resolveRoot)
+    case "tag" => new TagProc(resolveRoot)
+    case "drop_tag" => new DropTagProc(resolveRoot)
+    case other => throw new UnsupportedOperationException(
+      s"unknown lake procedure '$other'; available: ${Names.mkString(", ")}")
+  }
+
+  /** Shared shape: parameters + a one-row result. Procedures are
+    * side-effecting, so never deterministic; bind validates nothing beyond
+    * what Spark already coerced (parameters() drives arg coercion).
+    */
+  private abstract class LakeProc(resolveRoot: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    protected def outSchema: StructType
+    protected def run(spark: SparkSession, args: InternalRow): Array[Any]
+
+    protected def openTable(args: InternalRow): LakeTable = {
+      require(!args.isNullAt(0), s"$name: table argument must not be null")
+      val ident = args.getUTF8String(0).toString
+      val t = LakeTable.open(resolveRoot(ident))
+      require(t.currentSnapshot().nonEmpty, s"$name: no lake table at '$ident'")
+      t
+    }
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val row = run(SparkSession.active, input)
+      val scan: Scan = new LocalScan {
+        override val readSchema: StructType = outSchema
+        override val rows: Array[InternalRow] =
+          Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(row))
+        override def description(): String = s"LakeProcedure($name)"
+      }
+      java.util.List.of(scan).iterator()
+    }
+  }
+
+  private def p(name: String, dt: DataType) = ProcedureParameter.in(name, dt).build()
+  private def pDefault(name: String, dt: DataType, sql: String) =
+    ProcedureParameter.in(name, dt).defaultValue(sql).build()
+
+  /** `CALL cat.system.compact('tbl' [, buckets => '0,3,7'])` — fold MOR
+    * deltas and rewrite; tombstones RETAINED (a maintenance policy cannot
+    * know how late the source runs — expiry stays the ingest policy's
+    * call). `buckets` names a selective pass (O(targets), the maintenance
+    * unit for a skewed tail); NULL = full pass (also resets the manifest
+    * list length). `yielded = true` means the compactor stepped aside for a
+    * sustained faster concurrent writer — retry later, nothing happened.
+    */
+  private final class CompactProc(rr: String => String) extends LakeProc(rr) {
+    override def name(): String = "compact"
+    override def description(): String =
+      "compact(table, buckets => NULL): fold deltas, tombstone-retaining; buckets = comma list for a selective pass"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(p("table", StringType), pDefault("buckets", StringType, "NULL"))
+    override protected val outSchema: StructType = StructType(Seq(
+      StructField("rows_written", LongType, nullable = false),
+      StructField("version", LongType, nullable = false),
+      StructField("yielded", BooleanType, nullable = false)))
+    override protected def run(spark: SparkSession, args: InternalRow): Array[Any] = {
+      val t = openTable(args)
+      val rows =
+        if (args.isNullAt(1)) graft.operators.MergeApplier.compactRetainTombstones(spark, t)
+        else {
+          val buckets = args.getUTF8String(1).toString.split(",").map(_.trim.toInt).toSet
+          require(buckets.nonEmpty && buckets.forall(b => b >= 0 && b < t.numBuckets),
+            s"compact: buckets must be in [0, ${t.numBuckets}), got $buckets")
+          graft.operators.MergeApplier.compactBucketsRetainTombstones(spark, t, buckets)
+        }
+      val v = t.currentSnapshot().map(_.version).getOrElse(-1L)
+      Array(math.max(rows, 0L), v, rows < 0)
+    }
+  }
+
+  /** `CALL cat.system.vacuum('tbl' [, keep_last => 2, grace_ms => 3600000])`
+    * — sweep unreferenced data files, orphaned attempts and expired
+    * snapshots. Tagged snapshots are retained regardless of keep_last; the
+    * grace window protects in-flight commits.
+    */
+  private final class VacuumProc(rr: String => String) extends LakeProc(rr) {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "vacuum(table, keep_last => 1, grace_ms => 3600000): sweep unreferenced files + expired snapshots"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(p("table", StringType),
+        pDefault("keep_last", IntegerType, "1"),
+        pDefault("grace_ms", LongType, "3600000"))
+    override protected val outSchema: StructType = StructType(Seq(
+      StructField("files_removed", IntegerType, nullable = false)))
+    override protected def run(spark: SparkSession, args: InternalRow): Array[Any] = {
+      val t = openTable(args)
+      val keep = if (args.isNullAt(1)) 1 else args.getInt(1)
+      val grace = if (args.isNullAt(2)) 3600000L else args.getLong(2)
+      Array(t.vacuum(keep, grace))
+    }
+  }
+
+  /** `CALL cat.system.rollback('tbl', 3)` — new commit referencing the
+    * target version's manifests (O(1) metadata); the idempotence ledger
+    * rolls back too, so a resumed writer re-applies and converges.
+    */
+  private final class RollbackProc(rr: String => String) extends LakeProc(rr) {
+    override def name(): String = "rollback"
+    override def description(): String =
+      "rollback(table, version): restore a previous snapshot as a new commit"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(p("table", StringType), p("version", LongType))
+    override protected val outSchema: StructType = StructType(Seq(
+      StructField("restored_version", LongType, nullable = false),
+      StructField("new_version", LongType, nullable = false)))
+    override protected def run(spark: SparkSession, args: InternalRow): Array[Any] = {
+      val t = openTable(args)
+      val target = args.getLong(1)
+      val snap = t.rollback(target)
+      Array(target, snap.version)
+    }
+  }
+
+  /** `CALL cat.system.rebucket('tbl', 64)` — rewrite under a new bucket
+    * count (the COW rewrite-unit resize; a full one-shuffle rewrite, the
+    * honest cost of changing the table's physical identity). Open handles
+    * become stale by contract and fail loudly on their next apply.
+    */
+  private final class RebucketProc(rr: String => String) extends LakeProc(rr) {
+    override def name(): String = "rebucket"
+    override def description(): String =
+      "rebucket(table, num_buckets): rewrite the table under a new bucket count"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(p("table", StringType), p("num_buckets", IntegerType))
+    override protected val outSchema: StructType = StructType(Seq(
+      StructField("num_buckets", IntegerType, nullable = false),
+      StructField("version", LongType, nullable = false)))
+    override protected def run(spark: SparkSession, args: InternalRow): Array[Any] = {
+      val t = openTable(args)
+      val resized = graft.operators.MergeApplier.rebucket(spark, t, args.getInt(1))
+      Array(resized.numBuckets, resized.currentSnapshot().map(_.version).getOrElse(-1L))
+    }
+  }
+
+  /** `CALL cat.system.tag('tbl', 'release-1' [, version => 3])` — immutable
+    * named ref (default: the current version); vacuum retains it until
+    * dropped. Re-tagging an existing name fails loudly.
+    */
+  private final class TagProc(rr: String => String) extends LakeProc(rr) {
+    override def name(): String = "tag"
+    override def description(): String =
+      "tag(table, name, version => NULL): create an immutable named version ref"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(p("table", StringType), p("name", StringType),
+        pDefault("version", LongType, "NULL"))
+    override protected val outSchema: StructType = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
+    override protected def run(spark: SparkSession, args: InternalRow): Array[Any] = {
+      val t = openTable(args)
+      require(!args.isNullAt(1), "tag: name must not be null")
+      val tagName = args.getUTF8String(1).toString
+      val version = if (args.isNullAt(2)) t.currentSnapshot().get.version else args.getLong(2)
+      t.tag(tagName, version)
+      Array(UTF8String.fromString(tagName), version)
+    }
+  }
+
+  /** `CALL cat.system.drop_tag('tbl', 'release-1')` — release the ref; the
+    * next vacuum may sweep the snapshot it pinned.
+    */
+  private final class DropTagProc(rr: String => String) extends LakeProc(rr) {
+    override def name(): String = "drop_tag"
+    override def description(): String = "drop_tag(table, name): remove a named version ref"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(p("table", StringType), p("name", StringType))
+    override protected val outSchema: StructType = StructType(Seq(
+      StructField("existed", BooleanType, nullable = false)))
+    override protected def run(spark: SparkSession, args: InternalRow): Array[Any] = {
+      val t = openTable(args)
+      require(!args.isNullAt(1), "drop_tag: name must not be null")
+      val tagName = args.getUTF8String(1).toString
+      val existed = t.tags().contains(tagName)
+      t.dropTag(tagName)
+      Array(existed)
+    }
+  }
+}
