@@ -643,7 +643,22 @@ object SparkEntry {
       table(s, dir, "documents").select(
         col("doc_id"),
         Text.qualityKeep(col("text")).as("keep"),
-        concat_ws(",", Text.qualityFailReasons(col("text"))).as("fail_reasons"))))
+        concat_ws(",", Text.qualityFailReasons(col("text"))).as("fail_reasons"))),
+
+    // Gap-based sessionization (30-min gap): ONE shuffle+sort per user_id
+    // (lag + running sum share a single WindowExec), hash-agg rollup.
+    "q_sessionize" -> ((s, dir) =>
+      graft.operators.Sessionize.sessionStats(
+        table(s, dir, "events"), "user_id", "ts", gapSeconds = 1800)
+        .select(col("user_id"), col("session_idx"), col("session_start"),
+          col("session_end"), col("duration_us"), col("n_events"))),
+
+    // Ordered conversion funnel signup→view→click→purchase: k chained
+    // same-key aggregations (no per-key sort, no collect_list buffering).
+    "q_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.funnelReach(
+        table(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"))))
 
   private val C = Changelog.DuckDbCte
 
@@ -1234,5 +1249,51 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, len(reasons) = 0 AS keep,
         |  COALESCE(array_to_string(reasons, ','), '') AS fail_reasons
-        |FROM r""".stripMargin)
+        |FROM r""".stripMargin,
+
+    // identical gap convention (> 1800s starts a new session) and exact
+    // integer microsecond arithmetic on both sides
+    "q_sessionize" ->
+      """WITH b AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |        OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+        |      THEN 1 ELSE 0 END AS flag
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(flag) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM b)
+        |SELECT user_id, session_idx, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us, COUNT(*) AS n_events
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // step i counts only at-or-after step i-1's reach time (>=, ties
+    // convert); keys never reaching step 0 are absent, later misses = NULL
+    "q_funnel" ->
+      """WITH s0 AS (
+        |  SELECT user_id, MIN(ts) AS ts_signup FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (
+        |  SELECT s0.user_id, s0.ts_signup, MIN(e.ts) AS ts_view
+        |  FROM s0 LEFT JOIN events e
+        |    ON e.user_id = s0.user_id AND e.event_type = 'view' AND e.ts >= s0.ts_signup
+        |  GROUP BY 1, 2),
+        |s2 AS (
+        |  SELECT s1.*, MIN(e.ts) AS ts_click
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.user_id AND e.event_type = 'click' AND e.ts >= s1.ts_view
+        |  GROUP BY ALL),
+        |s3 AS (
+        |  SELECT s2.*, MIN(e.ts) AS ts_purchase
+        |  FROM s2 LEFT JOIN events e
+        |    ON e.user_id = s2.user_id AND e.event_type = 'purchase' AND e.ts >= s2.ts_click
+        |  GROUP BY ALL)
+        |SELECT user_id, ts_signup, ts_view, ts_click, ts_purchase,
+        |  CAST(1 + CASE WHEN ts_view IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN ts_click IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN ts_purchase IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS funnel_depth
+        |FROM s3""".stripMargin)
 }
