@@ -658,7 +658,28 @@ object SparkEntry {
     "q_funnel" -> ((s, dir) =>
       graft.operators.Funnel.funnelReach(
         table(s, dir, "events"), "user_id", "ts", "event_type",
-        Seq("signup", "view", "click", "purchase"))))
+        Seq("signup", "view", "click", "purchase"))),
+
+    // Cohort retention matrix: distinct (key, day) agg → window cohort min
+    // (one key shuffle, no join) → tiny (cohort, offset) matrix.
+    "q_retention" -> ((s, dir) =>
+      graft.operators.Retention.cohortRetention(table(s, dir, "events"), "user_id", "ts")),
+
+    // Hot-key diagnostics over the changelog (the salting-knob input):
+    // map-side-combined counts → TakeOrderedAndProject top-k, never a
+    // total-order shuffle; grand total rides a broadcast one-row frame.
+    "cdc_hot_keys" -> ((s, dir) =>
+      graft.operators.SkewStats.topKeys(changelog(s, dir), "conv_id", 20)),
+    "cdc_skew_summary" -> ((s, dir) =>
+      graft.operators.SkewStats.skewSummary(changelog(s, dir), "conv_id")),
+
+    // Greedy sequence packing into 256-token bins, 8 md5-sharded groups:
+    // one shuffle + in-partition sort + O(1)-state streaming scan.
+    "text_pack_greedy" -> ((s, dir) =>
+      graft.operators.Packing.packGreedy(
+        table(s, dir, "documents").select(col("doc_id"),
+          Text.tokenCount(col("text")).as("toks")),
+        "doc_id", "toks", budgetTokens = 256, numGroups = 8)))
 
   private val C = Changelog.DuckDbCte
 
@@ -1295,5 +1316,78 @@ object SparkEntry {
         |    + CASE WHEN ts_click IS NOT NULL THEN 1 ELSE 0 END
         |    + CASE WHEN ts_purchase IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
         |    AS funnel_depth
-        |FROM s3""".stripMargin)
+        |FROM s3""".stripMargin,
+
+    // exact integer day numbers (floor of epoch_us / day_us is exact for
+    // int64 microsecond stamps — only exact multiples yield integer
+    // quotients, and those are double-representable), cohort = window min
+    "q_retention" ->
+      """WITH acts AS (
+        |  SELECT DISTINCT user_id AS k,
+        |    CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+        |  FROM events),
+        |c AS (
+        |  SELECT k, day, MIN(day) OVER (PARTITION BY k) AS cohort_day FROM acts),
+        |m AS (
+        |  SELECT cohort_day, day - cohort_day AS day_offset, COUNT(*) AS n_active
+        |  FROM c GROUP BY 1, 2)
+        |SELECT cohort_day, day_offset, CAST(n_active AS BIGINT) AS n_active,
+        |  ROUND(CAST(n_active AS DOUBLE) * 100.0 /
+        |    MAX(CASE WHEN day_offset = 0 THEN n_active END)
+        |      OVER (PARTITION BY cohort_day), 6) AS retention_pct
+        |FROM m""".stripMargin,
+
+    "cdc_hot_keys" ->
+      s"""$C, counts AS (
+         |  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+         |  FROM changelog GROUP BY 1),
+         |top AS (SELECT * FROM counts ORDER BY n_rows DESC, conv_id ASC LIMIT 20),
+         |tot AS (SELECT COUNT(*) AS t FROM changelog)
+         |SELECT conv_id, n_rows,
+         |  ROUND(CAST(n_rows AS DOUBLE) / t, 6) AS share,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, conv_id ASC) AS BIGINT) AS rank
+         |FROM top, tot""".stripMargin,
+
+    "cdc_skew_summary" ->
+      s"""$C, counts AS (
+         |  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM changelog GROUP BY 1)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(SUM(n) AS BIGINT) AS n_rows_total,
+         |  MAX(n) AS max_key_rows,
+         |  ROUND(AVG(n), 6) AS avg_key_rows,
+         |  ROUND(CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n), 6) AS skew_ratio
+         |FROM counts""".stripMargin,
+
+    // same md5 group sharding as text_stratified_sample, same token count
+    // as text_stats; the greedy recurrence advances every group in lockstep
+    // (anchor = each group's rn 1)
+    "text_pack_greedy" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+        |      AS group_id,
+        |    doc_id,
+        |    CAST(CASE WHEN LENGTH(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |      AS n_tokens,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |p AS (
+        |  SELECT group_id, doc_id, n_tokens, rn,
+        |    CAST(0 AS BIGINT) AS bin_idx, CAST(0 AS BIGINT) AS bin_offset,
+        |    n_tokens AS used
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.group_id, d.doc_id, d.n_tokens, d.rn,
+        |    CASE WHEN p.used > 0 AND p.used + d.n_tokens > 256
+        |      THEN p.bin_idx + 1 ELSE p.bin_idx END,
+        |    CASE WHEN p.used > 0 AND p.used + d.n_tokens > 256
+        |      THEN CAST(0 AS BIGINT) ELSE p.used END,
+        |    CASE WHEN p.used > 0 AND p.used + d.n_tokens > 256
+        |      THEN d.n_tokens ELSE p.used + d.n_tokens END
+        |  FROM p JOIN d ON d.group_id = p.group_id AND d.rn = p.rn + 1)
+        |SELECT group_id, doc_id, n_tokens, bin_idx, bin_offset FROM p""".stripMargin)
 }
