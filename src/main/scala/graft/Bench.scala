@@ -602,6 +602,29 @@ object Bench {
       MergeApplier.compact(spark, lastMorTable,
         java.sql.Timestamp.valueOf("2030-01-01 00:00:00"))
     }
+    // ---- text-search leg: token-bloom file skipping (transcript grep).
+    // Index build = one more full rewrite of the now-compacted table, so
+    // textIndexSec vs morCompactSec is the tokenization+bloom overhead of
+    // the opt-in index. Search honesty: a corpus-common token ("purchase",
+    // every file admits — bloom cannot and must not prune) vs an absent
+    // token (pure metadata answer). Both also run with skipping disabled.
+    progress("cdc: text-search token-bloom leg")
+    val (_, textIndexSec) = timed {
+      MergeApplier.compactRetainTombstones(spark, lastMorTable, textIndex = true)
+    }
+    def runSearch(tok: String): Double =
+      timed { lastMorTable.searchText(spark, tok).count() }._2
+    val searchHitS = (1 to 3).map(_ => runSearch("purchase"))
+    val searchMissS = (1 to 3).map(_ => runSearch("zzz-absent-token"))
+    lastMorTable.fileSkipping = false
+    val searchHitFullS = (1 to 3).map(_ => runSearch("purchase"))
+    val searchMissFullS = (1 to 3).map(_ => runSearch("zzz-absent-token"))
+    lastMorTable.fileSkipping = true
+    val snapTs = lastMorTable.currentSnapshot().get
+    val tsEntries = lastMorTable.resolveFiles(snapTs).values.flatten.toSeq
+    val searchFilesTotal = tsEntries.size
+    val searchFilesMissAdmitted =
+      tsEntries.count(_.stats.exists(_.mightContainToken("zzz-absent-token")))
     rmDir(lastMorTable.root)
     val replaySec = replayS.min
     val tailSec = cowS.min
@@ -612,7 +635,7 @@ object Bench {
     val mwCowSec = mwCowS.min
     val mwMorSec = mwMorS.min
     val tailBatches = (tailFiles * tailParts + tailMft - 1) / tailMft // derived, not hardcoded
-    val cdcJson = f"""{"rounds":$cdcRounds,"replayEvents":$benchEvents,"replaySamples":${jsonArr(replayS.toSeq)},"replaySec":$replaySec%.2f,"replayEventsPerSec":${(benchEvents / replaySec).toLong},"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":$tailBatches,"tailCowSamples":${jsonArr(cowS.toSeq)},"tailSec":$tailSec%.2f,"tailEventsPerSec":${(tailEvents / tailSec).toLong},"tailMorSamples":${jsonArr(morS.toSeq)},"tailMorSec":$morSec%.2f,"tailMorEventsPerSec":${(tailEvents / morSec).toLong},"tailMorAutoSamples":${jsonArr(morAutoS.toSeq)},"tailMorAutoSec":$morAutoSec%.2f,"tailMorAutoEventsPerSec":${(tailEvents / morAutoSec).toLong},"tailMorAutoMaxDeltaDepth":$morAutoMaxDepth,"tailMorAutoCompactions":$morAutoCompactions,"replicateSamples":${jsonArr(replS.toSeq)},"replicateSec":${replS.min}%.2f,"replicateEventsPerSec":${(tailEvents / replS.min).toLong},"replicateVersions":$replVersions,"replicateRowsOk":$replRowsOk,"feedRows":$feedRows,"feedSec":$feedSec%.2f,"lookupKeys":${lookupKeys.size},"lookupFilesTotal":$lkFilesTotal,"lookupFilesBounds":$lkFilesBounds,"lookupFilesRead":$lkFilesRead,"lookupFilesTruth":$lkFilesTruth,"lookupSkipSec":${lkSkipS.min}%.3f,"lookupFullSec":${lkFullS.min}%.3f,"lookupSkipSamples":${jsonArr(lkSkipS)},"lookupFullSamples":${jsonArr(lkFullS)},"selCompactBuckets":${selBuckets.size},"selCompactRows":$selCompactRows,"selCompactSec":$selCompactSec%.2f,"morCompactSec":$compactSec%.2f,"bigTailTableRows":$bigTableRows,"bigTailEvents":$bigTailEvents,"bigTailCowSamples":${jsonArr(bigCowS.toSeq)},"bigTailCowSec":$bigCowSec%.2f,"bigTailCowEventsPerSec":${(bigTailEvents / bigCowSec).toLong},"bigTailMorSamples":${jsonArr(bigMorS.toSeq)},"bigTailMorSec":$bigMorSec%.2f,"bigTailMorEventsPerSec":${(bigTailEvents / bigMorSec).toLong},"mwWriters":$mwWriters,"mwChunksPerWriter":$mwChunks,"mwCowSamples":${jsonArr(mwCowS.toSeq)},"mwCowSec":$mwCowSec%.2f,"mwCowEventsPerSec":${(tailEvents / mwCowSec).toLong},"mwMorSamples":${jsonArr(mwMorS.toSeq)},"mwMorSec":$mwMorSec%.2f,"mwMorEventsPerSec":${(tailEvents / mwMorSec).toLong},"mwRebases":$mwRebases,"mwReruns":$mwReruns,"mwRowsOk":$mwRowsOk,"viewBaseRows":$viewBaseRows,"viewRows":$viewRows,"viewIncrSamples":${jsonArr(viewIncrS.toSeq)},"viewIncrSec":${viewIncrS.min}%.2f,"viewFullSamples":${jsonArr(viewFullS.toSeq)},"viewFullSec":${viewFullS.min}%.2f,"spjRows":$spjRows,"spjSamples":${jsonArr(spjS.toSeq)},"spjSec":${spjS.min}%.2f,"spjShuffleSamples":${jsonArr(spjShufS.toSeq)},"spjShuffleSec":${spjShufS.min}%.2f,"sqlMergeSamples":${jsonArr(sqlMergeS.toSeq)},"sqlMergeSec":${sqlMergeS.min}%.2f,"sqlMergeSrcRows":$sqlMergeSrcRows,"sqlMergeRowsWritten":$sqlMergeRowsWritten,"sqlMergeReplacedBuckets":$sqlMergeReplaced,"sqlMergeNumBuckets":32,"sqlMergeTableRows":$sqlMergeTableRows}"""
+    val cdcJson = f"""{"rounds":$cdcRounds,"replayEvents":$benchEvents,"replaySamples":${jsonArr(replayS.toSeq)},"replaySec":$replaySec%.2f,"replayEventsPerSec":${(benchEvents / replaySec).toLong},"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":$tailBatches,"tailCowSamples":${jsonArr(cowS.toSeq)},"tailSec":$tailSec%.2f,"tailEventsPerSec":${(tailEvents / tailSec).toLong},"tailMorSamples":${jsonArr(morS.toSeq)},"tailMorSec":$morSec%.2f,"tailMorEventsPerSec":${(tailEvents / morSec).toLong},"tailMorAutoSamples":${jsonArr(morAutoS.toSeq)},"tailMorAutoSec":$morAutoSec%.2f,"tailMorAutoEventsPerSec":${(tailEvents / morAutoSec).toLong},"tailMorAutoMaxDeltaDepth":$morAutoMaxDepth,"tailMorAutoCompactions":$morAutoCompactions,"replicateSamples":${jsonArr(replS.toSeq)},"replicateSec":${replS.min}%.2f,"replicateEventsPerSec":${(tailEvents / replS.min).toLong},"replicateVersions":$replVersions,"replicateRowsOk":$replRowsOk,"feedRows":$feedRows,"feedSec":$feedSec%.2f,"lookupKeys":${lookupKeys.size},"lookupFilesTotal":$lkFilesTotal,"lookupFilesBounds":$lkFilesBounds,"lookupFilesRead":$lkFilesRead,"lookupFilesTruth":$lkFilesTruth,"lookupSkipSec":${lkSkipS.min}%.3f,"lookupFullSec":${lkFullS.min}%.3f,"lookupSkipSamples":${jsonArr(lkSkipS)},"lookupFullSamples":${jsonArr(lkFullS)},"selCompactBuckets":${selBuckets.size},"selCompactRows":$selCompactRows,"selCompactSec":$selCompactSec%.2f,"morCompactSec":$compactSec%.2f,"bigTailTableRows":$bigTableRows,"bigTailEvents":$bigTailEvents,"bigTailCowSamples":${jsonArr(bigCowS.toSeq)},"bigTailCowSec":$bigCowSec%.2f,"bigTailCowEventsPerSec":${(bigTailEvents / bigCowSec).toLong},"bigTailMorSamples":${jsonArr(bigMorS.toSeq)},"bigTailMorSec":$bigMorSec%.2f,"bigTailMorEventsPerSec":${(bigTailEvents / bigMorSec).toLong},"mwWriters":$mwWriters,"mwChunksPerWriter":$mwChunks,"mwCowSamples":${jsonArr(mwCowS.toSeq)},"mwCowSec":$mwCowSec%.2f,"mwCowEventsPerSec":${(tailEvents / mwCowSec).toLong},"mwMorSamples":${jsonArr(mwMorS.toSeq)},"mwMorSec":$mwMorSec%.2f,"mwMorEventsPerSec":${(tailEvents / mwMorSec).toLong},"mwRebases":$mwRebases,"mwReruns":$mwReruns,"mwRowsOk":$mwRowsOk,"viewBaseRows":$viewBaseRows,"viewRows":$viewRows,"viewIncrSamples":${jsonArr(viewIncrS.toSeq)},"viewIncrSec":${viewIncrS.min}%.2f,"viewFullSamples":${jsonArr(viewFullS.toSeq)},"viewFullSec":${viewFullS.min}%.2f,"spjRows":$spjRows,"spjSamples":${jsonArr(spjS.toSeq)},"spjSec":${spjS.min}%.2f,"spjShuffleSamples":${jsonArr(spjShufS.toSeq)},"spjShuffleSec":${spjShufS.min}%.2f,"sqlMergeSamples":${jsonArr(sqlMergeS.toSeq)},"sqlMergeSec":${sqlMergeS.min}%.2f,"sqlMergeSrcRows":$sqlMergeSrcRows,"sqlMergeRowsWritten":$sqlMergeRowsWritten,"sqlMergeReplacedBuckets":$sqlMergeReplaced,"sqlMergeNumBuckets":32,"sqlMergeTableRows":$sqlMergeTableRows,"textIndexSec":$textIndexSec%.2f,"searchFilesTotal":$searchFilesTotal,"searchMissFilesAdmitted":$searchFilesMissAdmitted,"searchHitSamples":${jsonArr(searchHitS)},"searchHitSec":${searchHitS.min}%.3f,"searchHitFullSec":${searchHitFullS.min}%.3f,"searchMissSamples":${jsonArr(searchMissS)},"searchMissSec":${searchMissS.min}%.3f,"searchMissFullSec":${searchMissFullS.min}%.3f}"""
 
     // ---- query sweep (one warmup pass, then timed) ----
     progress("queries: warmup pass")

@@ -195,6 +195,18 @@ object SparkEntry {
       t.read(s).select(TableCols.map(col): _*)
     }),
 
+    // Token-bloom text search through the production lifecycle: MOR builds,
+    // a text-INDEXED compaction, then an exact-token search that reads only
+    // admitting buckets — must equal the relational fold + token filter.
+    "cdc_text_search" -> ((s, dir) => {
+      val cl = changelog(s, dir)
+      val t = gateTable("cdc_text_search")
+      (0 until 3).foreach(i =>
+        MergeApplier.applyBatchMor(s, t, cl.filter(col("seq") % 3 === i), "gate", i.toLong))
+      MergeApplier.compactRetainTombstones(s, t, textIndex = true)
+      t.searchText(s, "purchase").select(TableCols.map(col): _*)
+    }),
+
     // Time travel: two COW merges, then read AS OF the first commit — the
     // snapshot isolation the manifest list provides.
     "cdc_time_travel" -> ((s, dir) => {
@@ -715,6 +727,13 @@ object SparkEntry {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
          |    ORDER BY ts DESC, seq DESC) AS rn FROM changelog) t
          |WHERE rn = 1 AND op <> 'delete'""".stripMargin,
+
+    "cdc_text_search" ->
+      s"""$C SELECT conv_id, turn_idx, role, text, tool, ts, seq FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+         |    ORDER BY ts DESC, seq DESC) AS rn FROM changelog) t
+         |WHERE rn = 1 AND op <> 'delete'
+         |  AND list_contains(regexp_split_to_array(text, '\\s+'), 'purchase')""".stripMargin,
 
     "cdc_max_ts" ->
       s"""$C SELECT conv_id, turn_idx, MAX(ts) AS max_ts, COUNT(*) AS n_versions

@@ -1,12 +1,13 @@
 package graft.operators
 
 import graft.model.Model
-import graft.table.{LakeTable, Snapshot}
+import graft.table.{ConvBloom, FileStats, LakeTable, Snapshot}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.graftbridge.ScanBridge
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.CollectionAccumulator
 
 /** Bucket-local (zero-shuffle) table passes. The table's bucket layout means
   * every per-key operation — LWW fold, tombstone expiry, rewrite — is fully
@@ -227,12 +228,65 @@ object BucketLocal {
     * the SAME bound the delta fold and the COW merge already have (a bucket
     * is the rewrite unit, sized to the executor via numBuckets).
     */
+  /** Per-partition (= per-bucket) write-side stats for compaction output:
+    * key bounds + conv bloom (+ opt-in token bloom over whitespace-split
+    * `text`) + row count, reported through a CollectionAccumulator exactly
+    * like the COW merge's TaskWriteStats. Compaction rewrites are the
+    * LONG-LIVED majority of a mature table's files; without this they were
+    * stat-less (never skippable) and their row counts cost driver footer
+    * reads per maintenance pass.
+    */
+  private final class CompactStats(convI: Int, turnI: Int, textI: Int,
+      textIndex: Boolean) {
+    private var n = 0L
+    private var minConv: UTF8String = null
+    private var maxConv: UTF8String = null
+    private var minTurn = Int.MaxValue
+    private var maxTurn = Int.MinValue
+    private val convBloom = ConvBloom.empty()
+    private val tokBloom = if (textIndex) ConvBloom.empty() else null
+    private var reported = false
+
+    def observe(r: InternalRow): Unit = {
+      n += 1
+      val c = r.getUTF8String(convI)
+      // clone on update only (rare after the first rows): the scan reuses
+      // its row buffer, so held extrema must own their bytes
+      if (minConv == null || c.compareTo(minConv) < 0) minConv = c.clone()
+      if (maxConv == null || c.compareTo(maxConv) > 0) maxConv = c.clone()
+      val t = r.getInt(turnI)
+      if (t < minTurn) minTurn = t
+      if (t > maxTurn) maxTurn = t
+      ConvBloom.add(convBloom, c)
+      if (textIndex && !r.isNullAt(textI)) {
+        val toks = r.getUTF8String(textI).toString.split("\\s+")
+        var i = 0
+        while (i < toks.length) {
+          if (toks(i).nonEmpty) ConvBloom.add(tokBloom, UTF8String.fromString(toks(i)))
+          i += 1
+        }
+      }
+    }
+
+    def report(acc: CollectionAccumulator[(Int, FileStats, Long)]): Unit =
+      if (n > 0 && !reported) {
+        reported = true
+        acc.add((org.apache.spark.TaskContext.getPartitionId(),
+          FileStats(minConv.toString, maxConv.toString, minTurn, maxTurn,
+            ConvBloom.seal(convBloom),
+            if (textIndex) ConvBloom.seal(tokBloom) else None), n))
+      }
+  }
+
   def compactRows(spark: SparkSession, table: LakeTable, snap: Snapshot,
       watermarkMicros: Long, spill: Boolean = false,
-      buckets: Option[Set[Int]] = None): DataFrame = {
+      buckets: Option[Set[Int]] = None,
+      statsAcc: Option[CollectionAccumulator[(Int, FileStats, Long)]] = None,
+      textIndex: Boolean = false): DataFrame = {
     val schema = snap.schema
     val (convI, turnI, tsI, seqI) = keyIdx(schema)
     val opI = schema.fieldIndex("op")
+    val textI = if (textIndex) schema.fieldIndex("text") else -1
     val fold = snap.morDeltas
     val deleteOp = UTF8String.fromString(Model.OpDelete)
     // a null-ts tombstone has UNKNOWN event time — it must never expire
@@ -247,6 +301,22 @@ object BucketLocal {
       val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       rows.map(r => joined(r, bucketRow): InternalRow)
     }
+    // streaming stats wrapper (spill path): observe each emitted row, report
+    // once on exhaustion — the parquet writer always drains its iterator
+    def tracked(rows: Iterator[InternalRow]): Iterator[InternalRow] =
+      statsAcc match {
+        case None => rows
+        case Some(acc) =>
+          val st = new CompactStats(convI, turnI, textI, textIndex)
+          new Iterator[InternalRow] {
+            override def hasNext: Boolean = {
+              val h = rows.hasNext
+              if (!h) st.report(acc)
+              h
+            }
+            override def next(): InternalRow = { val r = rows.next(); st.observe(r); r }
+          }
+      }
     val compacted = if (spill) {
       // Spill-safe compaction — THE maintenance pass that must survive an
       // oversized bucket (it is how the operator shrinks one): partition-
@@ -262,7 +332,7 @@ object BucketLocal {
         // before pulling the next, so no copy is needed there
         val resolved =
           if (fold) foldWinnersSorted(rows, convI, turnI) else rows
-        tag(resolved.filter(r => !expired(r)))
+        tag(tracked(resolved.filter(r => !expired(r))))
       }
     } else ScanBridge.bucketFilesRdd(spark, schema, bucketArray(table, snap, buckets))
       .mapPartitions { rows =>
@@ -281,6 +351,11 @@ object BucketLocal {
             if (c != 0) c else Integer.compare(a.getInt(turnI), b.getInt(turnI))
           }
         })
+        statsAcc.foreach { acc =>
+          val st = new CompactStats(convI, turnI, textI, textIndex)
+          arr.foreach(st.observe)
+          st.report(acc)
+        }
         tag(arr.iterator)
       }
     val outSchema = StructType(schema.fields :+

@@ -655,13 +655,15 @@ object MergeApplier {
     * or -1 if compaction yielded to sustained concurrent commits (see
     * [[compactMicros]] — retry at the next maintenance trigger).
     */
-  def compactRetainTombstones(spark: SparkSession, table: LakeTable): Long =
-    compactMicros(spark, table, Long.MinValue)
+  def compactRetainTombstones(spark: SparkSession, table: LakeTable,
+      textIndex: Boolean = false): Long =
+    compactMicros(spark, table, Long.MinValue, textIndex = textIndex)
 
   def compact(spark: SparkSession, table: LakeTable,
-      watermark: java.sql.Timestamp): Long =
+      watermark: java.sql.Timestamp, textIndex: Boolean = false): Long =
     compactMicros(spark, table,
-      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(watermark))
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(watermark),
+      textIndex = textIndex)
 
   /** SELECTIVE compaction: fold only the given buckets' deltas and commit a
     * masked manifest list (old refs lose the targets, one new non-delta ref
@@ -677,8 +679,8 @@ object MergeApplier {
     * or -1 after yielding to sustained concurrent commits.
     */
   def compactBucketsRetainTombstones(spark: SparkSession, table: LakeTable,
-      buckets: Set[Int]): Long =
-    compactMicros(spark, table, Long.MinValue, Some(buckets))
+      buckets: Set[Int], textIndex: Boolean = false): Long =
+    compactMicros(spark, table, Long.MinValue, Some(buckets), textIndex)
 
   /** Maintenance: rewrite the table under a NEW bucket count — the resize
     * path for the COW rewrite unit. A bucket must fit an executor (it is
@@ -735,7 +737,8 @@ object MergeApplier {
   }
 
   private def compactMicros(spark: SparkSession, table: LakeTable,
-      watermarkMicros: Long, targets: Option[Set[Int]] = None): Long = {
+      watermarkMicros: Long, targets: Option[Set[Int]] = None,
+      textIndex: Boolean = false): Long = {
     // Compaction rewrites EVERY bucket, so a concurrent commit (which by
     // construction touches some bucket or the ledger) always invalidates the
     // attempt — a lost CAS can never rebase, it re-runs against the fresh
@@ -767,10 +770,21 @@ object MergeApplier {
       // compaction is exactly how the operator SHRINKS such a bucket, so it
       // is the one pass that must survive it
       val spill = table.maxBucketBytes(snap, sel) > table.spillFoldBytes
-      BucketLocal.compactRows(spark, table, snap, watermarkMicros, spill, sel)
+      // write-side stats: compaction files get key bounds + conv bloom
+      // (+ the opt-in token bloom) and their row counts from the SAME task
+      // accumulator — no stat-less long-lived files, no driver footer reads
+      val statsAcc = spark.sparkContext
+        .collectionAccumulator[(Int, graft.table.FileStats, Long)]("compactStats")
+      BucketLocal.compactRows(spark, table, snap, watermarkMicros, spill, sel,
+          Some(statsAcc), textIndex)
         .write.mode("overwrite").partitionBy("bucket").parquet(outDir.toString)
-      val newFiles = table.listBucketFiles(outDir)
-      val rows = table.footerRowCounts(newFiles)
+      val perBucket = {
+        import scala.jdk.CollectionConverters._
+        statsAcc.value.asScala.groupBy(_._1).map(_._2.head)
+      }
+      val newFiles = table.attachStats(table.listBucketFiles(outDir),
+        perBucket.map(s => s._1 -> s._2).toMap)
+      val rows = perBucket.map(s => s._1 -> s._3).toMap
       beforePublish("compact", snap.version)
       try {
         val cand = sel match {

@@ -95,22 +95,26 @@ object LakeProcedures {
   private final class CompactProc(rr: String => String) extends LakeProc(rr) {
     override def name(): String = "compact"
     override def description(): String =
-      "compact(table, buckets => NULL): fold deltas, tombstone-retaining; buckets = comma list for a selective pass"
+      "compact(table, buckets => NULL, text_index => false): fold deltas, tombstone-retaining; buckets = comma list for a selective pass; text_index builds per-file token blooms for searchText"
     override def parameters(): Array[ProcedureParameter] =
-      Array(p("table", StringType), pDefault("buckets", StringType, "NULL"))
+      Array(p("table", StringType), pDefault("buckets", StringType, "NULL"),
+        pDefault("text_index", BooleanType, "false"))
     override protected val outSchema: StructType = StructType(Seq(
       StructField("rows_written", LongType, nullable = false),
       StructField("version", LongType, nullable = false),
       StructField("yielded", BooleanType, nullable = false)))
     override protected def run(spark: SparkSession, args: InternalRow): Array[Any] = {
       val t = openTable(args)
+      val textIndex = !args.isNullAt(2) && args.getBoolean(2)
       val rows =
-        if (args.isNullAt(1)) graft.operators.MergeApplier.compactRetainTombstones(spark, t)
+        if (args.isNullAt(1))
+          graft.operators.MergeApplier.compactRetainTombstones(spark, t, textIndex)
         else {
           val buckets = args.getUTF8String(1).toString.split(",").map(_.trim.toInt).toSet
           require(buckets.nonEmpty && buckets.forall(b => b >= 0 && b < t.numBuckets),
             s"compact: buckets must be in [0, ${t.numBuckets}), got $buckets")
-          graft.operators.MergeApplier.compactBucketsRetainTombstones(spark, t, buckets)
+          graft.operators.MergeApplier.compactBucketsRetainTombstones(spark, t, buckets,
+            textIndex)
         }
       val v = t.currentSnapshot().map(_.version).getOrElse(-1L)
       Array(math.max(rows, 0L), v, rows < 0)

@@ -149,7 +149,8 @@ object ConvBloom {
   * The bloom rides as `ArraySeq[Long]` (value equality, unboxed backing).
   */
 final case class FileStats(minConv: String, maxConv: String, minTurn: Int, maxTurn: Int,
-    bloom: Option[scala.collection.immutable.ArraySeq[Long]] = None) {
+    bloom: Option[scala.collection.immutable.ArraySeq[Long]] = None,
+    textBloom: Option[scala.collection.immutable.ArraySeq[Long]] = None) {
   import org.apache.spark.unsafe.types.UTF8String
   /** min/max range admission alone (no bloom) — the bounds-only prune. */
   def boundsContainConv(conv: String): Boolean = {
@@ -161,6 +162,13 @@ final case class FileStats(minConv: String, maxConv: String, minTurn: Int, maxTu
     boundsContainConv(conv) && bloom.forall(ConvBloom.mightContain(_, conv))
   def mightContain(conv: String, turn: Int): Boolean =
     turn >= minTurn && turn <= maxTurn && mightContainConv(conv)
+  /** Token-bloom admission for exact-token text search ([[ConvBloom]]'s
+    * machinery over whitespace-split `text` tokens, built by the opt-in
+    * text-index compaction). A file WITHOUT a token bloom always admits —
+    * skipping is only ever justified by positive absence evidence.
+    */
+  def mightContainToken(token: String): Boolean =
+    textBloom.forall(ConvBloom.mightContain(_, token))
 }
 
 /** One data file in a manifest: path + byte size (+ optional key bounds).
@@ -742,6 +750,7 @@ final class LakeTable(val root: String, val numBuckets: Int) {
         e.put("c0", st.minConv); e.put("c1", st.maxConv)
         e.put("t0", Integer.valueOf(st.minTurn)); e.put("t1", Integer.valueOf(st.maxTurn))
         st.bloom.foreach(b => e.put("b", ConvBloom.toBase64(b)))
+        st.textBloom.foreach(b => e.put("tb", ConvBloom.toBase64(b)))
         e
     }
     j.put("files", files.map { case (b, fs) =>
@@ -791,7 +800,8 @@ final class LakeTable(val root: String, val numBuckets: Int) {
           split(e.get("e").toString).copy(stats = Some(FileStats(
             e.get("c0").toString, e.get("c1").toString,
             e.get("t0").toString.toInt, e.get("t1").toString.toInt,
-            Option(e.get("b")).map(b => ConvBloom.fromBase64(b.toString)))))
+            Option(e.get("b")).map(b => ConvBloom.fromBase64(b.toString)),
+            Option(e.get("tb")).map(b => ConvBloom.fromBase64(b.toString)))))
       }
     }
     val files = m.get("files").asInstanceOf[java.util.Map[String, Object]].asScala
@@ -1098,6 +1108,45 @@ final class LakeTable(val root: String, val numBuckets: Int) {
         base.filter(col("conv_id") === convId &&
             col("turn_idx") < maxTurnExclusive &&
             col("op") =!= Model.OpDelete)
+          .drop("op")
+    }
+  }
+
+  /** Exact-token text search over the table's LIVE rows: return every
+    * current winner whose whitespace-split `text` contains `token`
+    * verbatim (case-sensitive — the same byte-exact contract the write-side
+    * bloom hashed). Files carrying a token bloom (built by the opt-in
+    * text-index compaction, [[graft.operators.MergeApplier.compact]]
+    * `textIndex = true`) provide absence evidence; a 100-TB transcript grep
+    * opens only the buckets that can hold the token.
+    *
+    * Skip granularity is LWW-soundness-driven: on a delta-carrying snapshot
+    * a file-level skip could drop a file holding a NEWER version of a key
+    * whose superseded, token-bearing row would then wrongly win, so the
+    * fold skips whole BUCKETS (a bucket none of whose files admit the token
+    * cannot contribute a match) and reads admitted buckets in full. On a
+    * key-unique COW snapshot every stored row is its key's winner, so the
+    * skip is per FILE. Files without a token bloom always admit — skipping
+    * needs positive evidence, never its absence.
+    */
+  def searchText(spark: SparkSession, token: String): DataFrame = {
+    require(token.nonEmpty && !token.exists(_.isWhitespace),
+      s"searchText: token must be a single non-empty word, got '$token'")
+    currentSnapshot() match {
+      case None => spark.emptyDataFrame
+      case Some(s) =>
+        require(s.numBuckets == numBuckets,
+          s"table has ${s.numBuckets} buckets; handle opened with $numBuckets")
+        def admits(f: FileEntry): Boolean =
+          !fileSkipping || f.stats.forall(_.mightContainToken(token))
+        val all = resolveFiles(s)
+        val pruned =
+          if (s.morDeltas) all.filter(_._2.exists(admits)) // bucket-granular
+          else all.map { case (b, fs) => b -> fs.filter(admits) }
+            .filter(_._2.nonEmpty)
+        readPrunedFiles(spark, s, pruned)
+          .filter(col("op") =!= Model.OpDelete &&
+            array_contains(split(col("text"), "\\s+"), token))
           .drop("op")
     }
   }

@@ -55,6 +55,21 @@ class ProceduresSpec extends SparkSpecBase {
     assert(rows(table.read(spark)) == before)
   }
 
+  test("compact with text_index => true builds token blooms; searchText uses them") {
+    val base = tmpDir("proc-tidx")
+    val table = new LakeTable(s"$base/t", numBuckets = 2)
+    MergeApplier.applyBatchMor(spark, table, spark.createDataset(Seq(
+      ev("a", 0, "alpha beta", "2025-01-01 00:00:00", "insert", 1L),
+      ev("b", 1, "gamma delta", "2025-01-01 00:00:00", "insert", 2L))).toDF(), "w", 0L)
+    catalogFor(base, "pcti")
+    val r = spark.sql("CALL pcti.system.compact('t', text_index => true)").collect().head
+    assert(r.getAs[Long]("rows_written") == 2 && !r.getAs[Boolean]("yielded"))
+    val entries = table.resolveFiles(table.currentSnapshot().get).values.flatten.toSeq
+    assert(entries.nonEmpty && entries.forall(_.stats.exists(_.textBloom.nonEmpty)))
+    assert(table.searchText(spark, "gamma").collect()
+      .map(_.getAs[String]("conv_id")).toSeq == Seq("b"))
+  }
+
   test("rollback, tag, drop_tag, vacuum via CALL") {
     val base = tmpDir("proc-admin")
     val root = s"$base/t"
