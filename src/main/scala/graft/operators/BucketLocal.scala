@@ -237,8 +237,9 @@ object BucketLocal {
     * reads per maintenance pass.
     */
   private final class CompactStats(convI: Int, turnI: Int, textI: Int,
-      textIndex: Boolean) {
+      textIndex: Boolean, opI: Int) {
     private var n = 0L
+    private var nTomb = 0L
     private var minConv: UTF8String = null
     private var maxConv: UTF8String = null
     private var minTurn = Int.MaxValue
@@ -249,6 +250,8 @@ object BucketLocal {
 
     def observe(r: InternalRow): Unit = {
       n += 1
+      if (!r.isNullAt(opI) &&
+        r.getUTF8String(opI).toString == Model.OpDelete) nTomb += 1
       val c = r.getUTF8String(convI)
       // clone on update only (rare after the first rows): the scan reuses
       // its row buffer, so held extrema must own their bytes
@@ -268,20 +271,20 @@ object BucketLocal {
       }
     }
 
-    def report(acc: CollectionAccumulator[(Int, FileStats, Long)]): Unit =
+    def report(acc: CollectionAccumulator[(Int, FileStats, Long, Long)]): Unit =
       if (n > 0 && !reported) {
         reported = true
         acc.add((org.apache.spark.TaskContext.getPartitionId(),
           FileStats(minConv.toString, maxConv.toString, minTurn, maxTurn,
             ConvBloom.seal(convBloom),
-            if (textIndex) ConvBloom.seal(tokBloom) else None), n))
+            if (textIndex) ConvBloom.seal(tokBloom) else None), n, nTomb))
       }
   }
 
   def compactRows(spark: SparkSession, table: LakeTable, snap: Snapshot,
       watermarkMicros: Long, spill: Boolean = false,
       buckets: Option[Set[Int]] = None,
-      statsAcc: Option[CollectionAccumulator[(Int, FileStats, Long)]] = None,
+      statsAcc: Option[CollectionAccumulator[(Int, FileStats, Long, Long)]] = None,
       textIndex: Boolean = false): DataFrame = {
     val schema = snap.schema
     val (convI, turnI, tsI, seqI) = keyIdx(schema)
@@ -307,7 +310,7 @@ object BucketLocal {
       statsAcc match {
         case None => rows
         case Some(acc) =>
-          val st = new CompactStats(convI, turnI, textI, textIndex)
+          val st = new CompactStats(convI, turnI, textI, textIndex, opI)
           new Iterator[InternalRow] {
             override def hasNext: Boolean = {
               val h = rows.hasNext
@@ -352,7 +355,7 @@ object BucketLocal {
           }
         })
         statsAcc.foreach { acc =>
-          val st = new CompactStats(convI, turnI, textI, textIndex)
+          val st = new CompactStats(convI, turnI, textI, textIndex, opI)
           arr.foreach(st.observe)
           st.report(acc)
         }

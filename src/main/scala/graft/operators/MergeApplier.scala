@@ -774,7 +774,7 @@ object MergeApplier {
       // (+ the opt-in token bloom) and their row counts from the SAME task
       // accumulator — no stat-less long-lived files, no driver footer reads
       val statsAcc = spark.sparkContext
-        .collectionAccumulator[(Int, graft.table.FileStats, Long)]("compactStats")
+        .collectionAccumulator[(Int, graft.table.FileStats, Long, Long)]("compactStats")
       BucketLocal.compactRows(spark, table, snap, watermarkMicros, spill, sel,
           Some(statsAcc), textIndex)
         .write.mode("overwrite").partitionBy("bucket").parquet(outDir.toString)
@@ -792,11 +792,18 @@ object MergeApplier {
             // Full compaction resets the manifest list to a single full
             // manifest — the bound on manifest-list growth (one delta ref
             // per MOR commit between compactions).
+            // A FULL compaction knows the whole table's retained tombstone
+            // count exactly (every live file was rewritten through the
+            // stats pass) — recorded so metadata-only COUNT(*) pushdown can
+            // answer live-row counts without touching a data file. Partial
+            // passes can't know the un-rewritten buckets' tombstones, so
+            // they don't record it (absent = unknown = no pushdown).
             Snapshot(version, snap.schemaJson, table.numBuckets,
               Seq(ManifestRef(table.writeManifest(version, newFiles),
                 newFiles.keySet, delta = false)),
               snap.committed, rows,
-              Map("compactedRows" -> rows.values.sum), snap.version,
+              Map("compactedRows" -> rows.values.sum,
+                "tombstoneRows" -> perBucket.map(_._4).sum), snap.version,
               morDeltas = false)
           case Some(t) =>
             // Partial: mask the targets out of every prior ref, append one

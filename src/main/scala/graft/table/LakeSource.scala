@@ -355,9 +355,11 @@ private[table] final class LakeSourceTable(root: String, tableOptions: CaseInsen
   */
 private[table] final class LakeScanBuilder(table: LakeTable, snap: Snapshot,
     onPlan: Set[Int] => Unit = _ => (), rowLevel: Boolean = false)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = LakeSource.outputSchema(snap.schema)
   private var pushed: Array[Filter] = Array.empty
+  private var pushedCount: Option[Long] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
@@ -374,12 +376,72 @@ private[table] final class LakeScanBuilder(table: LakeTable, snap: Snapshot,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = {
-    val buckets = LakeSource.prunedBuckets(table, pushed)
-      .filter(_.size < snap.numBuckets) // saturated = no pruning
-    new LakeSourceScan(table, snap, required, buckets, onPlan, rowLevel)
+  /** Metadata-only COUNT(*) (Iceberg's count pushdown, from scratch):
+    * `SELECT COUNT(*) FROM tbl` at any table size answers from the snapshot
+    * — live rows = committed bucketRows minus the retained-tombstone count
+    * a FULL compaction records (`metrics("tombstoneRows")`). Sound only
+    * when both terms are exact: the snapshot must be delta-free (bucketRows
+    * of delta commits count superseded versions) and tombstone-counted
+    * (absent = unknown = no pushdown — a post-compaction merge/MOR commit
+    * drops the metric, turning pushdown off until the next full
+    * compaction). Every filter stays residual in this source (a Filter node
+    * above the scan blocks Spark's aggregate pushdown), so only the bare
+    * whole-table count ever reaches here.
+    */
+  private def metadataCount: Option[Long] =
+    if (snap.morDeltas) None
+    else snap.metrics.get("tombstoneRows").map(snap.totalRows - _)
+
+  private def canPushAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    !rowLevel && pushed.isEmpty &&
+      agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
+      metadataCount.isDefined
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    canPushAgg(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (canPushAgg(agg)) { pushedCount = metadataCount; true } else false
+  }
+
+  override def build(): Scan = pushedCount match {
+    case Some(n) => new LakeCountScan(n, snap.version)
+    case None =>
+      val buckets = LakeSource.prunedBuckets(table, pushed)
+        .filter(_.size < snap.numBuckets) // saturated = no pruning
+      new LakeSourceScan(table, snap, required, buckets, onPlan, rowLevel)
   }
 }
+
+/** The COUNT(*) answer as a one-row, one-task scan — no data file opens. */
+private final class LakeCountScan(count: Long, version: Long) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(org.apache.spark.sql.types.StructField("count",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def description(): String = s"LakeCountScan(v$version, count=$count)"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(LakeCountPartition(count))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = !emitted && { emitted = true; true }
+          override def get(): InternalRow =
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](p.asInstanceOf[LakeCountPartition].count))
+          override def close(): Unit = ()
+        }
+    }
+}
+
+private final case class LakeCountPartition(count: Long) extends InputPartition
 
 private[table] final class LakeSourceScan(table: LakeTable, snap: Snapshot,
     required: StructType, buckets: Option[Set[Int]],
