@@ -747,7 +747,14 @@ object Bench {
         else Similarity.ivfTopK(clustered, cq, k = 5, nLists = 8, nProbe = 2)
           .select("query_id", "vec_id")
           .join(cbf, Seq("query_id", "vec_id")).count().toDouble / nCbf
-      recallJson = f"""{"dedup_minhash_lsh_bands16":$rMinhash%.4f,"dedup_simhash_banded":$rSimhash%.4f,"embed_neardup_32x5":$rNearDup%.4f,"ann_lsh_topk_32x5":$rAnn%.4f,"ann_ivf_topk_probe2of8":$rIvf%.4f,"ann_ivf_topk_probe2of8_clustered":$rIvfClustered%.4f}"""
+      // int8-quantized top-k at a production refine (4×k candidates per
+      // query reach the exact re-rank); the gate runs refine ≥ corpus
+      progress("recall: int8-quantized top-k (refine=20) vs brute-force top-k")
+      val rQuant = if (nBf == 0) 1.0
+        else Similarity.quantizedTopK(embDf, annQ, k = 5, refine = 20)
+          .select("query_id", "vec_id")
+          .join(bf, Seq("query_id", "vec_id")).count().toDouble / nBf
+      recallJson = f"""{"dedup_minhash_lsh_bands16":$rMinhash%.4f,"dedup_simhash_banded":$rSimhash%.4f,"embed_neardup_32x5":$rNearDup%.4f,"ann_lsh_topk_32x5":$rAnn%.4f,"ann_ivf_topk_probe2of8":$rIvf%.4f,"ann_ivf_topk_probe2of8_clustered":$rIvfClustered%.4f,"ann_quant_topk_refine20":$rQuant%.4f}"""
     }
 
     emit(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdcJson,"scaling":$scalingJson,"recall":$recallJson}""")

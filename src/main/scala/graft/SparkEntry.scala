@@ -541,6 +541,13 @@ object SparkEntry {
       table(s, dir, "documents").select(
         col("doc_id"), Text.fingerprint(col("text"), 3).as("fingerprint"))),
 
+    // Okapi BM25 against a 3-term probe — the corpus-relevance slice
+    // (expression + hash-agg only; the DuckDB oracle runs the identical
+    // formula term by term).
+    "text_bm25" -> ((s, dir) =>
+      graft.operators.TextRank.bm25(table(s, dir, "documents"),
+        Seq("table", "query", "merge"))),
+
     "embed_label_stats" -> ((s, dir) =>
       table(s, dir, "embeddings")
         .groupBy("label")
@@ -569,6 +576,15 @@ object SparkEntry {
       val emb = table(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
         bands = 64, bitsPerBand = 1)
+    }),
+    // Int8-quantized scoring with `refine` ≥ corpus ⇒ every candidate
+    // reaches the exact re-rank ⇒ shares the brute-force oracle (the
+    // ann_ivf_topk full-probe trick). The production refine's recall is
+    // measured in Bench ("recall").
+    "ann_quant_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
+        refine = Int.MaxValue)
     }),
     // threshold 0.35: the synthetic embeddings are near-orthogonal (max
     // pairwise cosine ≈0.46), so a realistic 0.95 cutoff would be vacuous;
@@ -703,6 +719,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleSqlBase ++ Map(
       "dedup_clusters_star" -> oracleSqlBase("dedup_clusters"),
+      "ann_quant_topk" -> oracleSqlBase("ann_cosine_topk"),
       "cdc_table_incremental" -> oracleSqlBase("cdc_replay_final"),
       "cdc_table_mor_read" -> oracleSqlBase("cdc_replay_final"),
       "cdc_spill_fold" -> oracleSqlBase("cdc_replay_final"),
@@ -1146,6 +1163,25 @@ object SparkEntry {
         |f AS (SELECT doc_id, MIN(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id)
         |SELECT d.doc_id, f.fingerprint FROM documents d
         |LEFT JOIN f ON d.doc_id = f.doc_id""".stripMargin,
+
+    // identical Okapi BM25 formula, same multiply order, round 6 both sides
+    "text_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    t -> len(t) > 0) AS w
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(w) AS dl FROM d),
+        |stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(w) AS term FROM d) t
+        |  WHERE term IN ('table', 'query', 'merge') GROUP BY doc_id, term),
+        |idf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+        |SELECT tf.doc_id,
+        |  ROUND(SUM(ln((stats.n_docs - idf.df + 0.5) / (idf.df + 0.5) + 1.0)
+        |    * tf.tf * 2.2 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 6) AS bm25
+        |FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |GROUP BY tf.doc_id""".stripMargin,
 
     "embed_label_stats" ->
       """SELECT label, COUNT(*) AS n,

@@ -89,6 +89,46 @@ object Similarity {
         col("rank"))
   }
 
+  /** Int8-quantized brute-force top-k with exact re-rank: score every
+    * corpus row against every query over SYMMETRIC per-vector int8
+    * quantization (1 byte/dim — 4× less scan bandwidth than float32 in the
+    * O(corpus × queries) loop, integer dot products; the per-vector scale
+    * cancels out of the cosine so no scale table rides along), keep the
+    * `refine` best candidates per query, then re-rank EXACTLY (float cosine)
+    * and emit top-k. Precision of the emitted scores is exact — quantization
+    * only affects which candidates reach the re-rank, so recall is the one
+    * approximate axis (measured in Bench at the production `refine`;
+    * `refine` ≥ corpus size makes the path exhaustive and oracle-equal).
+    * Same "queries are small, broadcast" contract as [[bruteForceTopK]] —
+    * this is the same O(corpus × queries) shape, just cheaper per pair.
+    * Candidates travel id-only through the top-`refine` window; float
+    * payloads re-join once per surviving (query, candidate).
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      refine: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.expressions.TextExprs.{quantCosineCol, quantize8Col}
+    val c8 = corpus.select(col(idCol).as("vec_id"), quantize8Col(col(vecCol)).as("c8"))
+    val q8 = queries.select(col(idCol).as("query_id"), quantize8Col(col(vecCol)).as("q8"))
+    val qw = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+    val cand = c8.join(broadcast(q8), col("query_id") =!= col("vec_id"))
+      .withColumn("qcos", quantCosineCol(col("q8"), col("c8")))
+      .withColumn("qrank", row_number().over(qw))
+      .filter(col("qrank") <= refine)
+      .select("query_id", "vec_id")
+    val cv = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cand.join(cv, "vec_id")
+      .join(qv, "query_id")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"),
+        col("rank"))
+  }
+
   /** IVF (inverted-file) ANN: deterministic k-means-lite coarse quantizer.
     *
     * Scale design: centroids live in a (tiny) DataFrame that is BROADCAST to

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-relevance scoring for training-data curation — rank documents
+  * against a small bag of probe terms (the standard way to skim topical
+  * slices out of a web-scale corpus before expensive model-based filters).
+  *
+  * Scale design: everything is expression + hash-aggregation work.
+  *   - token traversal is O(corpus tokens), the same cost class as reading
+  *     the text at all; the probe-term filter collapses it to O(matching
+  *     postings) before any shuffle
+  *   - document frequencies aggregate the (doc, term) postings — bounded by
+  *     |terms| rows out, joined back by a shuffle-or-AQE-broadcast join on
+  *     term (|terms| is small by contract, but nothing here FORCES a driver
+  *     broadcast)
+  *   - corpus statistics (N, avgdl) are ONE row, combined via an explicit
+  *     1-row broadcast — never a driver collect
+  */
+object TextRank {
+
+  /** Okapi BM25 (Robertson/Sparck Jones idf with the +1 floor — the Lucene
+    * variant, non-negative for any df): for document d and term t,
+    *
+    *   idf(t)   = ln((N - df + 0.5) / (df + 0.5) + 1)
+    *   w(t, d)  = idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    *   bm25(d)  = Σ_t∈terms w(t, d)
+    *
+    * Tokenization is the engine's standard whitespace split over
+    * lower(trim(text)) (empty tokens dropped), so scores line up with
+    * [[graft.functions.Text]] token counts. Documents matching NO probe
+    * term are omitted (score 0 — the output is the matching slice, which at
+    * corpus scale is the point: the result is O(hits), not O(corpus)).
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], idCol: String = "doc_id",
+      textCol: String = "text", k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one probe term")
+    val toks = docs.select(col(idCol).as("id"),
+      filter(split(lower(trim(col(textCol))), "\\s+"),
+        t => length(t) > 0).as("w"))
+    val dl = toks.select(col("id"), size(col("w")).as("dl"))
+    // one row; explicit broadcast — corpus stats never hit the driver
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val tf = toks.select(col("id"), explode(col("w")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("term"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("wgt",
+        col("idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("id").as(idCol))
+      .agg(round(sum("wgt"), 6).as("bm25"))
+  }
+}

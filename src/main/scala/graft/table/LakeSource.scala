@@ -16,6 +16,7 @@ import org.apache.spark.sql.graftbridge.ScanBridge
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 import java.util.OptionalLong
 
@@ -359,7 +360,6 @@ private[table] final class LakeScanBuilder(table: LakeTable, snap: Snapshot,
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = LakeSource.outputSchema(snap.schema)
   private var pushed: Array[Filter] = Array.empty
-  private var pushedCount: Option[Long] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
@@ -392,25 +392,96 @@ private[table] final class LakeScanBuilder(table: LakeTable, snap: Snapshot,
     if (snap.morDeltas) None
     else snap.metrics.get("tombstoneRows").map(snap.totalRows - _)
 
-  private def canPushAgg(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    !rowLevel && pushed.isEmpty &&
-      agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions()(0)
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
-      metadataCount.isDefined
+  /** Metadata MIN/MAX over the KEY columns, from the manifests' per-file
+    * stats. Sound only when retained tombstones are KNOWN ZERO
+    * (`metrics("tombstoneRows") == 0`, i.e. a full compaction whose
+    * watermark expired every tombstone, with no commit since): a tombstoned
+    * key's bytes are still in the file (and its stats), but it is not a
+    * live row — with zero tombstones every stored row is a live winner, so
+    * the fold over file bounds is exact. Superseded LWW versions need no
+    * guard: they share their winner's key, so they can never move a key
+    * extreme (which is also why this does not demand key-uniqueness).
+    * Every file must carry stats (compaction output does); a stat-less
+    * file disables the answer rather than risking it. Empty table → None
+    * values (SQL NULL), matching the aggregate semantics.
+    */
+  private lazy val metadataBounds: Option[(Option[(UTF8String, UTF8String)], Option[(Int, Int)])] =
+    if (snap.morDeltas || !snap.metrics.get("tombstoneRows").contains(0L)) None
+    else {
+      val files = table.resolveFiles(snap).values.flatten.toSeq
+      if (files.exists(_.stats.isEmpty)) None
+      else if (files.isEmpty) Some((None, None))
+      else {
+        val st = files.map(_.stats.get)
+        val lo = st.map(s => UTF8String.fromString(s.minConv)).min
+        val hi = st.map(s => UTF8String.fromString(s.maxConv)).max
+        Some((Some((lo, hi)), Some((st.map(_.minTurn).min, st.map(_.maxTurn).max))))
+      }
+    }
+
+  /** Resolve one pushed aggregate expression to (output field, value), or
+    * None when the metadata cannot answer it exactly.
+    */
+  private def resolveAgg(
+      e: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc)
+      : Option[(org.apache.spark.sql.types.StructField, Any)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField}
+    def colOf(c: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      c match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    e match {
+      case _: CountStar => metadataCount.map(n =>
+        (StructField("count", LongType, nullable = false), n: java.lang.Long))
+      case m: Min => colOf(m.column).flatMap {
+        case "conv_id" => metadataBounds.map { case (c, _) =>
+          (StructField("min_conv_id", StringType), c.map(_._1).orNull) }
+        case "turn_idx" => metadataBounds.map { case (_, t) =>
+          (StructField("min_turn_idx", IntegerType),
+            t.map(v => Int.box(v._1)).orNull) }
+        case _ => None
+      }
+      case m: Max => colOf(m.column).flatMap {
+        case "conv_id" => metadataBounds.map { case (c, _) =>
+          (StructField("max_conv_id", StringType), c.map(_._2).orNull) }
+        case "turn_idx" => metadataBounds.map { case (_, t) =>
+          (StructField("max_turn_idx", IntegerType),
+            t.map(v => Int.box(v._2)).orNull) }
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  private def resolveAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any])] =
+    if (rowLevel || pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
+      agg.aggregateExpressions.isEmpty) None
+    else {
+      val resolved = agg.aggregateExpressions.map(resolveAgg)
+      if (resolved.exists(_.isEmpty)) None
+      else Some((StructType(resolved.map(_.get._1).toIndexedSeq),
+        resolved.map(_.get._2)))
+    }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    canPushAgg(agg)
+    resolveAggregation(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (canPushAgg(agg)) { pushedCount = metadataCount; true } else false
+    pushedAgg = resolveAggregation(agg)
+    pushedAgg.isDefined
   }
 
-  override def build(): Scan = pushedCount match {
-    case Some(n) => new LakeCountScan(n, snap.version)
+  private var pushedAgg: Option[(StructType, Array[Any])] = None
+
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, values)) => new LakeAggScan(schema, values, snap.version)
     case None =>
       val buckets = LakeSource.prunedBuckets(table, pushed)
         .filter(_.size < snap.numBuckets) // saturated = no pruning
@@ -418,15 +489,18 @@ private[table] final class LakeScanBuilder(table: LakeTable, snap: Snapshot,
   }
 }
 
-/** The COUNT(*) answer as a one-row, one-task scan — no data file opens. */
-private final class LakeCountScan(count: Long, version: Long) extends Scan with Batch {
-  override def readSchema(): StructType =
-    StructType(Seq(org.apache.spark.sql.types.StructField("count",
-      org.apache.spark.sql.types.LongType, nullable = false)))
-  override def description(): String = s"LakeCountScan(v$version, count=$count)"
+/** A fully-pushed aggregation's answer as a one-row, one-task scan — no
+  * data file opens. Field order matches the pushed aggregate expressions
+  * (Spark maps them positionally, the JDBC complete-pushdown contract).
+  */
+private final class LakeAggScan(schema: StructType, values: Array[Any],
+    version: Long) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"LakeCountScan(v$version, ${schema.fieldNames.zip(values).map { case (n, v) => s"$n=$v" }.mkString(", ")})"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(LakeCountPartition(count))
+    Array(LakeAggPartition(values))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -435,13 +509,13 @@ private final class LakeCountScan(count: Long, version: Long) extends Scan with 
           override def next(): Boolean = !emitted && { emitted = true; true }
           override def get(): InternalRow =
             new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-              Array[Any](p.asInstanceOf[LakeCountPartition].count))
+              p.asInstanceOf[LakeAggPartition].values)
           override def close(): Unit = ()
         }
     }
 }
 
-private final case class LakeCountPartition(count: Long) extends InputPartition
+private final case class LakeAggPartition(values: Array[Any]) extends InputPartition
 
 private[table] final class LakeSourceScan(table: LakeTable, snap: Snapshot,
     required: StructType, buckets: Option[Set[Int]],

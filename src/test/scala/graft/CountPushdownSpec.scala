@@ -75,6 +75,45 @@ class CountPushdownSpec extends SparkSpecBase {
       .contains("LakeCountScan"))
   }
 
+  test("MIN/MAX over key columns push down once tombstones are known zero") {
+    val root = tmpDir("cp-minmax")
+    val t = build(root)
+    // retained tombstones: COUNT may push, MIN/MAX must NOT (a tombstoned
+    // key could be the extreme — c0 IS the stored min_conv but is dead)
+    MergeApplier.compactRetainTombstones(spark, t)
+    val agg0 = spark.read.format("lake").option("path", root).load()
+      .agg(org.apache.spark.sql.functions.min("conv_id").as("min_conv_id"),
+        org.apache.spark.sql.functions.max("conv_id").as("max_conv_id"))
+    assert(!agg0.queryExecution.executedPlan.toString.contains("LakeCountScan"))
+    assert(agg0.collect().head.getString(0) == "c10") // live min (c0..c4 dead)
+    // a full compaction whose watermark expires every tombstone → exact
+    MergeApplier.compact(spark, t, Timestamp.valueOf("2030-01-01 00:00:00"))
+    val df = spark.read.format("lake").option("path", root).load()
+    val agg1 = df.agg(
+      org.apache.spark.sql.functions.min("conv_id").as("min_conv_id"),
+      org.apache.spark.sql.functions.max("conv_id").as("max_conv_id"),
+      org.apache.spark.sql.functions.min("turn_idx").as("min_turn_idx"),
+      org.apache.spark.sql.functions.max("turn_idx").as("max_turn_idx"),
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(agg1.queryExecution.executedPlan.toString.contains("LakeCountScan"),
+      s"expected pushed agg:\n${agg1.queryExecution.executedPlan}")
+    val r = agg1.collect().head
+    assert(r.getString(0) == "c10" && r.getString(1) == "c9")
+    assert(r.getInt(2) == 0 && r.getInt(3) == 2 && r.getLong(4) == 25L)
+    // physical proof: answers with every data file gone
+    t.resolveFiles(t.currentSnapshot().get).values.flatten.foreach(f =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(f.path)))
+    assert(spark.read.format("lake").option("path", root).load()
+      .agg(org.apache.spark.sql.functions.max("conv_id")).collect().head.getString(0) == "c9")
+    // an aggregate the metadata cannot answer (MAX(ts)) blocks the WHOLE
+    // pushdown — falls back to the scan, which now fails on missing files
+    intercept[Exception] {
+      spark.read.format("lake").option("path", root).load()
+        .agg(org.apache.spark.sql.functions.max("conv_id"),
+          org.apache.spark.sql.functions.max("ts")).collect()
+    }
+  }
+
   test("SQL COUNT(*) through the catalog pushes down") {
     val base = tmpDir("cp-sql")
     val t = build(s"$base/t")

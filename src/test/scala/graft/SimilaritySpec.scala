@@ -119,6 +119,50 @@ class SimilaritySpec extends SparkSpecBase {
       bands = 4, bitsPerBand = 4, maxBucket = 10).count() == 0)
   }
 
+  test("int8 quantization: scale cancels, zero vector is safe, cosine close") {
+    import graft.functions.expressions.TextExprs.{quantCosineCol, quantize8Col}
+    val df = Seq(
+      (Array(1.0f, 2.0f, 2.0f), Array(10.0f, 20.0f, 20.0f)), // parallel, diff scale
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),    // orthogonal
+      (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f))     // zero vector
+    ).toDF("a", "b")
+    val got = df.select(round(quantCosineCol(quantize8Col($"a"), quantize8Col($"b")), 6))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(1.0, 0.0, 0.0))
+    // quantized cosine tracks float cosine within int8 error on real vectors
+    val pairs = emb.limit(40).select($"vec_id", $"embedding").as("x")
+      .join(emb.limit(40).select($"vec_id".as("id2"), $"embedding".as("e2")).as("y"),
+        $"vec_id" < $"id2")
+    val err = pairs.select(abs(
+        quantCosineCol(quantize8Col($"embedding"), quantize8Col($"e2")) -
+          Similarity.cosine($"embedding", $"e2")).as("err"))
+      .agg(max($"err")).collect().head.getDouble(0)
+    assert(err < 0.02, s"max quantization error $err")
+  }
+
+  test("quantized top-k with exhaustive refine equals brute force") {
+    val queries = emb.filter($"vec_id" < 4)
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val qt = Similarity.quantizedTopK(emb, queries, k = 5, refine = Int.MaxValue)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(qt == bf)
+    // production refine: emitted scores are EXACT float cosines (the
+    // quantization can only cost recall, never score precision) and ranks
+    // are well-formed 1..n per query; recall is measured in Bench
+    val narrow = Similarity.quantizedTopK(emb, queries, k = 5, refine = 8)
+      .collect()
+    assert(narrow.nonEmpty)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 1000000).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    narrow.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    narrow.foreach(r =>
+      assert(exact((r.getLong(0), r.getLong(1))) == r.getDouble(2)))
+  }
+
   test("embedding near-dup: exact duplicate vectors are found with cosine 1") {
     val base = emb.filter($"vec_id" < 50)
     val dup = base.filter($"vec_id" === 7)
