@@ -541,6 +541,17 @@ object SparkEntry {
       table(s, dir, "documents").select(
         col("doc_id"), Text.fingerprint(col("text"), 3).as("fingerprint"))),
 
+    // Exact interpolated percentiles of document length (the curation
+    // length-cutoff picker). Spark `percentile` and DuckDB `quantile_cont`
+    // share the (n-1)·p linear-interpolation definition — library parity.
+    // At 100× scale swap in percentile_approx (same plan shape, bounded
+    // state); the exact form is the oracle-checkable variant.
+    "text_len_percentiles" -> ((s, dir) =>
+      table(s, dir, "documents").agg(
+        round(expr("percentile(length(text), 0.5)"), 4).as("p50"),
+        round(expr("percentile(length(text), 0.9)"), 4).as("p90"),
+        round(expr("percentile(length(text), 0.99)"), 4).as("p99"))),
+
     // Okapi BM25 against a 3-term probe — the corpus-relevance slice
     // (expression + hash-agg only; the DuckDB oracle runs the identical
     // formula term by term).
@@ -602,6 +613,20 @@ object SparkEntry {
     "embed_neardup_lsh" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(table(s, dir, "embeddings"),
         minCos = 0.35, bands = 32, bitsPerBand = 5)),
+
+    // SEMANTIC dedup deliverable: near-dup clusters over the embedding
+    // space (exact pair graph at the gate threshold + the same
+    // connected-components engine as the text clusters) — keep one
+    // representative per meaning, not just per wording. Scale path at 100×:
+    // feed [[Similarity.embeddingNearDupPairs]] (banded SRP) into the same
+    // CC; the exact pair graph here keeps the gate oracle-equal.
+    "embed_clusters" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Dedup.connectedComponents(
+        emb.select(col("vec_id")),
+        Similarity.embeddingNearDupPairsExact(emb, minCos = 0.35),
+        idCol = "vec_id")
+    }),
 
     // multimodal plumbing: binary payload + typed metadata through the
     // partition-local (stubbed) codec; hash-free columns oracle-checked.
@@ -1164,6 +1189,12 @@ object SparkEntry {
         |SELECT d.doc_id, f.fingerprint FROM documents d
         |LEFT JOIN f ON d.doc_id = f.doc_id""".stripMargin,
 
+    "text_len_percentiles" ->
+      """SELECT ROUND(quantile_cont(length(text), 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(length(text), 0.9), 4) AS p90,
+        |  ROUND(quantile_cont(length(text), 0.99), 4) AS p99
+        |FROM documents""".stripMargin,
+
     // identical Okapi BM25 formula, same multiply order, round 6 both sides
     "text_bm25" ->
       """WITH d AS (
@@ -1234,6 +1265,24 @@ object SparkEntry {
         |  ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.35""".stripMargin,
+
+    // same pair predicate as embed_neardup, then the recursive transitive
+    // closure (min reachable id = cluster id) like dedup_clusters
+    "embed_clusters" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.35),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT r.src, ed.b FROM reach r JOIN edges ed ON r.dst = ed.a)
+        |SELECT src AS vec_id, MIN(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin,
 
     "mm_features_meta" ->
       """SELECT doc_id AS media_id,

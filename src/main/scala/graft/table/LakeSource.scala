@@ -320,18 +320,55 @@ private[table] final class LakeSourceTable(root: String, tableOptions: CaseInsen
       // opaque capability message
       override def truncate(): WriteBuilder = throw new UnsupportedOperationException(
         "INSERT OVERWRITE is unsupported: lake rows change via CDC upserts/deletes")
-      override def build(): Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation = new InsertableRelation {
-          override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-            require(!overwrite,
-              "INSERT OVERWRITE is unsupported: lake rows change via CDC upserts/deletes")
-            LakeSource.sqlAppend(root, data, info.options())
+      override def build(): Write = {
+        /** OPT-IN pre-shuffle for the streaming sink (`distribute=bucket`):
+          * declare clustered-by-bucket distribution so Spark inserts ONE
+          * exchange per epoch and each of the table's buckets is written by
+          * exactly one task — an epoch then appends ≤ touched-buckets delta
+          * files instead of up to tasks × buckets. At scale this is the
+          * file-count/fold-cost knob for a wide unordered source (thousands
+          * of source partitions would otherwise each open a writer per
+          * bucket they happen to hit); the default stays the zero-shuffle
+          * hot path, which auto-compaction already bounds. Resolving the
+          * bucket transform needs the function catalog, so this option is
+          * for `toTable("cat.tbl")` sinks (a bare path sink has no catalog
+          * to resolve `bucket` against — Spark fails that loudly).
+          */
+        val distribute = "bucket".equalsIgnoreCase(
+          String.valueOf(info.options().get("distribute")))
+        if (distribute)
+          new V1Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+            override def requiredDistribution()
+                : org.apache.spark.sql.connector.distributions.Distribution =
+              org.apache.spark.sql.connector.distributions.Distributions.clustered(
+                Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+                  snap.numBuckets, "conv_id", "turn_idx")))
+            override def requiredOrdering()
+                : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+            override def requiredNumPartitions(): Int = snap.numBuckets
+            override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+              override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+                require(!overwrite,
+                  "INSERT OVERWRITE is unsupported: lake rows change via CDC upserts/deletes")
+                LakeSource.sqlAppend(root, data, info.options())
+              }
+            }
+            override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+              new LakeStreamingWrite(root, info)
           }
+        else new V1Write {
+          override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              require(!overwrite,
+                "INSERT OVERWRITE is unsupported: lake rows change via CDC upserts/deletes")
+              LakeSource.sqlAppend(root, data, info.options())
+            }
+          }
+          // df.writeStream.format("lake") — the exactly-once streaming sink
+          // (delta-append micro-batches under the epoch ledger)
+          override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            new LakeStreamingWrite(root, info)
         }
-        // df.writeStream.format("lake") — the exactly-once streaming sink
-        // (delta-append micro-batches under the epoch ledger)
-        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-          new LakeStreamingWrite(root, info)
       }
     }
   }

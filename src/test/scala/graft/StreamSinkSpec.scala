@@ -127,4 +127,44 @@ class StreamSinkSpec extends SparkSpecBase {
     assert(spark.sql("SELECT conv_id FROM sinkcat.t").collect().map(_.getString(0)).toSeq
       == Seq("a"))
   }
+
+  test("distribute=bucket clusters epochs: delta files per epoch == touched buckets") {
+    val base = tmpDir("sinkd-tbl")
+    val root = s"$base/t"
+    val src = tmpDir("sinkd-src")
+    val t = new LakeTable(root, numBuckets = 4)
+    MergeApplier.applyBatch(spark, t, spark.createDataset(Seq(
+      ev("seed", 0, "v", "2025-01-01 00:00:00", 1))).toDF(), "seed", 0L)
+    spark.conf.set("spark.sql.catalog.distcat", classOf[graft.table.LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.distcat.base", base)
+    // 4 source FILES consumed in one epoch (maxFilesPerTrigger=4) → ≥4 input
+    // partitions, each holding keys of every bucket: unshuffled this epoch
+    // would write up to 4 × 4 delta files; clustered it must write exactly
+    // the touched-bucket count
+    (0 until 4).foreach { f =>
+      writeFlatParquet(spark.createDataset((0 until 16).map(i =>
+        ev(s"k${f}_$i", 0, s"v$i", "2025-01-01 00:10:00", 100L + f * 16 + i)))
+        .toDF().drop("op"), src, s"c$f.parquet")
+    }
+    val before = t.currentSnapshot().get
+    val nBefore = t.resolveFiles(before).values.flatten.size
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        Model.changeEventSchema.fields.filterNot(_.name == "op")))
+      .option("maxFilesPerTrigger", 4)
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", tmpDir("sinkd-ckpt"))
+      .option("distribute", "bucket")
+      .trigger(Trigger.AvailableNow())
+      .toTable("distcat.t")
+      .awaitTermination()
+    val after = t.currentSnapshot().get
+    assert(after.version == before.version + 1, "one epoch, one commit")
+    val touched = after.metrics("touchedBuckets")
+    val added = t.resolveFiles(after).values.flatten.size - nBefore
+    assert(added == touched,
+      s"clustered epoch must write one file per touched bucket: added=$added touched=$touched")
+    assert(t.read(spark).count() == 65L) // 64 sink rows + seed
+  }
 }
