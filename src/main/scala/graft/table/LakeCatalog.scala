@@ -93,6 +93,30 @@ final class LakeCatalog extends TableCatalog with FunctionCatalog
       new CaseInsensitiveStringMap(java.util.Map.of("asOfVersion", version)))
   }
 
+  /** SQL time travel: `TIMESTAMP AS OF t` (Spark hands MICROseconds).
+    * Resolves to the max commit-stamped retained version at-or-before `t`
+    * (Iceberg's contract), then reads it through the same `asOfVersion`
+    * path as version travel — one resolution rule, two SQL spellings.
+    * Pre-stamp snapshots (no `commitMs`) and vacuumed versions are not
+    * time-resolvable; asking before the earliest stamp fails loudly.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootFor(ident)
+    val t = LakeTable.open(root)
+    if (t.currentSnapshot().isEmpty) throw new NoSuchTableException(ident)
+    val askMs = timestamp / 1000L
+    val v = t.versions().sorted.reverse.iterator
+      .map(t.snapshotAt(_).get)
+      .find(_.metrics.get("commitMs").exists(_ <= askMs))
+      .map(_.version)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no retained snapshot of lake table at $root committed at or before " +
+          s"${java.time.Instant.ofEpochMilli(askMs)} (earliest retained stamp wins only " +
+          "at-or-after it; vacuumed or pre-stamp versions are not time-resolvable)"))
+    new LakeSourceTable(root,
+      new CaseInsensitiveStringMap(java.util.Map.of("asOfVersion", v.toString)))
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = Paths.get((base +: namespace).mkString("/"))
     if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)

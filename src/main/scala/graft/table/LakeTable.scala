@@ -398,7 +398,14 @@ final class LakeTable(val root: String, val numBuckets: Int) {
     }.asJava)
     j.put("committed", s.committed.map { case (k, v) => k -> java.lang.Long.valueOf(v) }.asJava)
     j.put("bucketRows", s.bucketRows.map { case (b, n) => b.toString -> java.lang.Long.valueOf(n) }.asJava)
-    j.put("metrics", s.metrics.map { case (k, v) => k -> java.lang.Long.valueOf(v) }.asJava)
+    // wall-clock commit stamp for `TIMESTAMP AS OF` travel — recorded at
+    // publish (not at snapshot construction) so it orders with visibility;
+    // absent in pre-stamp snapshots (readers fall back to "not resolvable
+    // by time"). Monotonicity across versions is NOT guaranteed under clock
+    // skew between writers — time travel resolves to the max STAMPED version
+    // at-or-before the ask, the same contract Iceberg documents.
+    j.put("metrics", (s.metrics + ("commitMs" -> System.currentTimeMillis()))
+      .map { case (k, v) => k -> java.lang.Long.valueOf(v) }.asJava)
     j.put("parentVersion", java.lang.Long.valueOf(s.parentVersion))
     j.put("morDeltas", java.lang.Boolean.valueOf(s.morDeltas))
     val tmp = metaDir.resolve(s".tmp-snap-${s.version}-${System.nanoTime()}.json")

@@ -121,6 +121,26 @@ class LakeSourceSpec extends SparkSpecBase {
     assert(spark.sql("SELECT text FROM lakecat.convs").collect().map(_.getString(0)).toSeq == Seq("v2"))
     assert(spark.sql("SELECT text FROM lakecat.convs VERSION AS OF 1")
       .collect().map(_.getString(0)).toSeq == Seq("v1"))
+    // TIMESTAMP AS OF: resolves to the max commit-stamped version at-or-
+    // before the ask — between the two commits it serves v1, now it serves
+    // v2, before the first commit it fails loudly
+    val s1 = t.snapshotAt(1).get.metrics("commitMs")
+    val s2 = t.snapshotAt(2).get.metrics("commitMs")
+    // format in UTC explicitly (the session tz) — JVM-default-tz rendering
+    // would skew the literal on non-UTC hosts
+    def atMs(ms: Long) = java.time.LocalDateTime
+      .ofInstant(java.time.Instant.ofEpochMilli(ms), java.time.ZoneOffset.UTC)
+      .toString.replace('T', ' ')
+    assert(spark.sql(s"SELECT text FROM lakecat.convs TIMESTAMP AS OF '${atMs(s1)}'")
+      .collect().map(_.getString(0)).toSeq == Seq(if (s2 > s1) "v1" else "v2"))
+    assert(spark.sql(s"SELECT text FROM lakecat.convs TIMESTAMP AS OF '${atMs(s2 + 1000)}'")
+      .collect().map(_.getString(0)).toSeq == Seq("v2"))
+    val noSnap = intercept[Exception] {
+      spark.sql(s"SELECT text FROM lakecat.convs TIMESTAMP AS OF '${atMs(s1 - 60000)}'")
+        .collect()
+    }
+    assert(noSnap.getMessage.contains("not time-resolvable") ||
+      Option(noSnap.getCause).exists(_.getMessage.contains("not time-resolvable")))
     assert(spark.sql("SHOW TABLES IN lakecat").collect().map(_.getString(1)).toSeq == Seq("convs"))
     // the $history metadata table: the commit log over SQL
     val hist = spark.sql(
