@@ -101,6 +101,36 @@ object SparkEntry {
         .withColumn("prev_role", lag("role", 1).over(w))
     }),
 
+    // Conversation ASSEMBLY — the transcript store's training-example read:
+    // full conversation text per conv_id, turns in order, one hash-agg +
+    // in-group sort (array_sort on (turn_idx, …) structs; no window, no
+    // second shuffle). concat_ws both sides so null text never nulls a line.
+    "cdc_conv_assembly" -> ((s, dir) =>
+      replayFinal(s, dir)
+        .groupBy("conv_id")
+        .agg(
+          count(lit(1)).as("n_turns"),
+          max("ts").as("last_ts"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("turn_idx"), col("role"), col("text")))),
+            t => concat_ws(": ", t.getField("role"), t.getField("text"))), "\n")
+            .as("transcript"))),
+
+    // Sliding context→target pairs (instruction-tuning example mining):
+    // each turn with ≥1 predecessor emits (context = up to 3 previous turns
+    // joined, target = this turn's text). ONE windowed pass — the frame is
+    // ROWS-based so gaps in turn_idx cost nothing.
+    "cdc_context_pairs" -> ((s, dir) => {
+      val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        .rowsBetween(-3, -1)
+      replayFinal(s, dir)
+        .withColumn("context", array_join(
+          collect_list(concat_ws(": ", col("role"), col("text"))).over(w), "\n"))
+        .filter(col("context") =!= "")
+        .select(col("conv_id"), col("turn_idx"), col("context"),
+          col("text").as("target"))
+    }),
+
     // F7 at scale: the salted two-level window LWW must produce the SAME
     // winners — proven against the same oracle as cdc_lww_dedup.
     "cdc_salted_dedup" -> ((s, dir) =>
@@ -791,6 +821,32 @@ object SparkEntry {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
          |    ORDER BY ts DESC, seq DESC) AS rn FROM changelog) t
          |WHERE rn = 1 AND op = 'delete'""".stripMargin,
+
+    "cdc_conv_assembly" ->
+      s"""$C , winners AS (
+         |  SELECT conv_id, turn_idx, role, text, ts FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+         |      ORDER BY ts DESC, seq DESC) AS rn FROM changelog) t
+         |  WHERE rn = 1 AND op <> 'delete')
+         |SELECT conv_id, COUNT(*) AS n_turns, MAX(ts) AS last_ts,
+         |  string_agg(concat_ws(': ', role, text), chr(10) ORDER BY turn_idx)
+         |    AS transcript
+         |FROM winners GROUP BY conv_id""".stripMargin,
+
+    "cdc_context_pairs" ->
+      s"""$C , winners AS (
+         |  SELECT conv_id, turn_idx, role, text FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+         |      ORDER BY ts DESC, seq DESC) AS rn FROM changelog) t
+         |  WHERE rn = 1 AND op <> 'delete')
+         |SELECT conv_id, turn_idx, context, target FROM (
+         |  SELECT conv_id, turn_idx,
+         |    string_agg(concat_ws(': ', role, text), chr(10))
+         |      OVER (PARTITION BY conv_id ORDER BY turn_idx
+         |            ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS context,
+         |    text AS target
+         |  FROM winners) p
+         |WHERE context IS NOT NULL""".stripMargin,
 
     "cdc_turn_order" ->
       s"""$C, final AS (

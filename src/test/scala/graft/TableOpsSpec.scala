@@ -192,7 +192,9 @@ class TableOpsSpec extends SparkSpecBase {
     assert(state(t16) == before)
     assert(t16.readRaw(spark).count() == rawBefore, "tombstones must survive the rewrite")
     val s = t16.currentSnapshot().get
-    assert(s.metrics == Map("rebucketedFrom" -> 4L))
+    // commitMs is the publish-time stamp every commit carries (time travel)
+    assert(s.metrics - "commitMs" == Map("rebucketedFrom" -> 4L))
+    assert(s.metrics.contains("commitMs"))
     assert(s.bucketRows.keySet.subsetOf((0 until 16).toSet) && s.bucketRows.size > 4)
 
     // the old handle's bucket function no longer matches the table — every
@@ -247,7 +249,7 @@ class TableOpsSpec extends SparkSpecBase {
     assert(h.map(_.getAs[Long]("parent_version")).toSeq == Seq(0L, 1L, 2L))
     assert(h(1).getAs[Boolean]("mor_deltas"))
     assert(h(1).getAs[Int]("delta_manifests") == 1)
-    assert(h(2).getAs[Map[String, Long]]("metrics") == Map("rollbackTo" -> 1L))
+    assert(h(2).getAs[Map[String, Long]]("metrics") - "commitMs" == Map("rollbackTo" -> 1L))
     assert(h.map(_.getAs[Map[String, Long]]("committed")).last == Map("w" -> 0L))
   }
 
