@@ -500,6 +500,14 @@ object SparkEntry {
         Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25), stratumCol = "lang")
         .select("doc_id", "lang")),
 
+    // Balanced per-stratum sampling: exactly min(k, |stratum|) docs per
+    // language in deterministic md5 order — the count-budget counterpart of
+    // the rate-based stratified sample.
+    "text_balanced_sample" -> ((s, dir) =>
+      graft.operators.Sampling.balancedSample(table(s, dir, "documents"),
+        k = 40, stratumCol = "lang")
+        .select("doc_id", "lang", "rk")),
+
     // uncapped (maxDocFreq larger than the corpus): pure oracle parity for
     // the inverted-index jaccard itself.
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -1058,6 +1066,13 @@ object SparkEntry {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) <
         |  CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.25 END
         |    * 4294967296""".stripMargin,
+
+    "text_balanced_sample" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 40""".stripMargin,
 
     "text_vocab_topk" ->
       """WITH toks AS (

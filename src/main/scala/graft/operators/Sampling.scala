@@ -29,4 +29,22 @@ object Sampling {
     val frac = element_at(typedLit(fractions), col(stratumCol))
     docs.filter(u < frac * lit(4294967296.0))
   }
+
+  /** Balanced sample: EXACTLY min(k, |stratum|) rows per stratum, chosen by
+    * md5-of-id order (deterministic, engine-reproducible, no RNG) with the
+    * id as tie-break. The class-balancing step of corpus building when the
+    * budget is a count, not a rate. One shuffle on the stratum + an
+    * in-partition sort (the windowed-operator cost class); rank ≤ k prunes
+    * before anything downstream. Per-stratum row counts must fit a
+    * partition's sort — true by construction when k bounds what you keep,
+    * and the heavy strata are exactly the ones being cut.
+    */
+  def balancedSample(docs: DataFrame, k: Int, stratumCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(stratumCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
 }
