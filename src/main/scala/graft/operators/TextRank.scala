@@ -36,19 +36,33 @@ object TextRank {
   def bm25(docs: DataFrame, terms: Seq[String], idCol: String = "doc_id",
       textCol: String = "text", k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one probe term")
-    val toks = docs.select(col(idCol).as("id"),
-      filter(split(lower(trim(col(textCol))), "\\s+"),
-        t => length(t) > 0).as("w"))
-    val dl = toks.select(col("id"), size(col("w")).as("dl"))
+    require(terms.forall(t => !t.contains("'")), s"probe terms must be plain tokens: $terms")
+    // ONE tokenization pass, materialized narrow: dl and every per-term tf
+    // are computed as expressions over the token array in a single codegen
+    // projection (no explode — per-row O(tokens × |terms|) compute in place
+    // beats generating O(corpus tokens) rows), and the (2 + |terms|)-column
+    // result is checkpointed so the stats / postings / df branches below
+    // read the materialization instead of re-scanning + re-tokenizing the
+    // corpus per branch (the naive plan scans the text column 4×).
+    val w = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("w"), x => x === lit(t))).cast("long").as(s"tf_$i") }
+    val base = docs.select(col(idCol).as("id"), w.as("w"))
+      .select(col("id") +: size(col("w")).as("dl") +: tfCols: _*)
+      .localCheckpoint(true)
     // one row; explicit broadcast — corpus stats never hit the driver
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
+    val stats = base.agg(count(lit(1)).as("n_docs"),
       avg(col("dl").cast("double")).as("avgdl"))
-    val tf = toks.select(col("id"), explode(col("w")).as("term"))
-      .filter(col("term").isin(terms: _*))
-      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    // unpivot the tf columns back to (term, tf) postings; docs without a
+    // term carry tf 0 and drop here — the output is O(hits), not O(corpus)
+    val stackExpr = terms.zipWithIndex
+      .map { case (t, i) => s"'${t}', tf_$i" }.mkString(", ")
+    val tf = base
+      .select(col("id"), col("dl"),
+        expr(s"stack(${terms.length}, $stackExpr) AS (term, tf)"))
+      .filter(col("tf") > 0)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(df, Seq("term"))
-      .join(dl, Seq("id"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))

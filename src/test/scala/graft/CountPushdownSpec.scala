@@ -123,5 +123,15 @@ class CountPushdownSpec extends SparkSpecBase {
     val q = spark.sql("SELECT COUNT(*) AS n FROM cpcat.t")
     assert(q.collect().head.getLong(0) == 25L)
     assert(q.queryExecution.executedPlan.toString.contains("LakeCountScan"))
+    // mixed COUNT/MIN/MAX over SQL: not yet eligible (tombstones retained by
+    // the maintenance compaction) → falls back; after the watermark
+    // compaction the whole row answers from metadata
+    val mixed = "SELECT COUNT(*) AS n, MIN(conv_id) AS mn, MAX(turn_idx) AS mx FROM cpcat.t"
+    assert(!spark.sql(mixed).queryExecution.executedPlan.toString.contains("LakeCountScan"))
+    MergeApplier.compact(spark, t, Timestamp.valueOf("2030-01-01 00:00:00"))
+    val m = spark.sql(mixed)
+    assert(m.queryExecution.executedPlan.toString.contains("LakeCountScan"))
+    val r = m.collect().head
+    assert(r.getLong(0) == 25L && r.getString(1) == "c10" && r.getInt(2) == 2)
   }
 }
