@@ -626,6 +626,16 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
         bands = 64, bitsPerBand = 1)
     }),
+    // IVF-PQ (coarse lists + per-subspace codebooks + ADC scoring + exact
+    // re-rank) at full probe AND full refine: every candidate reaches the
+    // exact re-rank, so the entire train/encode/LUT/sum pipeline shares the
+    // brute-force oracle regardless of quantizer quality; the production
+    // (partial-probe, small-refine) recall is measured in Bench ("recall").
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
+        nLists = 8, nProbe = 8, m = 8, codes = 16, refine = Int.MaxValue)
+    }),
     // Int8-quantized scoring with `refine` ≥ corpus ⇒ every candidate
     // reaches the exact re-rank ⇒ shares the brute-force oracle (the
     // ann_ivf_topk full-probe trick). The production refine's recall is
@@ -783,6 +793,7 @@ object SparkEntry {
     oracleSqlBase ++ Map(
       "dedup_clusters_star" -> oracleSqlBase("dedup_clusters"),
       "ann_quant_topk" -> oracleSqlBase("ann_cosine_topk"),
+      "ann_ivfpq_topk" -> oracleSqlBase("ann_cosine_topk"),
       "cdc_table_incremental" -> oracleSqlBase("cdc_replay_final"),
       "cdc_table_mor_read" -> oracleSqlBase("cdc_replay_final"),
       "cdc_spill_fold" -> oracleSqlBase("cdc_replay_final"),

@@ -161,6 +161,35 @@ object TextExprs {
     else dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
   }
 
+  /** Squared L2 distance over float arrays, double accumulation — the
+    * quantizer-training metric (PQ codebooks encode by nearest-in-L2).
+    */
+  def l2Sq(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toFloatArray()
+    val y = b.toFloatArray()
+    var s = 0.0
+    var i = 0
+    while (i < x.length) {
+      val d = x(i).toDouble - y(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** Plain dot product over float arrays, double accumulation — the ADC
+    * lookup-table entry (approximate dot(query, vec) = Σ per-subspace
+    * dot(query_sub, codeword)).
+    */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toFloatArray()
+    val y = b.toFloatArray()
+    var s = 0.0
+    var i = 0
+    while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+    s
+  }
+
   /** Exact cosine similarity, double accumulation in ascending index order —
     * bit-identical to the sequential SQL formulation the DuckDB oracle runs.
     */
@@ -193,6 +222,10 @@ object TextExprs {
   def quantize8Col(vec: Column): Column = column(Quantize8Expr(expression(vec)))
   def quantCosineCol(a: Column, b: Column): Column =
     column(QuantCosineExpr(expression(a), expression(b)))
+  def l2SqCol(a: Column, b: Column): Column =
+    column(L2SqExpr(expression(a), expression(b)))
+  def dotCol(a: Column, b: Column): Column =
+    column(DotExpr(expression(a), expression(b)))
 }
 
 case class CosineSimExpr(left: Expression, right: Expression)
@@ -229,6 +262,30 @@ case class MinHashSigExpr(child: Expression, n: Int, k: Int)
       s"graft.functions.expressions.TextExprs.minhashSig($c, $n, $k)")
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
     copy(child = newChild)
+}
+
+case class L2SqExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextExprs.l2Sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.TextExprs.l2Sq($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2SqExpr =
+    copy(left = l, right = r)
+}
+
+case class DotExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextExprs.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.TextExprs.dotF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotExpr =
+    copy(left = l, right = r)
 }
 
 case class Quantize8Expr(child: Expression) extends UnaryExpression {

@@ -204,6 +204,152 @@ object Similarity {
         col("rank"))
   }
 
+  /** Distributed Lloyd over KEYED vector groups: `rows` = (g, id, v) →
+    * codebook (g, cid, centroid), k centroids per group, nearest-in-L2
+    * assignment (the classic quantizer-training metric — [[ivfTopK]] keeps
+    * its cosine coarse quantizer; this one serves [[ivfPqTopK]], which
+    * trains every PQ subspace in ONE keyed loop instead of m sequential
+    * ones). Same scale discipline as the IVF Lloyd: centroids broadcast,
+    * never plan literals; every step a distributed aggregation; empty
+    * cells keep their previous centroid; deterministic hash seeding.
+    */
+  private def trainCodebooksL2(rows: DataFrame, k: Int, iters: Int): DataFrame = {
+    import graft.functions.expressions.TextExprs.l2SqCol
+    val gw = Window.partitionBy("g").orderBy("h")
+    var cb = rows.withColumn("h", xxhash64(col("g"), col("id")))
+      .withColumn("rn", row_number().over(gw)).filter(col("rn") <= k)
+      .select(col("g"), (col("rn") - 1).as("cid"), col("v").as("centroid"))
+      .localCheckpoint(true)
+    def assign(r: DataFrame): DataFrame =
+      r.join(broadcast(cb), Seq("g"))
+        .withColumn("__sc",
+          struct((-l2SqCol(col("v"), col("centroid"))).as("s"), col("cid").as("cid")))
+        .groupBy(col("g"), col("id"))
+        .agg(first(col("v")).as("v"), max(col("__sc")).getField("cid").as("cid"))
+    (0 until iters).foreach { _ =>
+      val means = assign(rows)
+        .select(col("g"), col("cid"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("g", "cid", "d").agg(avg(col("x")).as("m"))
+        .groupBy("g", "cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("d").as("d"), col("m").as("m")))),
+          e => e.getField("m").cast("float")).as("centroid"))
+      cb = cb.as("o").join(means.as("n"), Seq("g", "cid"), "left")
+        .select(col("g"), col("cid"),
+          coalesce(col("n.centroid"), col("o.centroid")).as("centroid"))
+        .localCheckpoint(true)
+    }
+    cb
+  }
+
+  /** IVF-PQ-style ANN (coarse inverted lists + product-quantized ADC
+    * scoring + exact re-rank) — the fourth member of the classic family
+    * (flat / LSH / IVF-flat / IVF-PQ):
+    *
+    *   train:  coarse L2 quantizer over full vectors (nLists cells) and a
+    *           PQ codebook per SUBSPACE (dim/m dims × `codes` words), all
+    *           subspaces in one keyed Lloyd loop
+    *   index:  each vector → its list id + m one-byte codes; at cluster
+    *           scale the index is m bytes/vector (the memory story) with
+    *           the list id as the partition/bucket key (the probe story)
+    *   search: each query probes its nProbe nearest lists; candidates are
+    *           scored ASYMMETRICALLY — approx dot(q, v) = Σ_sub
+    *           LUT[q, sub, code(v, sub)], where the LUT (queries × m ×
+    *           codes dot products) is tiny and BROADCAST, so the scoring
+    *           join never touches a float payload; the top-`refine` per
+    *           query re-rank by EXACT cosine
+    *
+    * Emitted scores are exact (ADC only selects candidates), so as with
+    * [[quantizedTopK]] recall is the one approximate axis: nProbe == nLists
+    * with refine ≥ corpus is exhaustive and oracle-equal regardless of PQ
+    * quality (it gates the train/encode/LUT/sum plumbing); the production
+    * config's recall is measured in Bench.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nLists: Int = 8, nProbe: Int = 2, m: Int = 8, codes: Int = 16,
+      refine: Int = 64, iters: Int = 2, trainSample: Double = 1.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.expressions.TextExprs.{dotCol, l2SqCol}
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .localCheckpoint(true)
+    val dim = c.select(size(col("cv"))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(trainSample > 0.0 && trainSample <= 1.0, s"trainSample: $trainSample")
+    val sub = dim / m
+    // Quantizer TRAINING needs a statistically representative sample, not
+    // the corpus: at 10^10 vectors train on a deterministic hash-sample
+    // (the same md5-free xxhash fraction trick as Sampling) — seeding's
+    // per-group hash ranking then sorts the sample, not the corpus. The
+    // ENCODE pass below always covers every vector.
+    val cTrain =
+      if (trainSample >= 1.0) c
+      else c.filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) <
+        lit((trainSample * 1000000L).toLong)).localCheckpoint(true)
+    // coarse quantizer: one group "g = -1" reuses the keyed Lloyd
+    val coarse = trainCodebooksL2(
+      cTrain.select(lit(-1).as("g"), col("vec_id").as("id"), col("cv").as("v")),
+      nLists, iters).select(col("cid").as("list"), col("centroid"))
+      .localCheckpoint(true)
+    def nearestList(r: DataFrame, id: String, v: String): DataFrame =
+      r.join(broadcast(coarse))
+        .withColumn("__sc",
+          struct((-l2SqCol(col(v), col("centroid"))).as("s"), col("list").as("list")))
+        .groupBy(col(id))
+        .agg(first(col(v)).as(v), max(col("__sc")).getField("list").as("list"))
+    // per-subspace slices: (id, sub g, subvector)
+    def subRows(r: DataFrame, id: String, v: String): DataFrame =
+      r.select(col(id), posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col(v), s * sub + 1, lit(sub)))).as(Seq("g", "v")))
+    // PQ codebooks: every subspace trained in one keyed loop
+    val cbs = trainCodebooksL2(
+      subRows(cTrain, "vec_id", "cv").withColumnRenamed("vec_id", "id"),
+      codes, iters).localCheckpoint(true)
+    // encode: (vec_id, list, sub, code) — nearest codeword per subspace
+    val encoded = subRows(c, "vec_id", "cv")
+      .join(broadcast(cbs), Seq("g"))
+      .withColumn("__sc",
+        struct((-l2SqCol(col("v"), col("centroid"))).as("s"), col("cid").as("cid")))
+      .groupBy(col("vec_id"), col("g"))
+      .agg(max(col("__sc")).getField("cid").as("code"))
+      .join(nearestList(c, "vec_id", "cv").select("vec_id", "list"), "vec_id")
+      .localCheckpoint(true)
+    // queries: probed lists + the broadcast ADC lookup table
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val pw = Window.partitionBy("query_id").orderBy(col("__sc").desc)
+    val probes = q.join(broadcast(coarse))
+      .withColumn("__sc",
+        struct((-l2SqCol(col("qv"), col("centroid"))).as("s"), col("list").as("list")))
+      .withColumn("__pn", row_number().over(pw))
+      .filter(col("__pn") <= nProbe)
+      .select(col("query_id"), col("list"))
+    val lut = subRows(q, "query_id", "qv")
+      .join(broadcast(cbs), Seq("g"))
+      .select(col("query_id"), col("g"), col("cid").as("code"),
+        dotCol(col("v"), col("centroid")).as("pd"))
+    // ADC scoring: candidates (probed lists) × m code rows ⋈ broadcast LUT,
+    // summed per (query, vec) — no float payload in the scoring join
+    val qw = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val cand = encoded.join(probes, Seq("list"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "g", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("adc"))
+      .withColumn("qrank", row_number().over(qw))
+      .filter(col("qrank") <= refine)
+      .select("query_id", "vec_id")
+    // exact re-rank of the refined candidates
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cand.join(c, "vec_id")
+      .join(q, "query_id")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"),
+        col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: all corpus pairs with cosine ≥ minCos,
     * found via SRP-LSH banding + exact verification (same precision-exact,
     * recall-approximate contract as Dedup.minhashLshPairs).

@@ -163,6 +163,31 @@ class SimilaritySpec extends SparkSpecBase {
       assert(exact((r.getLong(0), r.getLong(1))) == r.getDouble(2)))
   }
 
+  test("IVF-PQ: exhaustive probe+refine equals brute force; production config well-formed") {
+    val queries = emb.filter($"vec_id" < 4)
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    // nProbe == nLists and refine ≥ corpus: every candidate reaches the
+    // exact re-rank, so the whole train/encode/LUT/ADC plumbing must be
+    // lossless regardless of quantizer quality
+    val pq = Similarity.ivfPqTopK(emb, queries, k = 5, nLists = 4, nProbe = 4,
+      m = 8, codes = 8, refine = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(pq == bf)
+    // production shape: ranks 1..n per query, scores are exact cosines
+    val prod = Similarity.ivfPqTopK(emb, queries, k = 5, nLists = 4, nProbe = 2,
+      m = 8, codes = 8, refine = 10).collect()
+    assert(prod.nonEmpty)
+    prod.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // a hash-sampled training pass still yields a complete, well-formed index
+    val sampled = Similarity.ivfPqTopK(emb, queries, k = 5, nLists = 4, nProbe = 4,
+      m = 8, codes = 8, refine = Int.MaxValue, trainSample = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(sampled == bf, "sampled training changes codebooks, not exhaustive results")
+  }
+
   test("embedding near-dup: exact duplicate vectors are found with cosine 1") {
     val base = emb.filter($"vec_id" < 50)
     val dup = base.filter($"vec_id" === 7)
