@@ -762,6 +762,12 @@ object Bench {
         else Similarity.ivfTopK(clustered, cq, k = 5, nLists = 8, nProbe = 2)
           .select("query_id", "vec_id")
           .join(cbf, Seq("query_id", "vec_id")).count().toDouble / nCbf
+      progress("recall: IVF-PQ (probe 2 of 8, refine=20) on the clustered corpus")
+      val rIvfPqClustered = if (nCbf == 0) 1.0
+        else Similarity.ivfPqTopK(clustered, cq, k = 5, nLists = 8, nProbe = 2,
+          m = 8, codes = 16, refine = 100, trainSample = 0.5)
+          .select("query_id", "vec_id")
+          .join(cbf, Seq("query_id", "vec_id")).count().toDouble / nCbf
       // int8-quantized top-k at a production refine (4×k candidates per
       // query reach the exact re-rank); the gate runs refine ≥ corpus
       progress("recall: int8-quantized top-k (refine=20) vs brute-force top-k")
@@ -770,11 +776,14 @@ object Bench {
           .select("query_id", "vec_id")
           .join(bf, Seq("query_id", "vec_id")).count().toDouble / nBf
       // IVF-PQ production config (partial probe, small refine, sampled
-      // training): the config a user ships; the gate runs exhaustive
+      // training): the config a user ships; the gate runs exhaustive.
+      // Near-orthogonal sf embeddings are the WORST case for BOTH coarse
+      // lists and codebooks (same floor story as rIvf), so the clustered
+      // synthetic corpus is measured alongside as the operating point.
       progress("recall: IVF-PQ (probe 2 of 8, refine=20) vs brute-force top-k")
       val rIvfPq = if (nBf == 0) 1.0
         else Similarity.ivfPqTopK(embDf, annQ, k = 5, nLists = 8, nProbe = 2,
-          m = 8, codes = 16, refine = 20, trainSample = 0.5)
+          m = 8, codes = 16, refine = 100, trainSample = 0.5)
           .select("query_id", "vec_id")
           .join(bf, Seq("query_id", "vec_id")).count().toDouble / nBf
       // honest timing of the int8 path vs the float baseline at a larger
@@ -788,7 +797,7 @@ object Bench {
         timed { Similarity.bruteForceTopK(embDf, annQ64, k = 5).count() }._2)
       val annQuantS = (1 to 2).map(_ =>
         timed { Similarity.quantizedTopK(embDf, annQ64, k = 5, refine = 20).count() }._2)
-      recallJson = f"""{"dedup_minhash_lsh_bands16":$rMinhash%.4f,"dedup_simhash_banded":$rSimhash%.4f,"embed_neardup_32x5":$rNearDup%.4f,"ann_lsh_topk_32x5":$rAnn%.4f,"ann_ivf_topk_probe2of8":$rIvf%.4f,"ann_ivf_topk_probe2of8_clustered":$rIvfClustered%.4f,"ann_quant_topk_refine20":$rQuant%.4f,"ann_ivfpq_topk_probe2of8_refine20":$rIvfPq%.4f,"ann_bf_64q_sec":${annBfS.min}%.3f,"ann_quant_64q_sec":${annQuantS.min}%.3f}"""
+      recallJson = f"""{"dedup_minhash_lsh_bands16":$rMinhash%.4f,"dedup_simhash_banded":$rSimhash%.4f,"embed_neardup_32x5":$rNearDup%.4f,"ann_lsh_topk_32x5":$rAnn%.4f,"ann_ivf_topk_probe2of8":$rIvf%.4f,"ann_ivf_topk_probe2of8_clustered":$rIvfClustered%.4f,"ann_quant_topk_refine20":$rQuant%.4f,"ann_ivfpq_topk_probe2of8_refine100":$rIvfPq%.4f,"ann_ivfpq_topk_probe2of8_refine100_clustered":$rIvfPqClustered%.4f,"ann_bf_64q_sec":${annBfS.min}%.3f,"ann_quant_64q_sec":${annQuantS.min}%.3f}"""
     }
 
     emit(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdcJson,"scaling":$scalingJson,"recall":$recallJson}""")

@@ -216,9 +216,15 @@ object Similarity {
   private def trainCodebooksL2(rows: DataFrame, k: Int, iters: Int): DataFrame = {
     import graft.functions.expressions.TextExprs.l2SqCol
     val gw = Window.partitionBy("g").orderBy("h")
-    var cb = rows.withColumn("h", xxhash64(col("g"), col("id")))
+    // every codebook generation re-aliases its columns: a checkpointed
+    // frame KEEPS the input's attribute ids, so without fresh ids the
+    // old⋈new codebook join (and assign's rows⋈codebook join) can trip
+    // Catalyst's conflicting-references check on some plan shapes
+    def fresh(df: DataFrame): DataFrame = df.select(
+      col("g").as("g"), col("cid").as("cid"), col("centroid").as("centroid"))
+    var cb = fresh(rows.withColumn("h", xxhash64(col("g"), col("id")))
       .withColumn("rn", row_number().over(gw)).filter(col("rn") <= k)
-      .select(col("g"), (col("rn") - 1).as("cid"), col("v").as("centroid"))
+      .select(col("g"), (col("rn") - 1).as("cid"), col("v").as("centroid")))
       .localCheckpoint(true)
     def assign(r: DataFrame): DataFrame =
       r.join(broadcast(cb), Seq("g"))
@@ -234,16 +240,18 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("d").as("d"), col("m").as("m")))),
           e => e.getField("m").cast("float")).as("centroid"))
-      cb = cb.as("o").join(means.as("n"), Seq("g", "cid"), "left")
+      cb = fresh(cb.as("o").join(means.as("n"), Seq("g", "cid"), "left")
         .select(col("g"), col("cid"),
-          coalesce(col("n.centroid"), col("o.centroid")).as("centroid"))
+          coalesce(col("n.centroid"), col("o.centroid")).as("centroid")))
         .localCheckpoint(true)
     }
     cb
   }
 
   /** IVF-PQ-style ANN (coarse inverted lists + product-quantized ADC
-    * scoring + exact re-rank) — the fourth member of the classic family
+    * scoring + exact re-rank; Jégou/Douze/Schmid, "Product Quantization
+    * for Nearest Neighbor Search", IEEE TPAMI 2011 — public algorithm) —
+    * the fourth member of the classic family
     * (flat / LSH / IVF-flat / IVF-PQ):
     *
     *   train:  coarse L2 quantizer over full vectors (nLists cells) and a
@@ -300,41 +308,65 @@ object Similarity {
     def subRows(r: DataFrame, id: String, v: String): DataFrame =
       r.select(col(id), posexplode(transform(sequence(lit(0), lit(m - 1)),
         s => slice(col(v), s * sub + 1, lit(sub)))).as(Seq("g", "v")))
-    // PQ codebooks: every subspace trained in one keyed loop
+    // RESIDUAL encoding (the paper's §IV practice, and not optional at any
+    // scale with cluster structure): codebooks over raw vectors collapse a
+    // whole coarse cell onto one codeword per subspace — every candidate in
+    // a probed list then carries an IDENTICAL ADC score and the top-refine
+    // degenerates to the tie-break (measured recall 0.10 on the clustered
+    // corpus). Quantizing r = v − centroid(list(v)) spreads within-cell
+    // differences across the code space; ADC adds the exact dot(q, c_list)
+    // term back per probed list.
+    // each vector also carries its EXACT norm (one float): ADC approximates
+    // dot(q, v), but the operator's contract ranks by COSINE — within a
+    // coarse cell the norm division reorders materially (center-dominated
+    // dot vs noise-driven cosine), so the score is adc/‖v‖ (‖q‖ is constant
+    // per query and cancels from the ranking)
+    def residuals(r: DataFrame, id: String, v: String): DataFrame =
+      nearestList(r, id, v)
+        .join(broadcast(coarse), "list")
+        .select(col(id), col("list"),
+          sqrt(dotCol(col(v), col(v))).as("nv"),
+          zip_with(col(v), col("centroid"), (a, b) => a - b).as("res"))
+    // PQ codebooks: every subspace of the residual space in one keyed loop
     val cbs = trainCodebooksL2(
-      subRows(cTrain, "vec_id", "cv").withColumnRenamed("vec_id", "id"),
+      subRows(residuals(cTrain, "vec_id", "cv"), "vec_id", "res")
+        .withColumnRenamed("vec_id", "id"),
       codes, iters).localCheckpoint(true)
     // encode: (vec_id, list, sub, code) — nearest codeword per subspace
-    val encoded = subRows(c, "vec_id", "cv")
+    val cRes = residuals(c, "vec_id", "cv").localCheckpoint(true)
+    val encoded = subRows(cRes, "vec_id", "res")
       .join(broadcast(cbs), Seq("g"))
       .withColumn("__sc",
         struct((-l2SqCol(col("v"), col("centroid"))).as("s"), col("cid").as("cid")))
       .groupBy(col("vec_id"), col("g"))
       .agg(max(col("__sc")).getField("cid").as("code"))
-      .join(nearestList(c, "vec_id", "cv").select("vec_id", "list"), "vec_id")
+      .join(cRes.select("vec_id", "list", "nv"), "vec_id")
       .localCheckpoint(true)
-    // queries: probed lists + the broadcast ADC lookup table
+    // queries: probed lists (carrying the exact query·centroid term) + the
+    // broadcast ADC lookup table over residual codewords
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val pw = Window.partitionBy("query_id").orderBy(col("__sc").desc)
     val probes = q.join(broadcast(coarse))
       .withColumn("__sc",
         struct((-l2SqCol(col("qv"), col("centroid"))).as("s"), col("list").as("list")))
+      .withColumn("qc", dotCol(col("qv"), col("centroid")))
       .withColumn("__pn", row_number().over(pw))
       .filter(col("__pn") <= nProbe)
-      .select(col("query_id"), col("list"))
+      .select(col("query_id"), col("list"), col("qc"))
     val lut = subRows(q, "query_id", "qv")
       .join(broadcast(cbs), Seq("g"))
       .select(col("query_id"), col("g"), col("cid").as("code"),
         dotCol(col("v"), col("centroid")).as("pd"))
     // ADC scoring: candidates (probed lists) × m code rows ⋈ broadcast LUT,
-    // summed per (query, vec) — no float payload in the scoring join
+    // summed per (query, vec) — no float payload in the scoring join;
+    // approx dot(q, v) = dot(q, c_list) + Σ_sub dot(q_sub, codeword_sub)
     val qw = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("vec_id").asc)
     val cand = encoded.join(probes, Seq("list"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(lut), Seq("query_id", "g", "code"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("pd")).as("adc"))
+      .agg(((first(col("qc")) + sum(col("pd"))) / first(col("nv"))).as("adc"))
       .withColumn("qrank", row_number().over(qw))
       .filter(col("qrank") <= refine)
       .select("query_id", "vec_id")
