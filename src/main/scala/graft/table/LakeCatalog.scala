@@ -106,7 +106,7 @@ final class LakeCatalog extends TableCatalog with FunctionCatalog
     if (t.currentSnapshot().isEmpty) throw new NoSuchTableException(ident)
     val askMs = timestamp / 1000L
     val v = t.versions().sorted.reverse.iterator
-      .map(t.snapshotAt(_).get)
+      .flatMap(t.snapshotAt(_)) // a concurrent vacuum may expire a listed version
       .find(_.metrics.get("commitMs").exists(_ <= askMs))
       .map(_.version)
       .getOrElse(throw new IllegalArgumentException(
