@@ -797,7 +797,24 @@ object Bench {
         timed { Similarity.bruteForceTopK(embDf, annQ64, k = 5).count() }._2)
       val annQuantS = (1 to 2).map(_ =>
         timed { Similarity.quantizedTopK(embDf, annQ64, k = 5, refine = 20).count() }._2)
-      recallJson = f"""{"dedup_minhash_lsh_bands16":$rMinhash%.4f,"dedup_simhash_banded":$rSimhash%.4f,"embed_neardup_32x5":$rNearDup%.4f,"ann_lsh_topk_32x5":$rAnn%.4f,"ann_ivf_topk_probe2of8":$rIvf%.4f,"ann_ivf_topk_probe2of8_clustered":$rIvfClustered%.4f,"ann_quant_topk_refine20":$rQuant%.4f,"ann_ivfpq_topk_probe2of8_refine100":$rIvfPq%.4f,"ann_ivfpq_topk_probe2of8_refine100_clustered":$rIvfPqClustered%.4f,"ann_bf_64q_sec":${annBfS.min}%.3f,"ann_quant_64q_sec":${annQuantS.min}%.3f}"""
+      // the int8 claim is INDEX SIZE, not JVM FLOPs — measure it as written
+      // parquet bytes (same codec both sides), not as an assumed 4×
+      val idxDir = tmp("bench-annidx")
+      embDf.select(col("vec_id"), col("embedding"))
+        .write.parquet(s"$idxDir/float")
+      embDf.select(col("vec_id"),
+          graft.functions.expressions.TextExprs.quantize8Col(col("embedding")).as("q8"))
+        .write.parquet(s"$idxDir/int8")
+      def dirBytes(p: String): Long = {
+        val st = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        try st.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally st.close()
+      }
+      val idxFloatBytes = dirBytes(s"$idxDir/float")
+      val idxInt8Bytes = dirBytes(s"$idxDir/int8")
+      rmDir(idxDir)
+      recallJson = f"""{"dedup_minhash_lsh_bands16":$rMinhash%.4f,"dedup_simhash_banded":$rSimhash%.4f,"embed_neardup_32x5":$rNearDup%.4f,"ann_lsh_topk_32x5":$rAnn%.4f,"ann_ivf_topk_probe2of8":$rIvf%.4f,"ann_ivf_topk_probe2of8_clustered":$rIvfClustered%.4f,"ann_quant_topk_refine20":$rQuant%.4f,"ann_ivfpq_topk_probe2of8_refine100":$rIvfPq%.4f,"ann_ivfpq_topk_probe2of8_refine100_clustered":$rIvfPqClustered%.4f,"ann_bf_64q_sec":${annBfS.min}%.3f,"ann_quant_64q_sec":${annQuantS.min}%.3f,"ann_index_float_bytes":$idxFloatBytes,"ann_index_int8_bytes":$idxInt8Bytes}"""
     }
 
     emit(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdcJson,"scaling":$scalingJson,"recall":$recallJson}""")
