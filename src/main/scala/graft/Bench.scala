@@ -627,13 +627,13 @@ object Bench {
       tsEntries.count(_.stats.exists(_.mightContainToken("zzz-absent-token")))
     // ---- metadata-only COUNT leg: the table is now fully compacted with an
     // all-expiring watermark (tombstoneRows == 0 recorded), so COUNT(*)
-    // plans as the one-row LakeCountScan — zero data-file opens. The honest
+    // plans as the one-row LakeAggScan — zero data-file opens. The honest
     // comparison forces the real scan with a pushdown-blocking residual
     // filter that keeps every row.
     progress("cdc: metadata-count leg")
     def lakeDf() = spark.read.format("lake").option("path", lastMorTable.root).load()
     val countMetaPushed = lakeDf().groupBy().count()
-      .queryExecution.executedPlan.toString.contains("LakeCountScan")
+      .queryExecution.executedPlan.toString.contains("LakeAggScan")
     val countRows = lakeDf().count()
     val countMetaS = (1 to 3).map(_ => timed { lakeDf().count() }._2)
     val countScanS = (1 to 3).map(_ => timed {

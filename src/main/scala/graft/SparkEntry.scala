@@ -123,10 +123,16 @@ object SparkEntry {
     "cdc_context_pairs" -> ((s, dir) => {
       val w = Window.partitionBy("conv_id").orderBy("turn_idx")
         .rowsBetween(-3, -1)
+      // "has ≥1 predecessor" must be decided on FRAME EMPTINESS, not on the
+      // joined string being non-empty: a predecessor whose role and text are
+      // both null concats to "" in both engines, and the oracle's string_agg
+      // keeps it (NULL only for an empty frame) — so filter on the frame's
+      // row count, matching the oracle's IS NOT NULL exactly
       replayFinal(s, dir)
         .withColumn("context", array_join(
           collect_list(concat_ws(": ", col("role"), col("text"))).over(w), "\n"))
-        .filter(col("context") =!= "")
+        .withColumn("__nctx", count(lit(1)).over(w))
+        .filter(col("__nctx") > 0)
         .select(col("conv_id"), col("turn_idx"), col("context"),
           col("text").as("target"))
     }),

@@ -281,6 +281,43 @@ object BucketLocal {
       }
   }
 
+  /** Rebucket write support: `state` arrives already repartitioned by the
+    * NEW bucket function, so partition id == new bucket id (the same
+    * alignment every apply path uses). Each partition is clustered by key
+    * in-task (the layout compaction emits), observed through the SAME
+    * write-side stats accumulator as the COW/MOR/compaction writes — so
+    * rebucket needs no driver footer reads AND its long-lived files carry
+    * [[graft.table.FileStats]] (they previously had none and were never
+    * skippable) — and tagged with the bucket column from the partition id.
+    */
+  def clusterTagAndTrack(spark: SparkSession, state: DataFrame, schema: StructType,
+      statsAcc: CollectionAccumulator[(Int, FileStats, Long, Long)]): DataFrame = {
+    val (convI, turnI, _, _) = keyIdx(schema)
+    val opI = schema.fieldIndex("op")
+    val tagged = ScanBridge.toInternalRdd(state).mapPartitions { rows =>
+      val buf = new scala.collection.mutable.ArrayBuffer[InternalRow]
+      rows.foreach(r => buf += r.copy()) // rows reuse upstream buffers
+      val arr = buf.toArray
+      java.util.Arrays.sort(arr, new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int = {
+          val c = a.getUTF8String(convI).compareTo(b.getUTF8String(convI))
+          if (c != 0) c else Integer.compare(a.getInt(turnI), b.getInt(turnI))
+        }
+      })
+      val st = new CompactStats(convI, turnI, -1, textIndex = false, opI)
+      arr.foreach(st.observe)
+      st.report(statsAcc)
+      val bucketRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](org.apache.spark.TaskContext.getPartitionId()))
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      arr.iterator.map(r => joined(r, bucketRow): InternalRow)
+    }
+    val outSchema = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+    ScanBridge.internalDf(spark, tagged, outSchema)
+  }
+
   def compactRows(spark: SparkSession, table: LakeTable, snap: Snapshot,
       watermarkMicros: Long, spill: Boolean = false,
       buckets: Option[Set[Int]] = None,

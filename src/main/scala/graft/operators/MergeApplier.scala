@@ -717,11 +717,21 @@ object MergeApplier {
     val keyCols = Model.KeyCols.map(col)
     // same alignment trick as the merge: repartition(newN, key) partitions
     // equal the NEW bucket function, so the partitioned write needs no
-    // second exchange
-    state.repartition(newNumBuckets, keyCols: _*)
-      .withColumn("bucket", resized.bucketCol)
+    // second exchange. Row counts + FileStats come from the SAME write-side
+    // accumulator lineage as every other write path (no driver footer
+    // reads), deduplicated by partition id against task retries.
+    val statsAcc = spark.sparkContext
+      .collectionAccumulator[(Int, graft.table.FileStats, Long, Long)]("rebucketStats")
+    val aligned = Model.alignToSchema(state, snap.schema)
+    BucketLocal.clusterTagAndTrack(spark,
+        aligned.repartition(newNumBuckets, keyCols: _*), snap.schema, statsAcc)
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir.toString)
-    val newFiles = resized.listBucketFiles(outDir)
+    val perBucket = {
+      import scala.jdk.CollectionConverters._
+      statsAcc.value.asScala.groupBy(_._1).map(_._2.head)
+    }
+    val newFiles = resized.attachStats(resized.listBucketFiles(outDir),
+      perBucket.map(s => s._1 -> s._2).toMap)
     resized.commit(Snapshot(
       version = version,
       schemaJson = snap.schemaJson,
@@ -729,7 +739,7 @@ object MergeApplier {
       manifests = Seq(ManifestRef(resized.writeManifest(version, newFiles),
         newFiles.keySet, delta = false)),
       committed = snap.committed,
-      bucketRows = resized.footerRowCounts(newFiles),
+      bucketRows = perBucket.map(s => s._1 -> s._3).toMap,
       metrics = Map("rebucketedFrom" -> snap.numBuckets.toLong),
       parentVersion = snap.version,
       morDeltas = false))

@@ -38,10 +38,17 @@ object Sampling {
     * before anything downstream. Per-stratum row counts must fit a
     * partition's sort — true by construction when k bounds what you keep,
     * and the heavy strata are exactly the ones being cut.
+    *
+    * The in-stratum rank is PART of the output contract (column `rk`,
+    * 1-based in md5 order) — callers use it for further budget cuts without
+    * re-windowing. An input that already carries `rk` fails loudly rather
+    * than being silently overwritten.
     */
   def balancedSample(docs: DataFrame, k: Int, stratumCol: String,
       idCol: String = "doc_id"): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    require(!docs.columns.contains("rk"),
+      "balancedSample emits its rank as `rk`; rename the input's `rk` column first")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(stratumCol)
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     docs.withColumn("rk", row_number().over(w).cast("long"))

@@ -366,7 +366,13 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(lut), Seq("query_id", "g", "code"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg(((first(col("qc")) + sum(col("pd"))) / first(col("nv"))).as("adc"))
+      // zero-vector guard (quantCosine's convention): nv=0 would make the
+      // ADC score NaN/Inf, which sorts ABOVE real candidates and crowds
+      // genuine neighbors out of the refine window
+      .agg((first(col("qc")) + sum(col("pd"))).as("__num"),
+        first(col("nv")).as("__nv"))
+      .withColumn("adc", when(col("__nv") > 0, col("__num") / col("__nv"))
+        .otherwise(lit(Double.NegativeInfinity)))
       .withColumn("qrank", row_number().over(qw))
       .filter(col("qrank") <= refine)
       .select("query_id", "vec_id")

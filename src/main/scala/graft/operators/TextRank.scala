@@ -36,7 +36,11 @@ object TextRank {
   def bm25(docs: DataFrame, terms: Seq[String], idCol: String = "doc_id",
       textCol: String = "text", k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one probe term")
-    require(terms.forall(t => !t.contains("'")), s"probe terms must be plain tokens: $terms")
+    // terms are interpolated into the stack() expression string below: a
+    // quote would close the literal and a trailing backslash would escape
+    // the closing quote (escapedStringLiterals=false), so both are rejected
+    require(terms.forall(t => !t.contains("'") && !t.contains("\\")),
+      s"probe terms must be plain tokens (no quotes or backslashes): $terms")
     // ONE tokenization pass, materialized narrow: dl and every per-term tf
     // are computed as expressions over the token array in a single codegen
     // projection (no explode — per-row O(tokens × |terms|) compute in place

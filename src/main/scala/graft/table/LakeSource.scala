@@ -534,7 +534,7 @@ private final class LakeAggScan(schema: StructType, values: Array[Any],
     version: Long) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def description(): String =
-    s"LakeCountScan(v$version, ${schema.fieldNames.zip(values).map { case (n, v) => s"$n=$v" }.mkString(", ")})"
+    s"LakeAggScan(v$version, ${schema.fieldNames.zip(values).map { case (n, v) => s"$n=$v" }.mkString(", ")})"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     Array(LakeAggPartition(values))

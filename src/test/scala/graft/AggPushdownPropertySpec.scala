@@ -49,7 +49,7 @@ class AggPushdownPropertySpec extends SparkSpecBase {
           min("conv_id").as("mnc"), max("conv_id").as("mxc"),
           min("turn_idx").as("mnt"), max("turn_idx").as("mxt"))
         (a.collect().head,
-          a.queryExecution.executedPlan.toString.contains("LakeCountScan"))
+          a.queryExecution.executedPlan.toString.contains("LakeAggScan"))
       }
       val (pushedRow, engaged) = aggRow(forceScan = false)
       val (scanRow, scanEngaged) = aggRow(forceScan = true)

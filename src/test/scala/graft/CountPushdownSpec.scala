@@ -39,7 +39,7 @@ class CountPushdownSpec extends SparkSpecBase {
     assert(t.read(spark).count() == 25L, "pushdown must equal the real read")
     // the plan must be the count scan, not a parquet pass
     val plan = df.groupBy().count().queryExecution.executedPlan.toString
-    assert(plan.contains("LakeCountScan"), s"expected pushed count:\n$plan")
+    assert(plan.contains("LakeAggScan"), s"expected pushed count:\n$plan")
     // physical proof: with every data file deleted the count still answers
     t.resolveFiles(t.currentSnapshot().get).values.flatten.foreach(f =>
       java.nio.file.Files.delete(java.nio.file.Paths.get(f.path)))
@@ -57,7 +57,7 @@ class CountPushdownSpec extends SparkSpecBase {
     val df0 = spark.read.format("lake").option("path", root).load()
     assert(df0.count() == 25L)
     assert(!df0.groupBy().count().queryExecution.executedPlan.toString
-      .contains("LakeCountScan"))
+      .contains("LakeAggScan"))
     // compaction turns pushdown on; a subsequent MOR append turns it off
     MergeApplier.compactRetainTombstones(spark, t)
     MergeApplier.applyBatchMor(spark, t, spark.createDataset(Seq(
@@ -65,14 +65,14 @@ class CountPushdownSpec extends SparkSpecBase {
     val df1 = spark.read.format("lake").option("path", root).load()
     assert(df1.count() == 26L)
     assert(!df1.groupBy().count().queryExecution.executedPlan.toString
-      .contains("LakeCountScan"))
+      .contains("LakeAggScan"))
     // a filtered count never pushes (the residual Filter blocks the rule)
     MergeApplier.compactRetainTombstones(spark, t)
     val filtered = spark.read.format("lake").option("path", root).load()
       .filter(org.apache.spark.sql.functions.col("conv_id") === "c999")
     assert(filtered.count() == 1L)
     assert(!filtered.groupBy().count().queryExecution.executedPlan.toString
-      .contains("LakeCountScan"))
+      .contains("LakeAggScan"))
   }
 
   test("MIN/MAX over key columns push down once tombstones are known zero") {
@@ -84,7 +84,7 @@ class CountPushdownSpec extends SparkSpecBase {
     val agg0 = spark.read.format("lake").option("path", root).load()
       .agg(org.apache.spark.sql.functions.min("conv_id").as("min_conv_id"),
         org.apache.spark.sql.functions.max("conv_id").as("max_conv_id"))
-    assert(!agg0.queryExecution.executedPlan.toString.contains("LakeCountScan"))
+    assert(!agg0.queryExecution.executedPlan.toString.contains("LakeAggScan"))
     assert(agg0.collect().head.getString(0) == "c10") // live min (c0..c4 dead)
     // a full compaction whose watermark expires every tombstone → exact
     MergeApplier.compact(spark, t, Timestamp.valueOf("2030-01-01 00:00:00"))
@@ -95,7 +95,7 @@ class CountPushdownSpec extends SparkSpecBase {
       org.apache.spark.sql.functions.min("turn_idx").as("min_turn_idx"),
       org.apache.spark.sql.functions.max("turn_idx").as("max_turn_idx"),
       org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
-    assert(agg1.queryExecution.executedPlan.toString.contains("LakeCountScan"),
+    assert(agg1.queryExecution.executedPlan.toString.contains("LakeAggScan"),
       s"expected pushed agg:\n${agg1.queryExecution.executedPlan}")
     val r = agg1.collect().head
     assert(r.getString(0) == "c10" && r.getString(1) == "c9")
@@ -122,15 +122,15 @@ class CountPushdownSpec extends SparkSpecBase {
     spark.conf.set("spark.sql.catalog.cpcat.base", base)
     val q = spark.sql("SELECT COUNT(*) AS n FROM cpcat.t")
     assert(q.collect().head.getLong(0) == 25L)
-    assert(q.queryExecution.executedPlan.toString.contains("LakeCountScan"))
+    assert(q.queryExecution.executedPlan.toString.contains("LakeAggScan"))
     // mixed COUNT/MIN/MAX over SQL: not yet eligible (tombstones retained by
     // the maintenance compaction) → falls back; after the watermark
     // compaction the whole row answers from metadata
     val mixed = "SELECT COUNT(*) AS n, MIN(conv_id) AS mn, MAX(turn_idx) AS mx FROM cpcat.t"
-    assert(!spark.sql(mixed).queryExecution.executedPlan.toString.contains("LakeCountScan"))
+    assert(!spark.sql(mixed).queryExecution.executedPlan.toString.contains("LakeAggScan"))
     MergeApplier.compact(spark, t, Timestamp.valueOf("2030-01-01 00:00:00"))
     val m = spark.sql(mixed)
-    assert(m.queryExecution.executedPlan.toString.contains("LakeCountScan"))
+    assert(m.queryExecution.executedPlan.toString.contains("LakeAggScan"))
     val r = m.collect().head
     assert(r.getLong(0) == 25L && r.getString(1) == "c10" && r.getInt(2) == 2)
   }
