@@ -3,7 +3,7 @@ package graft
 import graft.changelog.Changelog
 import graft.functions.{Grel, Rml, Text}
 import graft.multimodal.Multimodal
-import graft.operators.{ChangeFeed, Dedup, IncrementalAgg, Lww, MergeApplier, Similarity}
+import graft.operators.{AnnIndex, ChangeFeed, Dedup, IncrementalAgg, Lww, MergeApplier, Similarity}
 import graft.streaming.Replicate
 import graft.table.LakeTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -651,6 +651,31 @@ object SparkEntry {
       Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
         refine = Int.MaxValue)
     }),
+    // PERSISTED IVF index (build → list-partitioned parquet → search with
+    // physical probe pruning): exhaustive probe shares the brute-force
+    // oracle, putting the whole build/persist/prune/search lifecycle in the
+    // gate. Partial-probe behavior is identical to ann_ivf_topk by
+    // construction (same train + assignment code) and its pruning is proven
+    // in AnnIndexSpec by corrupting unprobed lists on disk.
+    "ann_ivf_persisted" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val root = gateRoot.resolve("ann_ivf_persisted").toString
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      AnnIndex.buildIvf(emb, root, nLists = 8, iters = 3)
+      AnnIndex.searchIvf(s, root, emb.filter(col("vec_id") < 8), k = 5,
+        nProbe = 8)
+    }),
+    // PERSISTED IVF-PQ index: m-bytes-per-vector code files, probed lists
+    // only, exact re-rank by id-join against the primary store. Exhaustive
+    // probe + refine ⇒ brute-force oracle.
+    "ann_ivfpq_persisted" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val root = gateRoot.resolve("ann_ivfpq_persisted").toString
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      AnnIndex.buildIvfPq(emb, root, nLists = 8, m = 8, codes = 16, iters = 2)
+      AnnIndex.searchIvfPq(s, root, emb, emb.filter(col("vec_id") < 8), k = 5,
+        nProbe = 8, refine = Int.MaxValue)
+    }),
     // threshold 0.35: the synthetic embeddings are near-orthogonal (max
     // pairwise cosine ≈0.46), so a realistic 0.95 cutoff would be vacuous;
     // 0.35 exercises the pairing + verify path non-trivially.
@@ -800,6 +825,8 @@ object SparkEntry {
       "dedup_clusters_star" -> oracleSqlBase("dedup_clusters"),
       "ann_quant_topk" -> oracleSqlBase("ann_cosine_topk"),
       "ann_ivfpq_topk" -> oracleSqlBase("ann_cosine_topk"),
+      "ann_ivf_persisted" -> oracleSqlBase("ann_cosine_topk"),
+      "ann_ivfpq_persisted" -> oracleSqlBase("ann_cosine_topk"),
       "cdc_table_incremental" -> oracleSqlBase("cdc_replay_final"),
       "cdc_table_mor_read" -> oracleSqlBase("cdc_replay_final"),
       "cdc_spill_fold" -> oracleSqlBase("cdc_replay_final"),

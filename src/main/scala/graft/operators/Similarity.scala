@@ -152,6 +152,19 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .localCheckpoint(true) // consumed by every Lloyd iteration + the index
+    val centroids = trainIvfCentroids(c, nLists, iters)
+    val indexed = assignListsCos(c, centroids, "vec_id", "cv")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    searchIvfCore(indexed, probeListsCos(q, centroids, nProbe), k)
+  }
+
+  /** IVF coarse-quantizer training (deterministic k-means-lite over cosine)
+    * — extracted so [[AnnIndex]] can persist the trained centroids. Input
+    * `c` must be (vec_id, cv) and SHOULD be checkpointed (every Lloyd
+    * iteration re-reads it). Returns (cid, centroid), nLists rows.
+    */
+  private[operators] def trainIvfCentroids(c: DataFrame, nLists: Int,
+      iters: Int): DataFrame = {
     // deterministic seeding: rows with the nLists smallest xxhash64(id)
     val hw = Window.orderBy("h") // nLists rows only — single-partition is fine
     var centroids: DataFrame = c
@@ -159,16 +172,8 @@ object Similarity {
       .orderBy("h").limit(nLists)
       .select((row_number().over(hw) - 1).as("cid"), col("cv").as("centroid"))
       .localCheckpoint(true)
-    // nearest-centroid assignment: one broadcast join + per-vector argmax
-    // (max over struct(score, cid): deterministic tie-break on larger cid)
-    def assignLists(vecs: DataFrame, id: String, v: String): DataFrame =
-      vecs.join(broadcast(centroids))
-        .withColumn("__sc",
-          struct(cosine(col(v), col("centroid")).as("s"), col("cid").as("cid")))
-        .groupBy(col(id))
-        .agg(first(col(v)).as(v), max(col("__sc")).getField("cid").as("list"))
     (0 until iters).foreach { _ =>
-      val means = assignLists(c, "vec_id", "cv")
+      val means = assignListsCos(c, centroids, "vec_id", "cv")
         .select(col("list").as("cid"), posexplode(col("cv")).as(Seq("d", "x")))
         .groupBy("cid", "d").agg(avg(col("x")).as("m"))
         .groupBy("cid")
@@ -182,20 +187,45 @@ object Similarity {
           coalesce(col("n.centroid"), col("o.centroid")).as("centroid"))
         .localCheckpoint(true) // nLists rows; cuts per-iteration lineage
     }
-    val indexed = assignLists(c, "vec_id", "cv")
-    // query → its nProbe nearest lists (same broadcast join, top-n window)
+    centroids
+  }
+
+  /** Nearest-centroid assignment: one broadcast join + per-vector argmax
+    * (max over struct(score, cid): deterministic tie-break on larger cid).
+    * Returns (id, v, list).
+    */
+  private[operators] def assignListsCos(vecs: DataFrame, centroids: DataFrame,
+      id: String, v: String): DataFrame =
+    vecs.join(broadcast(centroids))
+      .withColumn("__sc",
+        struct(cosine(col(v), col("centroid")).as("s"), col("cid").as("cid")))
+      .groupBy(col(id))
+      .agg(first(col(v)).as(v), max(col("__sc")).getField("cid").as("list"))
+
+  /** Query → its nProbe nearest lists by cosine (broadcast join + top-n
+    * window). `q` must be (query_id, qv); returns (query_id, qv, list).
+    */
+  private[operators] def probeListsCos(q: DataFrame, centroids: DataFrame,
+      nProbe: Int): DataFrame = {
     val pw = Window.partitionBy("query_id")
       .orderBy(col("__sc").desc) // cos desc, tie → larger cid
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .join(broadcast(centroids))
+    q.join(broadcast(centroids))
       .withColumn("__sc",
         struct(cosine(col("qv"), col("centroid")).as("s"), col("cid").as("cid")))
       .withColumn("__pn", row_number().over(pw))
       .filter(col("__pn") <= nProbe)
       .select(col("query_id"), col("qv"), col("cid").as("list"))
+  }
+
+  /** IVF search given an (already pruned, for the persisted path) indexed
+    * corpus (vec_id, cv, list) and the probe assignment (query_id, qv,
+    * list): exact-cosine re-rank of the probed lists' members.
+    */
+  private[operators] def searchIvfCore(indexed: DataFrame, probes: DataFrame,
+      k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    indexed.join(q, Seq("list"))
+    indexed.join(probes, Seq("list"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -275,8 +305,55 @@ object Similarity {
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nLists: Int = 8, nProbe: Int = 2, m: Int = 8, codes: Int = 16,
-      refine: Int = 64, iters: Int = 2, trainSample: Double = 1.0,
+      refine: Int = 0, iters: Int = 2, trainSample: Double = 1.0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val model = buildPqModel(corpus, nLists, m, codes, iters, trainSample,
+      idCol, vecCol)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    searchPqCore(model.encoded, model.coarse, model.cbs, model.c, q, k,
+      nProbe, refine, model.m, model.dim / model.m, model.nLists, model.corpusCount)
+  }
+
+  /** A trained + encoded IVF-PQ model: coarse (list, centroid), per-subspace
+    * codebooks (g, cid, centroid), the encoded corpus (vec_id, g, code,
+    * list, nv — long shape, m rows per vector), and the (vec_id, cv) corpus
+    * projection used by the exact re-rank. [[AnnIndex]] persists exactly
+    * these three frames (encoded pivoted to one codes-array row per vector).
+    */
+  private[operators] final case class PqModel(coarse: DataFrame, cbs: DataFrame,
+      encoded: DataFrame, c: DataFrame, dim: Int, m: Int, nLists: Int,
+      corpusCount: Long)
+
+  /** `refine` ≤ 0 means AUTO: sized from the EXPECTED probed-candidate count
+    * (corpus × nProbe / nLists), because the measured failure mode of a
+    * fixed small refine is a silent recall collapse on near-tie geometries —
+    * a clustered corpus puts every true neighbor in the probed cell at
+    * nearly identical ADC scores, so only refine ≈ candidate-count keeps
+    * them (measured: 0.325 recall at refine=100 vs 0.975 at refine≈250 on
+    * the clustered bench corpus). Bounded by [[AutoRefineCap]] — the exact
+    * re-rank reads `refine` float vectors per query, so the cap is where PQ
+    * keeps its bandwidth win; when the estimate exceeds the cap a LOUD
+    * warning names the residual risk instead of silently under-delivering.
+    */
+  private[operators] val AutoRefineCap = 4096
+
+  private[operators] def effectiveRefine(refine: Int, k: Int, nProbe: Int,
+      nLists: Int, corpusCount: Long): Int =
+    if (refine > 0) refine
+    else {
+      val est = math.ceil(corpusCount.toDouble * nProbe / nLists).toLong
+      if (est > AutoRefineCap)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"ivfPq auto-refine capped at $AutoRefineCap but ~$est candidates " +
+          "per query are probed; on near-tie (clustered) geometries recall " +
+          "can collapse — raise `refine` toward the candidate count or " +
+          "measure recall on a held-out query set")
+      math.min(AutoRefineCap.toLong, math.max(4L * k, est)).toInt
+    }
+
+  private[operators] def buildPqModel(corpus: DataFrame,
+      nLists: Int, m: Int, codes: Int, iters: Int, trainSample: Double,
+      idCol: String, vecCol: String): PqModel = {
     import graft.functions.expressions.TextExprs.{dotCol, l2SqCol}
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .localCheckpoint(true)
@@ -342,9 +419,24 @@ object Similarity {
       .agg(max(col("__sc")).getField("cid").as("code"))
       .join(cRes.select("vec_id", "list", "nv"), "vec_id")
       .localCheckpoint(true)
+    PqModel(coarse, cbs, encoded, c, dim, m, nLists, c.count())
+  }
+
+  /** IVF-PQ search over an (already pruned, for the persisted path) encoded
+    * corpus: probe → broadcast-LUT ADC scoring → top-`refine` → exact
+    * cosine re-rank against `c` (vec_id, cv). `refine` ≤ 0 = auto
+    * ([[effectiveRefine]]).
+    */
+  private[operators] def searchPqCore(encoded: DataFrame, coarse: DataFrame,
+      cbs: DataFrame, c: DataFrame, q: DataFrame, k: Int, nProbe: Int,
+      refine: Int, m: Int, sub: Int, nLists: Int, corpusCount: Long): DataFrame = {
+    import graft.functions.expressions.TextExprs.{dotCol, l2SqCol}
+    val eff = effectiveRefine(refine, k, nProbe, nLists, corpusCount)
+    def subRows(r: DataFrame, id: String, v: String): DataFrame =
+      r.select(col(id), posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col(v), s * sub + 1, lit(sub)))).as(Seq("g", "v")))
     // queries: probed lists (carrying the exact query·centroid term) + the
     // broadcast ADC lookup table over residual codewords
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val pw = Window.partitionBy("query_id").orderBy(col("__sc").desc)
     val probes = q.join(broadcast(coarse))
       .withColumn("__sc",
@@ -374,7 +466,7 @@ object Similarity {
       .withColumn("adc", when(col("__nv") > 0, col("__num") / col("__nv"))
         .otherwise(lit(Double.NegativeInfinity)))
       .withColumn("qrank", row_number().over(qw))
-      .filter(col("qrank") <= refine)
+      .filter(col("qrank") <= eff)
       .select("query_id", "vec_id")
     // exact re-rank of the refined candidates
     val w = Window.partitionBy("query_id")

@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index: correctness at exhaustive config, PHYSICAL probe
+  * pruning (unprobed lists' files are corrupted on disk and search still
+  * answers exactly — they were never opened), and the auto-refine defense.
+  * Lives in package graft.operators to reach the internals the proofs need
+  * (probe assignment, effectiveRefine).
+  */
+class AnnIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // 4 well-separated clusters × 25 vectors in 16 dims, deterministic noise —
+  // cluster structure makes probes meaningful AND reproduces the near-tie
+  // geometry of the measured IVF-PQ refine cliff.
+  private lazy val clustered: DataFrame = {
+    val rows = for { cl <- 0 until 4; i <- 0 until 25 } yield {
+      val id = (cl * 25 + i).toLong
+      val v = Array.tabulate(16) { d =>
+        val base = if (d / 4 == cl) 1.0f else 0.0f
+        base + 0.05f * (((id * 31 + d * 7) % 11).toInt - 5)
+      }
+      (id, v)
+    }
+    rows.toDF("vec_id", "embedding").localCheckpoint(true)
+  }
+
+  private def key(r: org.apache.spark.sql.Row) =
+    (r.getAs[Long]("query_id"), r.getAs[Long]("rank"), r.getAs[Long]("vec_id"),
+      r.getAs[Double]("cosine"))
+
+  test("persisted IVF at exhaustive probe equals brute force") {
+    val root = tmpDir("ann-ivf")
+    val meta = AnnIndex.buildIvf(clustered, root, nLists = 4, iters = 3)
+    assert(meta.corpusCount == 100L && meta.dim == 16)
+    val queries = clustered.filter($"vec_id" % 25 === 0)
+    val got = AnnIndex.searchIvf(spark, root, queries, k = 5, nProbe = 4)
+      .collect().map(key).toSet
+    val bf = Similarity.bruteForceTopK(clustered, queries, k = 5)
+      .collect().map(key).toSet
+    assert(got == bf)
+  }
+
+  test("IVF probe pruning is physical: unprobed lists' files never open") {
+    val root = tmpDir("ann-prune")
+    AnnIndex.buildIvf(clustered, root, nLists = 4, iters = 3)
+    val queries = clustered.filter($"vec_id" === 0L)
+    val before = AnnIndex.searchIvf(spark, root, queries, k = 5, nProbe = 1)
+      .collect().map(key).toSet
+    assert(before.nonEmpty)
+    // the probed list for a corpus-member query at nProbe=1 IS its assigned
+    // list (assignment and probing use the same argmax + tie-break)
+    val meta = AnnIndex.readMeta(root)
+    val probedList = spark.read.schema(meta.schema).parquet(s"$root/vectors")
+      .filter($"vec_id" === 0L).select($"list".cast("int")).first().getInt(0)
+    // corrupt every OTHER list's parquet files in place: any attempt to open
+    // them now throws, so an exact repeat answer proves they were pruned
+    val vecDir = java.nio.file.Paths.get(root, "vectors")
+    val corrupted = java.nio.file.Files.list(vecDir).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => p.getFileName.toString.startsWith("list=") &&
+        p.getFileName.toString != s"list=$probedList")
+    assert(corrupted.size == 3)
+    corrupted.foreach { dir =>
+      java.nio.file.Files.list(dir).toArray.toSeq
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.write(f,
+          "not a parquet file".getBytes))
+    }
+    val after = AnnIndex.searchIvf(spark, root, queries, k = 5, nProbe = 1)
+      .collect().map(key).toSet
+    assert(after == before)
+    // control: probing ALL lists must now fail — the corrupted files ARE
+    // opened once the probe set includes them
+    intercept[Exception] {
+      AnnIndex.searchIvf(spark, root, queries, k = 5, nProbe = 4).collect()
+    }
+    // and the plan itself shows the partition filter reaching the scan
+    val plan = AnnIndex.searchIvf(spark, root, queries, k = 5, nProbe = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list"),
+      s"expected a partition filter on list:\n$plan")
+  }
+
+  test("persisted IVF-PQ at exhaustive probe+refine equals brute force") {
+    val root = tmpDir("ann-ivfpq")
+    val meta = AnnIndex.buildIvfPq(clustered, root, nLists = 4, m = 8,
+      codes = 16, iters = 2)
+    assert(meta.variant == "ivfpq" && meta.m == 8)
+    val queries = clustered.filter($"vec_id" % 25 === 0)
+    val got = AnnIndex.searchIvfPq(spark, root, clustered, queries, k = 5,
+      nProbe = 4, refine = Int.MaxValue).collect().map(key).toSet
+    val bf = Similarity.bruteForceTopK(clustered, queries, k = 5)
+      .collect().map(key).toSet
+    assert(got == bf)
+  }
+
+  test("IVF-PQ pruning is physical too, and auto-refine holds recall at the probe ceiling") {
+    val root = tmpDir("ann-ivfpq-prune")
+    AnnIndex.buildIvfPq(clustered, root, nLists = 4, m = 8, codes = 16,
+      iters = 2)
+    val queries = clustered.filter($"vec_id" === 0L)
+    // auto refine (refine = 0 default): est = 100 * 1 / 4 = 25 candidates →
+    // refine 25 ≥ probed candidates, so recall vs the probed-exhaustive
+    // answer must be 1.0 — the measured 0.325 cliff cannot happen silently
+    val auto = AnnIndex.searchIvfPq(spark, root, clustered, queries, k = 5,
+      nProbe = 1).collect().map(key).toSet
+    val exhaustiveProbe1 = AnnIndex.searchIvfPq(spark, root, clustered,
+      queries, k = 5, nProbe = 1, refine = Int.MaxValue).collect().map(key).toSet
+    assert(auto == exhaustiveProbe1,
+      "auto refine must reach the probe ceiling on the clustered corpus")
+    // physical pruning: corrupt unprobed lists, repeat, exact same answer
+    val meta = AnnIndex.readMeta(root)
+    val probedList = spark.read.schema(meta.schema).parquet(s"$root/vectors")
+      .filter($"vec_id" === 0L).select($"list".cast("int")).first().getInt(0)
+    val vecDir = java.nio.file.Paths.get(root, "vectors")
+    java.nio.file.Files.list(vecDir).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => p.getFileName.toString.startsWith("list=") &&
+        p.getFileName.toString != s"list=$probedList")
+      .foreach { dir =>
+        java.nio.file.Files.list(dir).toArray.toSeq
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(f => java.nio.file.Files.write(f, "garbage".getBytes))
+      }
+    val after = AnnIndex.searchIvfPq(spark, root, clustered, queries, k = 5,
+      nProbe = 1).collect().map(key).toSet
+    assert(after == auto)
+  }
+
+  test("effectiveRefine: explicit wins; auto sized to candidates; capped with a floor of 4k") {
+    assert(Similarity.effectiveRefine(100, k = 5, nProbe = 2, nLists = 8,
+      corpusCount = 1000000L) == 100)
+    // est = 1000 * 2 / 8 = 250 → auto = 250 (the measured-good shape)
+    assert(Similarity.effectiveRefine(0, k = 5, nProbe = 2, nLists = 8,
+      corpusCount = 1000L) == 250)
+    // est tiny → floor at 4k
+    assert(Similarity.effectiveRefine(0, k = 5, nProbe = 1, nLists = 100,
+      corpusCount = 100L) == 20)
+    // est huge → capped (and warns)
+    assert(Similarity.effectiveRefine(0, k = 5, nProbe = 4, nLists = 8,
+      corpusCount = 100000000L) == Similarity.AutoRefineCap)
+  }
+
+  test("in-memory ivfPqTopK defaults to auto refine and stays well-formed") {
+    val queries = clustered.filter($"vec_id" % 25 === 0)
+    val out = Similarity.ivfPqTopK(clustered, queries, k = 5, nLists = 4,
+      nProbe = 4, m = 8, codes = 16).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks == (1L to ranks.length).toSeq)
+    }
+  }
+}
