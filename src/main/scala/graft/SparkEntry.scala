@@ -59,6 +59,48 @@ object SparkEntry {
     new LakeTable(root, numBuckets = 8)
   }
 
+  /** Fresh scratch dir for a stream-backed gate (delete + recreate). */
+  private def gateDir(name: String): java.nio.file.Path = {
+    val p = gateRoot.resolve(name)
+    org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+    java.nio.file.Files.createDirectories(p)
+    p
+  }
+
+  /** Write `df` as ONE flat parquet file `dir/name` with an EXPLICIT mtime —
+    * the stateful-streaming gates feed arrival-ordered chunks through the
+    * file source, whose batch order is (modification time, path); forcing
+    * distinct mtimes makes the arrival order deterministic, which the
+    * oracle comparison depends on.
+    */
+  private def writeChunk(df: DataFrame, dir: java.nio.file.Path, name: String,
+      mtimeMs: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    val tmp = dir.resolve(s".tmp-$name")
+    df.coalesce(1).write.parquet(tmp.toString)
+    val part = { val st = Files.list(tmp)
+      try { import scala.jdk.CollectionConverters._
+        st.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      } finally st.close() }
+    val target = dir.resolve(name)
+    Files.move(part, target)
+    Files.setLastModifiedTime(target,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
+  /** Drain a streaming frame to parquet via Trigger.AvailableNow. */
+  private def runAvailableNowToParquet(sdf: DataFrame, outDir: String,
+      ckpt: String): Unit = {
+    val q = sdf.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The table's final-state columns (op is internal; read() drops it). */
   private val TableCols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts", "seq")
 
@@ -350,6 +392,89 @@ object SparkEntry {
       graft.streaming.StreamingView.runAvailableNow(s, t.root, v, ckpt,
         maxVersionsPerTrigger = 1)
       v.read(s).select(("conv_id" +: IncrementalAgg.StatCols).map(col): _*)
+    }),
+
+    // C6/C7 as an ORACLE gate (was spec-only): the stateful streaming funnel
+    // (flatMapGroupsWithState) driven over the events table in THREE
+    // ts-ordered chunks (one file per micro-batch), i.e. exactly the
+    // per-key-event-time-ordered arrival its contract names. Final per-key
+    // depth + reach times must equal the batch funnel / its DuckDB oracle —
+    // the cross-batch state handoff is what's being proven.
+    "q_funnel_stream" -> ((s, dir) => {
+      import graft.streaming.StatefulFunnel
+      val steps = Seq("signup", "view", "click", "purchase")
+      // testdata ts is TIMESTAMP_NTZ; unix_micros needs LTZ — under the UTC
+      // session the cast is wall-clock identity
+      val ev = table(s, dir, "events").filter(col("event_type").isin(steps: _*))
+        .select(col("user_id").cast("string").as("key"),
+          unix_micros(col("ts").cast("timestamp")).as("tsMicros"),
+          col("event_type").as("step"))
+        .localCheckpoint(true)
+      // ts-threshold chunking: equal event times always land in the same
+      // chunk, so the cross-chunk arrival order respects event-time order
+      val Array(t1, t2) = ev.stat.approxQuantile("tsMicros", Array(0.33, 0.66), 0.001)
+      val base = gateDir("q_funnel_stream")
+      val chunks = java.nio.file.Files.createDirectories(base.resolve("chunks"))
+      writeChunk(ev.filter(col("tsMicros") <= t1), chunks, "c1.parquet", 1000000L)
+      writeChunk(ev.filter(col("tsMicros") > t1 && col("tsMicros") <= t2),
+        chunks, "c2.parquet", 2000000L)
+      writeChunk(ev.filter(col("tsMicros") > t2), chunks, "c3.parquet", 3000000L)
+      val sdf = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(chunks.toString)
+      implicit val evEnc = org.apache.spark.sql.Encoders.product[StatefulFunnel.FunnelEvent]
+      val prog = StatefulFunnel.progress(sdf.as[StatefulFunnel.FunnelEvent], steps)
+      runAvailableNowToParquet(prog.toDF(), base.resolve("out").toString,
+        base.resolve("ckpt").toString)
+      val res = s.read.parquet(base.resolve("out").toString)
+      val w = Window.partitionBy("key").orderBy(col("depth").desc)
+      // back to NTZ so the schema equals the batch funnel's (UTC identity)
+      def reachTs(i: Int) = when(col("depth") >= i,
+        timestamp_micros(element_at(col("reachMicros"), i))
+          .cast("timestamp_ntz")).otherwise(lit(null))
+      res.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("key").cast("bigint").as("user_id"),
+          reachTs(1).as("ts_signup"), reachTs(2).as("ts_view"),
+          reachTs(3).as("ts_click"), reachTs(4).as("ts_purchase"),
+          col("depth").cast("long").as("funnel_depth"))
+    }),
+
+    // C6 streaming dedup as an ORACLE gate (was spec-only): feed the
+    // changelog's rows — texted so each distinct content has up to three
+    // copies — as three chunks where copy #n arrives in micro-batch n.
+    // Within a chunk every content is unique (no intra-batch winner
+    // nondeterminism), so the engine's dropDuplicatesWithinWatermark state
+    // must emit EXACTLY the first-arriving copy of every content and drop
+    // the later chunks' copies via cross-batch state: the output equals the
+    // deterministic rn=1 rows the oracle computes relationally.
+    "text_dedup_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingDedup
+      val cl = changelog(s, dir)
+      val dt = concat_ws(":", col("role"), (col("turn_idx") % 50).cast("string"))
+      val w = Window.partitionBy("dtext").orderBy("ts", "seq")
+      // `wm` is the watermark column (LTZ — the engine's requirement); `ts`
+      // stays NTZ so the output schema matches the oracle's
+      val feed = cl.withColumn("dtext", dt)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .withColumn("wm", col("ts").cast("timestamp"))
+        .select("conv_id", "turn_idx", "ts", "wm", "seq", "dtext", "rn")
+        .localCheckpoint(true)
+      val base = gateDir("text_dedup_stream")
+      val chunks = java.nio.file.Files.createDirectories(base.resolve("chunks"))
+      (1 to 3).foreach(r => writeChunk(feed.filter(col("rn") === r).drop("rn"),
+        chunks, s"c$r.parquet", r * 1000000L))
+      val schema = feed.drop("rn").schema
+      val sdf = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(chunks.toString)
+      // ttl beyond the data's whole span: horizon-eviction re-emission is
+      // out of frame here (it is exercised in StreamingOpsSpec); this gate
+      // pins the cross-batch state hit itself
+      runAvailableNowToParquet(
+        StreamingDedup.firstSeen(sdf, textCol = "dtext", tsCol = "wm",
+          ttl = "36500 days"),
+        base.resolve("out").toString, base.resolve("ckpt").toString)
+      s.read.parquet(base.resolve("out").toString)
+        .select("conv_id", "turn_idx", "ts", "seq", "dtext")
     }),
 
     // Conversation fetch — THE point read of a transcript store: the exact
@@ -827,6 +952,20 @@ object SparkEntry {
       "ann_ivfpq_topk" -> oracleSqlBase("ann_cosine_topk"),
       "ann_ivf_persisted" -> oracleSqlBase("ann_cosine_topk"),
       "ann_ivfpq_persisted" -> oracleSqlBase("ann_cosine_topk"),
+      // the streaming funnel over ts-ordered arrival must equal the batch
+      // funnel's relational answer
+      "q_funnel_stream" -> oracleSqlBase("q_funnel"),
+      // streaming first-seen dedup (copy #n arrives in micro-batch n, every
+      // chunk duplicate-free) ≡ keep the (ts, seq)-first copy per content
+      "text_dedup_stream" ->
+        s"""$C , feed AS (
+           |  SELECT conv_id, turn_idx, ts, seq,
+           |    concat_ws(':', role, CAST(turn_idx % 50 AS VARCHAR)) AS dtext,
+           |    ROW_NUMBER() OVER (
+           |      PARTITION BY concat_ws(':', role, CAST(turn_idx % 50 AS VARCHAR))
+           |      ORDER BY ts, seq) AS rn
+           |  FROM changelog)
+           |SELECT conv_id, turn_idx, ts, seq, dtext FROM feed WHERE rn = 1""".stripMargin,
       "cdc_table_incremental" -> oracleSqlBase("cdc_replay_final"),
       "cdc_table_mor_read" -> oracleSqlBase("cdc_replay_final"),
       "cdc_spill_fold" -> oracleSqlBase("cdc_replay_final"),
