@@ -237,13 +237,15 @@ object BucketLocal {
     * reads per maintenance pass.
     */
   private final class CompactStats(convI: Int, turnI: Int, textI: Int,
-      textIndex: Boolean, opI: Int) {
+      textIndex: Boolean, opI: Int, tsI: Int) {
     private var n = 0L
     private var nTomb = 0L
     private var minConv: UTF8String = null
     private var maxConv: UTF8String = null
     private var minTurn = Int.MaxValue
     private var maxTurn = Int.MinValue
+    private var minTs = Long.MaxValue
+    private var maxTs = Long.MinValue
     private val convBloom = ConvBloom.empty()
     private val tokBloom = if (textIndex) ConvBloom.empty() else null
     private var reported = false
@@ -260,6 +262,11 @@ object BucketLocal {
       val t = r.getInt(turnI)
       if (t < minTurn) minTurn = t
       if (t > maxTurn) maxTurn = t
+      if (!r.isNullAt(tsI)) {
+        val ts = r.getLong(tsI)
+        if (ts < minTs) minTs = ts
+        if (ts > maxTs) maxTs = ts
+      }
       ConvBloom.add(convBloom, c)
       if (textIndex && !r.isNullAt(textI)) {
         val toks = r.getUTF8String(textI).toString.split("\\s+")
@@ -277,7 +284,9 @@ object BucketLocal {
         acc.add((org.apache.spark.TaskContext.getPartitionId(),
           FileStats(minConv.toString, maxConv.toString, minTurn, maxTurn,
             ConvBloom.seal(convBloom),
-            if (textIndex) ConvBloom.seal(tokBloom) else None), n, nTomb))
+            if (textIndex) ConvBloom.seal(tokBloom) else None,
+            if (minTs == Long.MaxValue) None else Some(minTs),
+            if (maxTs == Long.MinValue) None else Some(maxTs)), n, nTomb))
       }
   }
 
@@ -292,7 +301,7 @@ object BucketLocal {
     */
   def clusterTagAndTrack(spark: SparkSession, state: DataFrame, schema: StructType,
       statsAcc: CollectionAccumulator[(Int, FileStats, Long, Long)]): DataFrame = {
-    val (convI, turnI, _, _) = keyIdx(schema)
+    val (convI, turnI, tsI, _) = keyIdx(schema)
     val opI = schema.fieldIndex("op")
     val tagged = ScanBridge.toInternalRdd(state).mapPartitions { rows =>
       val buf = new scala.collection.mutable.ArrayBuffer[InternalRow]
@@ -304,7 +313,7 @@ object BucketLocal {
           if (c != 0) c else Integer.compare(a.getInt(turnI), b.getInt(turnI))
         }
       })
-      val st = new CompactStats(convI, turnI, -1, textIndex = false, opI)
+      val st = new CompactStats(convI, turnI, -1, textIndex = false, opI, tsI)
       arr.foreach(st.observe)
       st.report(statsAcc)
       val bucketRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -347,7 +356,7 @@ object BucketLocal {
       statsAcc match {
         case None => rows
         case Some(acc) =>
-          val st = new CompactStats(convI, turnI, textI, textIndex, opI)
+          val st = new CompactStats(convI, turnI, textI, textIndex, opI, tsI)
           new Iterator[InternalRow] {
             override def hasNext: Boolean = {
               val h = rows.hasNext
@@ -392,7 +401,7 @@ object BucketLocal {
           }
         })
         statsAcc.foreach { acc =>
-          val st = new CompactStats(convI, turnI, textI, textIndex, opI)
+          val st = new CompactStats(convI, turnI, textI, textIndex, opI, tsI)
           arr.foreach(st.observe)
           st.report(acc)
         }

@@ -124,9 +124,24 @@ object MergeApplier {
       if (t > maxTurn) maxTurn = t
       graft.table.ConvBloom.add(bloom, c)
     }
+    // event-time bounds over the written rows (micros; null-ts rows excluded
+    // — sound, a null ts satisfies no ts predicate): time-windowed scans
+    // skip files exactly like key lookups skip on the conv bounds
+    var minTs = Long.MaxValue; var maxTs = Long.MinValue
+    val vals = winners.values().iterator()
+    while (vals.hasNext) {
+      val r = vals.next()
+      if (!r.isNullAt(tsI)) {
+        val ts = r.getLong(tsI)
+        if (ts < minTs) minTs = ts
+        if (ts > maxTs) maxTs = ts
+      }
+    }
+    val tsLo = if (minTs == Long.MaxValue) None else Some(minTs)
+    val tsHi = if (maxTs == Long.MinValue) None else Some(maxTs)
     val range = if (winners.isEmpty) None
       else Some(graft.table.FileStats(minConv.toString, maxConv.toString, minTurn, maxTurn,
-        graft.table.ConvBloom.seal(bloom)))
+        graft.table.ConvBloom.seal(bloom), None, tsLo, tsHi))
     statsAcc.add(TaskWriteStats(partitionId, nRows, nDel, winners.size.toLong, range))
     val bucketRow = new GenericInternalRow(Array[Any](partitionId))
     val joined = new JoinedRow
@@ -499,6 +514,7 @@ object MergeApplier {
     val opI = mergedSchema.fieldIndex("op")
     val convI = mergedSchema.fieldIndex("conv_id")
     val turnI = mergedSchema.fieldIndex("turn_idx")
+    val tsI = mergedSchema.fieldIndex("ts")
     val deltaRdd = ScanBridge.toInternalRdd(
         aligned.repartition(table.numBuckets, keyCols: _*))
       .mapPartitions { it =>
@@ -517,6 +533,8 @@ object MergeApplier {
           private var maxConv: UTF8String = null
           private var minTurn = Int.MaxValue
           private var maxTurn = Int.MinValue
+          private var minTs = Long.MaxValue
+          private var maxTs = Long.MinValue
           private val bloom = graft.table.ConvBloom.empty()
           private var reported = false
           override def hasNext: Boolean = {
@@ -525,7 +543,9 @@ object MergeApplier {
               reported = true
               val range = if (nRows == 0) None
                 else Some(graft.table.FileStats(minConv.toString, maxConv.toString,
-                  minTurn, maxTurn, graft.table.ConvBloom.seal(bloom)))
+                  minTurn, maxTurn, graft.table.ConvBloom.seal(bloom), None,
+                  if (minTs == Long.MaxValue) None else Some(minTs),
+                  if (maxTs == Long.MinValue) None else Some(maxTs)))
               statsAcc.add(TaskWriteStats(pid, nRows, nDel, nRows, range))
             }
             h
@@ -541,6 +561,11 @@ object MergeApplier {
             val t = r.getInt(turnI)
             if (t < minTurn) minTurn = t
             if (t > maxTurn) maxTurn = t
+            if (!r.isNullAt(tsI)) {
+              val ts = r.getLong(tsI)
+              if (ts < minTs) minTs = ts
+              if (ts > maxTs) maxTs = ts
+            }
             joined(r, bucketRow)
           }
         }

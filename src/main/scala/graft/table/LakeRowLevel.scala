@@ -295,12 +295,14 @@ private[table] final class LakeBucketDataWriter(
     * update (rare after the first rows).
     */
   private final class FileAcc(val w: org.apache.spark.sql.execution.datasources.OutputWriter,
-      convI: Int, turnI: Int) {
+      convI: Int, turnI: Int, tsI: Int) {
     var rows = 0L
     private var minConv: UTF8String = null
     private var maxConv: UTF8String = null
     private var minTurn = Int.MaxValue
     private var maxTurn = Int.MinValue
+    private var minTs = Long.MaxValue
+    private var maxTs = Long.MinValue
     private val bloom = ConvBloom.empty()
     def track(p: InternalRow): Unit = {
       rows += 1
@@ -311,14 +313,22 @@ private[table] final class LakeBucketDataWriter(
       val t = p.getInt(turnI)
       if (t < minTurn) minTurn = t
       if (t > maxTurn) maxTurn = t
+      if (!p.isNullAt(tsI)) {
+        val ts = p.getLong(tsI)
+        if (ts < minTs) minTs = ts
+        if (ts > maxTs) maxTs = ts
+      }
     }
     def range: Option[FileStats] =
       if (rows == 0) None
       else Some(FileStats(minConv.toString, maxConv.toString, minTurn, maxTurn,
-        ConvBloom.seal(bloom)))
+        ConvBloom.seal(bloom), None,
+        if (minTs == Long.MaxValue) None else Some(minTs),
+        if (maxTs == Long.MinValue) None else Some(maxTs)))
   }
   private lazy val tConvI = tableSchema.fieldIndex("conv_id")
   private lazy val tTurnI = tableSchema.fieldIndex("turn_idx")
+  private lazy val tTsI = tableSchema.fieldIndex("ts")
   private val open = scala.collection.mutable.Map.empty[Int, FileAcc]
 
   /** Metadata-projection path (the row-level op's normal one): `meta`
@@ -346,7 +356,7 @@ private[table] final class LakeBucketDataWriter(
       val dir = java.nio.file.Paths.get(outDir, s"bucket=$b")
       java.nio.file.Files.createDirectories(dir)
       val path = dir.resolve(f"part-$b%05d-p$partitionId-t$taskId.parquet").toString
-      new FileAcc(writers.open(path, partitionId, taskId), tConvI, tTurnI)
+      new FileAcc(writers.open(path, partitionId, taskId), tConvI, tTurnI, tTsI)
     })
     val p = project(row)
     acc.track(p)

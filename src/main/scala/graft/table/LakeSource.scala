@@ -129,6 +129,37 @@ private object LakeSource {
     } yield (for (c <- convs; t <- turns) yield table.bucketFor(c, t)).toSet)
   }
 
+  /** Event-time window [lo, hi] in Catalyst micros from pushed `ts` range
+    * filters (intersection when several constrain it); None when no filter
+    * bounds `ts`. Strict bounds tighten by one micro — `ts` values are whole
+    * micros, so `>` v ≡ `>=` v+1. Values arrive as java.sql.Timestamp or
+    * java.time.Instant depending on the session's java8API setting; both
+    * convert exactly. Used by [[LakeSourceScan]] to skip files whose
+    * [[FileStats]] ts bounds cannot overlap the window — file-granular on a
+    * key-unique COW snapshot; whole-bucket on a delta-carrying one (a file
+    * skip there could drop a newer version and resurrect an in-window loser,
+    * the same LWW-soundness rule as the token-bloom search).
+    */
+  def tsWindowOf(filters: Array[Filter]): Option[(Long, Long)] = {
+    def us(v: Any): Option[Long] = v match {
+      case t: java.sql.Timestamp =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+      case i: java.time.Instant =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+      case _ => None
+    }
+    import org.apache.spark.sql.sources.{GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    val windows = filters.toSeq.flatMap {
+      case EqualTo("ts", v) => us(v).map(x => (x, x))
+      case GreaterThan("ts", v) => us(v).map(x => (x + 1, Long.MaxValue))
+      case GreaterThanOrEqual("ts", v) => us(v).map(x => (x, Long.MaxValue))
+      case LessThan("ts", v) => us(v).map(x => (Long.MinValue, x - 1))
+      case LessThanOrEqual("ts", v) => us(v).map(x => (Long.MinValue, x))
+      case _ => None
+    }
+    windows.reduceOption((a, b) => (math.max(a._1, b._1), math.min(a._2, b._2)))
+  }
+
   /** Driver-side body of the SQL append (see `newWriteBuilder`). Explicit
     * (writerId, batchId) options get ledger exactly-once: a replayed id is a
     * committed duplicate and no-ops. Without them the insert auto-assigns
@@ -401,13 +432,14 @@ private[table] final class LakeScanBuilder(table: LakeTable, snap: Snapshot,
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // keep the key-equality filters for physical pruning; EVERYTHING is
-    // returned as residual — Spark re-applies row-level, so pruning can
+    // keep the key-equality filters (bucket pruning) and event-time range
+    // filters (per-file ts-bounds skipping) for physical pruning; EVERYTHING
+    // is returned as residual — Spark re-applies row-level, so pruning can
     // only skip files, never change results
     pushed = filters.filter {
       case EqualTo("conv_id", _) | In("conv_id", _) => true
       case EqualTo("turn_idx", _) | In("turn_idx", _) => true
-      case _ => false
+      case f => LakeSource.tsWindowOf(Array(f)).isDefined
     }
     filters
   }
@@ -522,7 +554,8 @@ private[table] final class LakeScanBuilder(table: LakeTable, snap: Snapshot,
     case None =>
       val buckets = LakeSource.prunedBuckets(table, pushed)
         .filter(_.size < snap.numBuckets) // saturated = no pruning
-      new LakeSourceScan(table, snap, required, buckets, onPlan, rowLevel)
+      new LakeSourceScan(table, snap, required, buckets, onPlan, rowLevel,
+        LakeSource.tsWindowOf(pushed))
   }
 }
 
@@ -556,7 +589,8 @@ private final case class LakeAggPartition(values: Array[Any]) extends InputParti
 
 private[table] final class LakeSourceScan(table: LakeTable, snap: Snapshot,
     required: StructType, buckets: Option[Set[Int]],
-    onPlan: Set[Int] => Unit = _ => (), rowLevel: Boolean = false)
+    onPlan: Set[Int] => Unit = _ => (), rowLevel: Boolean = false,
+    tsWindow: Option[(Long, Long)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -647,9 +681,24 @@ private[table] final class LakeSourceScan(table: LakeTable, snap: Snapshot,
   override def planInputPartitions(): Array[InputPartition] = {
     onPlan(plannedBuckets.toSet)
     val files = table.resolveFiles(snap, effectiveBuckets)
+    // ts-bounds file skipping (tsWindow = pushed event-time range): file-
+    // granular on a key-unique COW snapshot; bucket-granular under MOR
+    // deltas (dropping one file of a fold could resurrect an in-window
+    // superseded version). Partitions are KEPT (possibly file-less) so the
+    // reported KeyGroupedPartitioning stays total — an emptied partition
+    // costs one no-op task, never a changed join alignment.
+    def tsPruned(fs: Seq[FileEntry]): Seq[FileEntry] = tsWindow match {
+      case None => fs
+      case _ if !table.fileSkipping => fs
+      case Some((lo, hi)) =>
+        def admits(f: FileEntry) = f.stats.forall(_.mightOverlapTs(lo, hi))
+        if (snap.morDeltas) { if (fs.exists(admits)) fs else Seq.empty }
+        else fs.filter(admits)
+    }
     plannedBuckets.toArray.map { b =>
       LakeInputPartition(b,
-        files.getOrElse(b, Seq.empty).map(f => (f.path, f.bytes)).toArray): InputPartition
+        tsPruned(files.getOrElse(b, Seq.empty))
+          .map(f => (f.path, f.bytes)).toArray): InputPartition
     }
   }
 

@@ -150,7 +150,8 @@ object ConvBloom {
   */
 final case class FileStats(minConv: String, maxConv: String, minTurn: Int, maxTurn: Int,
     bloom: Option[scala.collection.immutable.ArraySeq[Long]] = None,
-    textBloom: Option[scala.collection.immutable.ArraySeq[Long]] = None) {
+    textBloom: Option[scala.collection.immutable.ArraySeq[Long]] = None,
+    minTsUs: Option[Long] = None, maxTsUs: Option[Long] = None) {
   import org.apache.spark.unsafe.types.UTF8String
   /** min/max range admission alone (no bloom) — the bounds-only prune. */
   def boundsContainConv(conv: String): Boolean = {
@@ -169,6 +170,17 @@ final case class FileStats(minConv: String, maxConv: String, minTurn: Int, maxTu
     */
   def mightContainToken(token: String): Boolean =
     textBloom.forall(ConvBloom.mightContain(_, token))
+  /** Event-time window admission for time-scoped analytics (retention /
+    * sessionization over recent days, change-window scans): bounds are over
+    * the WRITTEN rows' `ts` in Catalyst micros (null ts excluded by widening
+    * to always-admit at the write site — see the accumulators). A file
+    * without ts bounds (legacy manifest, stat-less path) always admits —
+    * skipping needs positive absence evidence, never its absence.
+    */
+  def mightOverlapTs(loUs: Long, hiUs: Long): Boolean = (minTsUs, maxTsUs) match {
+    case (Some(lo), Some(hi)) => hi >= loUs && lo <= hiUs
+    case _ => true
+  }
 }
 
 /** One data file in a manifest: path + byte size (+ optional key bounds).
@@ -758,6 +770,8 @@ final class LakeTable(val root: String, val numBuckets: Int) {
         e.put("t0", Integer.valueOf(st.minTurn)); e.put("t1", Integer.valueOf(st.maxTurn))
         st.bloom.foreach(b => e.put("b", ConvBloom.toBase64(b)))
         st.textBloom.foreach(b => e.put("tb", ConvBloom.toBase64(b)))
+        st.minTsUs.foreach(v => e.put("s0", java.lang.Long.valueOf(v)))
+        st.maxTsUs.foreach(v => e.put("s1", java.lang.Long.valueOf(v)))
         e
     }
     j.put("files", files.map { case (b, fs) =>
@@ -808,7 +822,9 @@ final class LakeTable(val root: String, val numBuckets: Int) {
             e.get("c0").toString, e.get("c1").toString,
             e.get("t0").toString.toInt, e.get("t1").toString.toInt,
             Option(e.get("b")).map(b => ConvBloom.fromBase64(b.toString)),
-            Option(e.get("tb")).map(b => ConvBloom.fromBase64(b.toString)))))
+            Option(e.get("tb")).map(b => ConvBloom.fromBase64(b.toString)),
+            Option(e.get("s0")).map(_.toString.toLong),
+            Option(e.get("s1")).map(_.toString.toLong))))
       }
     }
     val files = m.get("files").asInstanceOf[java.util.Map[String, Object]].asScala

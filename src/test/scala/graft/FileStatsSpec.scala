@@ -210,6 +210,79 @@ class FileStatsSpec extends SparkSpecBase {
     assert(graft.table.ConvBloom.seal(sat).isEmpty, "saturated bloom must be dropped, not shipped")
   }
 
+  test("files carry event-time bounds; the manifest round-trips them") {
+    val t = new LakeTable(tmpDir("fs-ts"), numBuckets = 1)
+    MergeApplier.applyBatchMor(spark, t, spark.createDataset(Seq(
+      ev("a0", 0, "x", "2025-01-01 10:00:00", 0),
+      ev("a1", 0, "y", "2025-03-01 10:00:00", 1))).toDF(), "w", 0L)
+    val st = allEntries(t).head.stats.get
+    val lo = org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .fromJavaTimestamp(Timestamp.valueOf("2025-01-01 10:00:00"))
+    val hi = org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .fromJavaTimestamp(Timestamp.valueOf("2025-03-01 10:00:00"))
+    assert(st.minTsUs.contains(lo) && st.maxTsUs.contains(hi), st.toString)
+    assert(st.mightOverlapTs(hi, Long.MaxValue) && st.mightOverlapTs(Long.MinValue, lo))
+    assert(!st.mightOverlapTs(hi + 1, Long.MaxValue) && !st.mightOverlapTs(Long.MinValue, lo - 1))
+    // stat-less / legacy entries (no ts bounds) always admit
+    assert(FileStats("a", "z", 0, 1).mightOverlapTs(Long.MinValue, Long.MaxValue))
+    assert(FileStats("a", "z", 0, 1).mightOverlapTs(5, 5))
+  }
+
+  test("physical skip: DSv2 scan with a ts window never opens out-of-window buckets (MOR)") {
+    val root = tmpDir("fs-ts-mor") + "/t"
+    val t = new LakeTable(root, numBuckets = 2)
+    // segregate event time BY BUCKET: every (conv,turn) landing in bucket 0
+    // gets January, bucket 1 gets June — so bucket 0's files are entirely
+    // outside a summer window and the whole bucket must be skipped
+    val cand = for (i <- 0 until 30; turn <- 0 until 2) yield (s"c$i", turn)
+    val evs = cand.zipWithIndex.map { case ((c, turn), i) =>
+      val old = t.bucketFor(c, turn) == 0
+      ev(c, turn, s"$c-t$turn", if (old) "2025-01-05 00:00:00" else "2025-06-05 00:00:00", i.toLong)
+    }
+    assert(evs.exists(e => t.bucketFor(e.conv_id, e.turn_idx) == 0) &&
+      evs.exists(e => t.bucketFor(e.conv_id, e.turn_idx) == 1))
+    MergeApplier.applyBatchMor(spark, t, spark.createDataset(evs).toDF(), "w", 0L)
+    val cut = Timestamp.valueOf("2025-06-01 00:00:00")
+    val expected = evs.filter(e => !e.ts.before(cut)).map(e => (e.conv_id, e.turn_idx)).toSet
+    // delete bucket 0's delta from disk — a scan that opened it would crash
+    val cutUs = org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(cut)
+    val (keep, skip) = allEntries(t).partition(_.stats.get.mightOverlapTs(cutUs, Long.MaxValue))
+    assert(skip.nonEmpty && keep.nonEmpty, s"keep=$keep skip=$skip")
+    skip.foreach(f => java.nio.file.Files.delete(java.nio.file.Paths.get(f.path)))
+    val got = spark.read.format("lake").option("path", root).load()
+      .filter(org.apache.spark.sql.functions.col("ts") >= org.apache.spark.sql.functions.lit(cut))
+      .collect().map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"))).toSet
+    assert(got == expected, s"got ${got.size}, expected ${expected.size}")
+    // and without the ts predicate the scan rightly needs the deleted file
+    intercept[Exception] {
+      spark.read.format("lake").option("path", root).load().collect()
+    }
+  }
+
+  test("physical skip: ts window prunes per FILE on a compacted (key-unique) snapshot") {
+    val root = tmpDir("fs-ts-cow") + "/t"
+    val t = new LakeTable(root, numBuckets = 2)
+    val cand = for (i <- 0 until 30; turn <- 0 until 2) yield (s"d$i", turn)
+    val evs = cand.zipWithIndex.map { case ((c, turn), i) =>
+      val old = t.bucketFor(c, turn) == 0
+      ev(c, turn, s"$c-t$turn", if (old) "2025-01-05 00:00:00" else "2025-06-05 00:00:00", i.toLong)
+    }
+    MergeApplier.applyBatchMor(spark, t, spark.createDataset(evs).toDF(), "w", 0L)
+    MergeApplier.compactRetainTombstones(spark, t) // compaction stats carry ts bounds
+    assert(!t.currentSnapshot().get.morDeltas)
+    assert(allEntries(t).forall(_.stats.exists(_.minTsUs.nonEmpty)))
+    val cut = Timestamp.valueOf("2025-06-01 00:00:00")
+    val cutUs = org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(cut)
+    val (keep, skip) = allEntries(t).partition(_.stats.get.mightOverlapTs(cutUs, Long.MaxValue))
+    assert(skip.nonEmpty && keep.nonEmpty)
+    skip.foreach(f => java.nio.file.Files.delete(java.nio.file.Paths.get(f.path)))
+    val got = spark.read.format("lake").option("path", root).load()
+      .filter(org.apache.spark.sql.functions.col("ts") >= org.apache.spark.sql.functions.lit(cut))
+      .collect().map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"))).toSet
+    val expected = evs.filter(e => !e.ts.before(cut)).map(e => (e.conv_id, e.turn_idx)).toSet
+    assert(got == expected)
+  }
+
   test("streaming sink epochs carry bounds; sink deltas are skippable") {
     val src = tmpDir("fs-sink-src")
     val root = s"${tmpDir("fs-sink")}/t"
