@@ -588,6 +588,32 @@ object Bench {
     val (feedRows, feedSec) = timed {
       graft.operators.ChangeFeed.changesSince(spark, lastMorTable, 1L).count()
     }
+    // ---- spill-fold leg: the sort-spill delta fold vs the hash fold on the
+    // SAME delta-deep raw-MOR table. spillFoldBytes=0 forces the policy on
+    // EVERY bucket — the worst case of the graceful-degradation path for a
+    // bucket that outgrew its executor (cdc_spill_fold gates its
+    // correctness at sf0.01; this is its cost at bench scale). The measured
+    // gap is the narrow in-task sort's copy+spill overhead — the price of
+    // keeping an oversized bucket readable at O(1) task memory.
+    progress("cdc: spill-fold vs hash-fold read leg")
+    val savedSpillBytes = lastMorTable.spillFoldBytes
+    var spillFoldRows = 0L
+    val hashFoldS = (1 to 3).map { _ =>
+      val (n, sec) = timed { lastMorTable.read(spark).count() }
+      spillFoldRows = n; sec
+    }
+    require(!graft.operators.BucketLocal.lastFoldWasSpill,
+      "hash-fold leg unexpectedly took the spill branch")
+    lastMorTable.spillFoldBytes = 0L
+    val spillFoldS = (1 to 3).map { _ =>
+      val (n, sec) = timed { lastMorTable.read(spark).count() }
+      require(n == spillFoldRows,
+        s"spill fold disagrees with hash fold: $n vs $spillFoldRows rows")
+      sec
+    }
+    require(graft.operators.BucketLocal.lastFoldWasSpill,
+      "spill-fold leg did not take the spill branch")
+    lastMorTable.spillFoldBytes = savedSpillBytes
     // ---- SELECTIVE compaction: fold 4 of 32 buckets first — the
     // maintenance unit for a skewed tail (hot buckets go delta-deep, the
     // rest shouldn't pay). Cost should scale ~|targets|/|table| vs the full
@@ -650,7 +676,7 @@ object Bench {
     val mwCowSec = mwCowS.min
     val mwMorSec = mwMorS.min
     val tailBatches = (tailFiles * tailParts + tailMft - 1) / tailMft // derived, not hardcoded
-    val cdcJson = f"""{"rounds":$cdcRounds,"replayEvents":$benchEvents,"replaySamples":${jsonArr(replayS.toSeq)},"replaySec":$replaySec%.2f,"replayEventsPerSec":${(benchEvents / replaySec).toLong},"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":$tailBatches,"tailCowSamples":${jsonArr(cowS.toSeq)},"tailSec":$tailSec%.2f,"tailEventsPerSec":${(tailEvents / tailSec).toLong},"tailMorSamples":${jsonArr(morS.toSeq)},"tailMorSec":$morSec%.2f,"tailMorEventsPerSec":${(tailEvents / morSec).toLong},"tailMorAutoSamples":${jsonArr(morAutoS.toSeq)},"tailMorAutoSec":$morAutoSec%.2f,"tailMorAutoEventsPerSec":${(tailEvents / morAutoSec).toLong},"tailMorAutoMaxDeltaDepth":$morAutoMaxDepth,"tailMorAutoCompactions":$morAutoCompactions,"replicateSamples":${jsonArr(replS.toSeq)},"replicateSec":${replS.min}%.2f,"replicateEventsPerSec":${(tailEvents / replS.min).toLong},"replicateVersions":$replVersions,"replicateRowsOk":$replRowsOk,"feedRows":$feedRows,"feedSec":$feedSec%.2f,"lookupKeys":${lookupKeys.size},"lookupFilesTotal":$lkFilesTotal,"lookupFilesBounds":$lkFilesBounds,"lookupFilesRead":$lkFilesRead,"lookupFilesTruth":$lkFilesTruth,"lookupSkipSec":${lkSkipS.min}%.3f,"lookupFullSec":${lkFullS.min}%.3f,"lookupSkipSamples":${jsonArr(lkSkipS)},"lookupFullSamples":${jsonArr(lkFullS)},"selCompactBuckets":${selBuckets.size},"selCompactRows":$selCompactRows,"selCompactSec":$selCompactSec%.2f,"morCompactSec":$compactSec%.2f,"bigTailTableRows":$bigTableRows,"bigTailEvents":$bigTailEvents,"bigTailCowSamples":${jsonArr(bigCowS.toSeq)},"bigTailCowSec":$bigCowSec%.2f,"bigTailCowEventsPerSec":${(bigTailEvents / bigCowSec).toLong},"bigTailMorSamples":${jsonArr(bigMorS.toSeq)},"bigTailMorSec":$bigMorSec%.2f,"bigTailMorEventsPerSec":${(bigTailEvents / bigMorSec).toLong},"mwWriters":$mwWriters,"mwChunksPerWriter":$mwChunks,"mwCowSamples":${jsonArr(mwCowS.toSeq)},"mwCowSec":$mwCowSec%.2f,"mwCowEventsPerSec":${(tailEvents / mwCowSec).toLong},"mwMorSamples":${jsonArr(mwMorS.toSeq)},"mwMorSec":$mwMorSec%.2f,"mwMorEventsPerSec":${(tailEvents / mwMorSec).toLong},"mwRebases":$mwRebases,"mwReruns":$mwReruns,"mwRowsOk":$mwRowsOk,"viewBaseRows":$viewBaseRows,"viewRows":$viewRows,"viewIncrSamples":${jsonArr(viewIncrS.toSeq)},"viewIncrSec":${viewIncrS.min}%.2f,"viewFullSamples":${jsonArr(viewFullS.toSeq)},"viewFullSec":${viewFullS.min}%.2f,"spjRows":$spjRows,"spjSamples":${jsonArr(spjS.toSeq)},"spjSec":${spjS.min}%.2f,"spjShuffleSamples":${jsonArr(spjShufS.toSeq)},"spjShuffleSec":${spjShufS.min}%.2f,"sqlMergeSamples":${jsonArr(sqlMergeS.toSeq)},"sqlMergeSec":${sqlMergeS.min}%.2f,"sqlMergeSrcRows":$sqlMergeSrcRows,"sqlMergeRowsWritten":$sqlMergeRowsWritten,"sqlMergeReplacedBuckets":$sqlMergeReplaced,"sqlMergeNumBuckets":32,"sqlMergeTableRows":$sqlMergeTableRows,"textIndexSec":$textIndexSec%.2f,"searchFilesTotal":$searchFilesTotal,"searchMissFilesAdmitted":$searchFilesMissAdmitted,"searchHitSamples":${jsonArr(searchHitS)},"searchHitSec":${searchHitS.min}%.3f,"searchHitFullSec":${searchHitFullS.min}%.3f,"searchMissSamples":${jsonArr(searchMissS)},"searchMissSec":${searchMissS.min}%.3f,"searchMissFullSec":${searchMissFullS.min}%.3f,"countRows":$countRows,"countMetaPushed":$countMetaPushed,"countMetaSamples":${jsonArr(countMetaS)},"countMetaSec":${countMetaS.min}%.4f,"countScanSamples":${jsonArr(countScanS)},"countScanSec":${countScanS.min}%.3f}"""
+    val cdcJson = f"""{"rounds":$cdcRounds,"replayEvents":$benchEvents,"replaySamples":${jsonArr(replayS.toSeq)},"replaySec":$replaySec%.2f,"replayEventsPerSec":${(benchEvents / replaySec).toLong},"replayTableRows":$replayRows,"tailEvents":$tailEvents,"tailBatches":$tailBatches,"tailCowSamples":${jsonArr(cowS.toSeq)},"tailSec":$tailSec%.2f,"tailEventsPerSec":${(tailEvents / tailSec).toLong},"tailMorSamples":${jsonArr(morS.toSeq)},"tailMorSec":$morSec%.2f,"tailMorEventsPerSec":${(tailEvents / morSec).toLong},"tailMorAutoSamples":${jsonArr(morAutoS.toSeq)},"tailMorAutoSec":$morAutoSec%.2f,"tailMorAutoEventsPerSec":${(tailEvents / morAutoSec).toLong},"tailMorAutoMaxDeltaDepth":$morAutoMaxDepth,"tailMorAutoCompactions":$morAutoCompactions,"replicateSamples":${jsonArr(replS.toSeq)},"replicateSec":${replS.min}%.2f,"replicateEventsPerSec":${(tailEvents / replS.min).toLong},"replicateVersions":$replVersions,"replicateRowsOk":$replRowsOk,"feedRows":$feedRows,"feedSec":$feedSec%.2f,"spillFoldRows":$spillFoldRows,"hashFoldSamples":${jsonArr(hashFoldS)},"hashFoldSec":${hashFoldS.min}%.3f,"spillFoldSamples":${jsonArr(spillFoldS)},"spillFoldSec":${spillFoldS.min}%.3f,"lookupKeys":${lookupKeys.size},"lookupFilesTotal":$lkFilesTotal,"lookupFilesBounds":$lkFilesBounds,"lookupFilesRead":$lkFilesRead,"lookupFilesTruth":$lkFilesTruth,"lookupSkipSec":${lkSkipS.min}%.3f,"lookupFullSec":${lkFullS.min}%.3f,"lookupSkipSamples":${jsonArr(lkSkipS)},"lookupFullSamples":${jsonArr(lkFullS)},"selCompactBuckets":${selBuckets.size},"selCompactRows":$selCompactRows,"selCompactSec":$selCompactSec%.2f,"morCompactSec":$compactSec%.2f,"bigTailTableRows":$bigTableRows,"bigTailEvents":$bigTailEvents,"bigTailCowSamples":${jsonArr(bigCowS.toSeq)},"bigTailCowSec":$bigCowSec%.2f,"bigTailCowEventsPerSec":${(bigTailEvents / bigCowSec).toLong},"bigTailMorSamples":${jsonArr(bigMorS.toSeq)},"bigTailMorSec":$bigMorSec%.2f,"bigTailMorEventsPerSec":${(bigTailEvents / bigMorSec).toLong},"mwWriters":$mwWriters,"mwChunksPerWriter":$mwChunks,"mwCowSamples":${jsonArr(mwCowS.toSeq)},"mwCowSec":$mwCowSec%.2f,"mwCowEventsPerSec":${(tailEvents / mwCowSec).toLong},"mwMorSamples":${jsonArr(mwMorS.toSeq)},"mwMorSec":$mwMorSec%.2f,"mwMorEventsPerSec":${(tailEvents / mwMorSec).toLong},"mwRebases":$mwRebases,"mwReruns":$mwReruns,"mwRowsOk":$mwRowsOk,"viewBaseRows":$viewBaseRows,"viewRows":$viewRows,"viewIncrSamples":${jsonArr(viewIncrS.toSeq)},"viewIncrSec":${viewIncrS.min}%.2f,"viewFullSamples":${jsonArr(viewFullS.toSeq)},"viewFullSec":${viewFullS.min}%.2f,"spjRows":$spjRows,"spjSamples":${jsonArr(spjS.toSeq)},"spjSec":${spjS.min}%.2f,"spjShuffleSamples":${jsonArr(spjShufS.toSeq)},"spjShuffleSec":${spjShufS.min}%.2f,"sqlMergeSamples":${jsonArr(sqlMergeS.toSeq)},"sqlMergeSec":${sqlMergeS.min}%.2f,"sqlMergeSrcRows":$sqlMergeSrcRows,"sqlMergeRowsWritten":$sqlMergeRowsWritten,"sqlMergeReplacedBuckets":$sqlMergeReplaced,"sqlMergeNumBuckets":32,"sqlMergeTableRows":$sqlMergeTableRows,"textIndexSec":$textIndexSec%.2f,"searchFilesTotal":$searchFilesTotal,"searchMissFilesAdmitted":$searchFilesMissAdmitted,"searchHitSamples":${jsonArr(searchHitS)},"searchHitSec":${searchHitS.min}%.3f,"searchHitFullSec":${searchHitFullS.min}%.3f,"searchMissSamples":${jsonArr(searchMissS)},"searchMissSec":${searchMissS.min}%.3f,"searchMissFullSec":${searchMissFullS.min}%.3f,"countRows":$countRows,"countMetaPushed":$countMetaPushed,"countMetaSamples":${jsonArr(countMetaS)},"countMetaSec":${countMetaS.min}%.4f,"countScanSamples":${jsonArr(countScanS)},"countScanSec":${countScanS.min}%.3f}"""
 
     // ---- query sweep (one warmup pass, then timed) ----
     progress("queries: warmup pass")
@@ -762,10 +788,14 @@ object Bench {
         else Similarity.ivfTopK(clustered, cq, k = 5, nLists = 8, nProbe = 2)
           .select("query_id", "vec_id")
           .join(cbf, Seq("query_id", "vec_id")).count().toDouble / nCbf
-      progress("recall: IVF-PQ (probe 2 of 8, refine=20) on the clustered corpus")
+      // refine is the SHIPPED default (0 = auto, sized to the probed-
+      // candidate count): round 4 measured 0.325 here at a hand-set
+      // refine=100 — the silent near-tie cliff the auto default now defends
+      // against; this leg is the no-hand-tuning proof
+      progress("recall: IVF-PQ (probe 2 of 8, refine=auto) on the clustered corpus")
       val rIvfPqClustered = if (nCbf == 0) 1.0
         else Similarity.ivfPqTopK(clustered, cq, k = 5, nLists = 8, nProbe = 2,
-          m = 8, codes = 16, refine = 100, trainSample = 0.5)
+          m = 8, codes = 16, trainSample = 0.5)
           .select("query_id", "vec_id")
           .join(cbf, Seq("query_id", "vec_id")).count().toDouble / nCbf
       // int8-quantized top-k at a production refine (4×k candidates per
@@ -780,10 +810,10 @@ object Bench {
       // Near-orthogonal sf embeddings are the WORST case for BOTH coarse
       // lists and codebooks (same floor story as rIvf), so the clustered
       // synthetic corpus is measured alongside as the operating point.
-      progress("recall: IVF-PQ (probe 2 of 8, refine=20) vs brute-force top-k")
+      progress("recall: IVF-PQ (probe 2 of 8, refine=auto) vs brute-force top-k")
       val rIvfPq = if (nBf == 0) 1.0
         else Similarity.ivfPqTopK(embDf, annQ, k = 5, nLists = 8, nProbe = 2,
-          m = 8, codes = 16, refine = 100, trainSample = 0.5)
+          m = 8, codes = 16, trainSample = 0.5)
           .select("query_id", "vec_id")
           .join(bf, Seq("query_id", "vec_id")).count().toDouble / nBf
       // honest timing of the int8 path vs the float baseline at a larger
@@ -814,7 +844,27 @@ object Bench {
       val idxFloatBytes = dirBytes(s"$idxDir/float")
       val idxInt8Bytes = dirBytes(s"$idxDir/int8")
       rmDir(idxDir)
-      recallJson = f"""{"dedup_minhash_lsh_bands16":$rMinhash%.4f,"dedup_simhash_banded":$rSimhash%.4f,"embed_neardup_32x5":$rNearDup%.4f,"ann_lsh_topk_32x5":$rAnn%.4f,"ann_ivf_topk_probe2of8":$rIvf%.4f,"ann_ivf_topk_probe2of8_clustered":$rIvfClustered%.4f,"ann_quant_topk_refine20":$rQuant%.4f,"ann_ivfpq_topk_probe2of8_refine100":$rIvfPq%.4f,"ann_ivfpq_topk_probe2of8_refine100_clustered":$rIvfPqClustered%.4f,"ann_bf_64q_sec":${annBfS.min}%.3f,"ann_quant_64q_sec":${annQuantS.min}%.3f,"ann_index_float_bytes":$idxFloatBytes,"ann_index_int8_bytes":$idxInt8Bytes}"""
+      // persisted-index lifecycle, measured: build ONCE (train + encode +
+      // list-partitioned write), then search many — vs the per-job
+      // recompute ivfTopK does (train+encode inside every query batch).
+      // Same config both sides (8 lists, probe 2 of 8, 64 queries, exact
+      // re-rank); the indexed search opens ONLY the probed lists' files
+      // (AnnIndexSpec proves that physically). At 10^10 vectors the
+      // recompute column is the scale-killer the persisted index deletes.
+      progress("timing: persisted IVF index search vs per-job recompute, 64 queries")
+      val annIdxDir = tmp("bench-annidx-ivf")
+      val (_, annIdxBuildSec) = timed {
+        graft.operators.AnnIndex.buildIvf(embDf, annIdxDir, nLists = 8, iters = 3)
+      }
+      val annRecomputeS = (1 to 2).map(_ => timed {
+        Similarity.ivfTopK(embDf, annQ64, k = 5, nLists = 8, nProbe = 2).count()
+      }._2)
+      val annIndexedS = (1 to 2).map(_ => timed {
+        graft.operators.AnnIndex.searchIvf(spark, annIdxDir, annQ64,
+          k = 5, nProbe = 2).count()
+      }._2)
+      rmDir(annIdxDir)
+      recallJson = f"""{"dedup_minhash_lsh_bands16":$rMinhash%.4f,"dedup_simhash_banded":$rSimhash%.4f,"embed_neardup_32x5":$rNearDup%.4f,"ann_lsh_topk_32x5":$rAnn%.4f,"ann_ivf_topk_probe2of8":$rIvf%.4f,"ann_ivf_topk_probe2of8_clustered":$rIvfClustered%.4f,"ann_quant_topk_refine20":$rQuant%.4f,"ann_ivfpq_topk_probe2of8_refineauto":$rIvfPq%.4f,"ann_ivfpq_topk_probe2of8_refineauto_clustered":$rIvfPqClustered%.4f,"ann_bf_64q_sec":${annBfS.min}%.3f,"ann_quant_64q_sec":${annQuantS.min}%.3f,"ann_index_float_bytes":$idxFloatBytes,"ann_index_int8_bytes":$idxInt8Bytes,"ann_ivf_index_build_sec":$annIdxBuildSec%.3f,"ann_ivf_recompute_64q_samples":${jsonArr(annRecomputeS)},"ann_ivf_recompute_64q_sec":${annRecomputeS.min}%.3f,"ann_ivf_indexed_64q_samples":${jsonArr(annIndexedS)},"ann_ivf_indexed_64q_sec":${annIndexedS.min}%.3f}"""
     }
 
     emit(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdcJson,"scaling":$scalingJson,"recall":$recallJson}""")

@@ -902,6 +902,38 @@ object SparkEntry {
         Text.qualityKeep(col("text")).as("keep"),
         concat_ws(",", Text.qualityFailReasons(col("text"))).as("fail_reasons"))),
 
+    // The SQL curation surface: the same quality filter + score + language
+    // ID run ENTIRELY through spark.sql — zero Scala Columns in the query.
+    // The functions resolve through LakeCatalog's FunctionCatalog
+    // (graft.table.LakeTextFunctions) and evaluate the SAME analyzer-
+    // resolved expressions as the Column API, so this gate proves the `Cli
+    // sql` user's curation path end-to-end against the DuckDB oracle.
+    "text_sql_quality" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftfns",
+        classOf[graft.table.LakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftfns.base", gateRoot.toString)
+      table(s, dir, "documents").createOrReplaceTempView("sql_quality_docs")
+      s.sql("""SELECT doc_id,
+              |  CAST(graftfns.token_count(text) AS BIGINT) AS n_tok,
+              |  graftfns.quality_score(text) AS quality,
+              |  graftfns.lang_id(text) AS lang_pred
+              |FROM sql_quality_docs
+              |WHERE graftfns.quality_keep(text)""".stripMargin)
+    }),
+
+    // BM25 over SQL: `CALL cat.system.bm25(...)` — the TVF-shaped procedure
+    // face of TextRank.bm25 (distributed ranking, top-k LocalScan result).
+    // k exceeds the corpus hit count, so the gate compares the FULL ranked
+    // slice against the same DuckDB formula as text_bm25.
+    "text_sql_bm25" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftfns",
+        classOf[graft.table.LakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftfns.base", gateRoot.toString)
+      table(s, dir, "documents").createOrReplaceTempView("sql_bm25_docs")
+      s.sql("""CALL graftfns.system.bm25(view => 'sql_bm25_docs',
+              |  terms => 'table,query,merge', k => 100000)""".stripMargin)
+    }),
+
     // Gap-based sessionization (30-min gap): ONE shuffle+sort per user_id
     // (lag + running sum share a single WindowExec), hash-agg rollup.
     "q_sessionize" -> ((s, dir) =>
@@ -1629,6 +1661,95 @@ object SparkEntry {
         |SELECT doc_id, len(reasons) = 0 AS keep,
         |  COALESCE(array_to_string(reasons, ','), '') AS fail_reasons
         |FROM r""".stripMargin,
+
+    // the SQL-catalog curation gate: same keep predicate (CASE-list filter,
+    // null conditions don't fail — Spark's filter-on-null semantics), same
+    // quality formula (round 6), same langid argmax tie-break as the
+    // individual oracles above
+    "text_sql_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN LENGTH(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+        |    CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+        |      GREATEST(CASE WHEN LENGTH(trim(text)) = 0 THEN 0
+        |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1) AS mean_len,
+        |    CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
+        |      GREATEST(LENGTH(text), 1) AS alpha_ratio,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) /
+        |      GREATEST(LENGTH(text), 1) AS punct_ratio,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x IN ('the','a','an','of','to','in','and','is','it','that',
+        |                 'for','on','with','as','at','by','or','be'))) AS DOUBLE) /
+        |      GREATEST(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1) AS stop_ratio
+        |  FROM documents),
+        |k AS (
+        |  SELECT * FROM t WHERE len(list_filter([
+        |    CASE WHEN n_tok < 5 THEN 'f' END,
+        |    CASE WHEN n_tok > 5000 THEN 'f' END,
+        |    CASE WHEN mean_len < 2.0 OR mean_len > 12.0 THEN 'f' END,
+        |    CASE WHEN alpha_ratio < 0.5 THEN 'f' END,
+        |    CASE WHEN punct_ratio >= 0.25 THEN 'f' END,
+        |    CASE WHEN stop_ratio <= 0.02 THEN 'f' END],
+        |    x -> x IS NOT NULL)) = 0),
+        |sc AS (SELECT doc_id,
+        |  (CASE WHEN contains(' ' || lower(text) || ' ', ' the ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(' ' || lower(text) || ' ', ' and ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(' ' || lower(text) || ' ', ' of ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(' ' || lower(text) || ' ', ' is ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(' ' || lower(text) || ' ', ' with ') THEN 1 ELSE 0 END) AS en,
+        |  (CASE WHEN contains(' ' || lower(text) || ' ', ' el ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(' ' || lower(text) || ' ', ' la ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(' ' || lower(text) || ' ', ' los ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(' ' || lower(text) || ' ', ' que ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(' ' || lower(text) || ' ', ' con ') THEN 1 ELSE 0 END) AS es,
+        |  (CASE WHEN contains(' ' || lower(text) || ' ', ' le ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(' ' || lower(text) || ' ', ' les ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(' ' || lower(text) || ' ', ' des ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(' ' || lower(text) || ' ', ' est ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(' ' || lower(text) || ' ', ' avec ') THEN 1 ELSE 0 END) AS fr,
+        |  (CASE WHEN contains(' ' || lower(text) || ' ', ' der ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(' ' || lower(text) || ' ', ' die ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(' ' || lower(text) || ' ', ' und ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(' ' || lower(text) || ' ', ' ist ') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(' ' || lower(text) || ' ', ' mit ') THEN 1 ELSE 0 END) AS de,
+        |  CASE WHEN regexp_matches(' ' || lower(text) || ' ', '[\x{4e00}-\x{9fff}]')
+        |    THEN 10 ELSE 0 END AS zh
+        |FROM k),
+        |l AS (SELECT doc_id, CASE
+        |  WHEN zh >= en AND zh >= es AND zh >= fr AND zh >= de THEN 'zh'
+        |  WHEN fr >= en AND fr >= es AND fr >= de AND fr >= zh THEN 'fr'
+        |  WHEN es >= en AND es >= fr AND es >= de AND es >= zh THEN 'es'
+        |  WHEN en >= es AND en >= fr AND en >= de AND en >= zh THEN 'en'
+        |  ELSE 'de' END AS lang_pred
+        |FROM sc)
+        |SELECT k.doc_id, k.n_tok,
+        |  ROUND(LEAST(CAST(k.n_tok AS DOUBLE) / 64.0, 1.0) * 0.5 +
+        |    (CASE WHEN k.punct_ratio < 0.25 THEN 1.0 ELSE 0.5 END) * 0.25 +
+        |    (CASE WHEN k.stop_ratio > 0.05 THEN 1.0 ELSE 0.6 END) * 0.25, 6) AS quality,
+        |  l.lang_pred
+        |FROM k JOIN l USING (doc_id)""".stripMargin,
+
+    // same Okapi formula as text_bm25; the procedure returns (id VARCHAR,
+    // bm25) and the gate's k exceeds the hit count, so the compared set is
+    // the full matching slice
+    "text_sql_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    t -> len(t) > 0) AS w
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(w) AS dl FROM d),
+        |stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(w) AS term FROM d) t
+        |  WHERE term IN ('table', 'query', 'merge') GROUP BY doc_id, term),
+        |idf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+        |SELECT CAST(tf.doc_id AS VARCHAR) AS id,
+        |  ROUND(SUM(ln((stats.n_docs - idf.df + 0.5) / (idf.df + 0.5) + 1.0)
+        |    * tf.tf * 2.2 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 6) AS bm25
+        |FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |GROUP BY tf.doc_id""".stripMargin,
 
     // identical gap convention (> 1800s starts a new session) and exact
     // integer microsecond arithmetic on both sides

@@ -141,11 +141,17 @@ final class LakeCatalog extends TableCatalog with FunctionCatalog
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE is not supported on lake tables")
 
+  // The layout's bucket function (resolved by Spark for storage-partitioned
+  // joins) plus the curation scalars (token/quality/langid/fingerprint/PII)
+  // — the SQL face of graft.functions.Text. Namespace is not significant
+  // for functions (Iceberg's convention: resolvable at the catalog root and
+  // under `system` alike).
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"))
+    ("bucket" +: LakeTextFunctions.Names).map(Identifier.of(namespace, _)).toArray
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name() == "bucket") LakeBucketFunction
-    else throw new NoSuchFunctionException(ident)
+    else LakeTextFunctions(ident.name())
+      .getOrElse(throw new NoSuchFunctionException(ident))
 
   // ---- maintenance procedures: `CALL cat.system.compact('tbl')` etc. ----
   // The table argument resolves relative to the catalog base ("tbl" or

@@ -1,0 +1,139 @@
+package graft.table
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, BindReferences, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.Project
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+
+/** The curation functions as SQL citizens: every [[graft.functions.Text]]
+  * scalar (token counting, quality scoring, language ID, fingerprinting,
+  * PII redaction) exposed through [[LakeCatalog]]'s DSv2 FunctionCatalog, so
+  * a SQL console user runs
+  *
+  * {{{
+  *   SELECT doc_id, lake.quality_score(text) AS q
+  *   FROM docs WHERE lake.quality_keep(text)
+  * }}}
+  *
+  * with NO Scala entry point (the `Cli sql` curation surface; reference
+  * pipelines expose their transform functions to the mapping layer the same
+  * way — /root/reference/ 's RML function registry, here re-expressed as a
+  * catalog function registry).
+  *
+  * One implementation, two surfaces: the bound function does NOT
+  * reimplement the logic — at bind time (driver, during analysis) it runs
+  * the EXACT `Column` tree the Scala API builds through the session's
+  * analyzer (which resolves lambda variables, casts and timezones exactly
+  * as `df.select` would), binds it to the single input slot, and ships the
+  * resolved Catalyst expression to executors. `produceResult` is then one
+  * interpreted `Expression.eval` per row against the caller's input row —
+  * null-safe by the expression's own semantics, and semantically identical
+  * to the DataFrame path BY CONSTRUCTION (a drifted copy is impossible;
+  * LakeFunctionsSpec pins the equality on a random corpus anyway).
+  *
+  * Honest cost note: the V2 function hop is per-row interpreted eval
+  * (ApplyFunctionExpression), not whole-stage codegen — the price of the
+  * SQL convenience surface. Scala/DataFrame callers keep full codegen via
+  * [[graft.functions.Text]] directly; the per-row work is identical either
+  * way (same regex/array kernels), only the loop around it differs.
+  */
+object LakeTextFunctions {
+
+  /** name -> (doc, the Column tree it must equal). */
+  private val registry: Seq[(String, String, Column => Column)] = Seq(
+    ("token_count", "token_count(text): whitespace token count",
+      Text.tokenCount _),
+    ("token_count_bpeish", "token_count_bpeish(text): BPE-ish subword count estimate",
+      Text.tokenCountBpeish _),
+    ("punct_ratio", "punct_ratio(text): punctuation-character ratio in [0,1]",
+      Text.punctRatio _),
+    ("alpha_ratio", "alpha_ratio(text): alphabetic-character ratio in [0,1]",
+      Text.alphaRatio _),
+    ("stopword_ratio", "stopword_ratio(text): common-English-stopword token ratio",
+      Text.stopwordRatio _),
+    ("mean_token_len", "mean_token_len(text): mean token length in characters",
+      Text.meanTokenLen _),
+    ("quality_score", "quality_score(text): composite C4/Gopher-style quality in [0,1]",
+      Text.qualityScore _),
+    ("quality_keep", "quality_keep(text): true iff no quality rule fails",
+      Text.qualityKeep _),
+    ("quality_fail_reasons",
+      "quality_fail_reasons(text): names of the quality rules the text fails",
+      Text.qualityFailReasons _),
+    ("lang_id", "lang_id(text): n-gram heuristic language ID (en/es/fr/de/zh)",
+      Text.langIdHeuristic _),
+    ("fingerprint", "fingerprint(text): min-of-md5 over word 3-shingles",
+      (c: Column) => Text.fingerprint(c, 3)),
+    ("redact_pii", "redact_pii(text): emails/IPv4/phone runs -> placeholders",
+      Text.redactPii _))
+
+  val Names: Seq[String] = registry.map(_._1)
+
+  def apply(name: String): Option[UnboundFunction] =
+    registry.find(_._1 == name).map { case (n, doc, build) =>
+      new TextFunction(n, doc, build)
+    }
+
+  /** Resolve `build(col("text"))` through a real (empty) DataFrame's
+    * analysis and bind the result to input ordinal 0. Runs on the DRIVER at
+    * bind time — Column-node conversion, lambda-variable resolution,
+    * implicit casts and timezone binding all happen exactly as in the
+    * DataFrame path (it IS the DataFrame path); executors receive a fully
+    * resolved, bound, serializable expression.
+    */
+  private[table] def resolveAndBind(build: Column => Column): Expression = {
+    val spark = SparkSession.active
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(org.apache.spark.sql.types.StructField(
+        "text", StringType, nullable = true))))
+    val analyzed = df
+      .select(build(org.apache.spark.sql.functions.col("text")).as("out"))
+      .queryExecution.analyzed
+    val project = analyzed.collectFirst { case p: Project => p }.getOrElse(
+      throw new IllegalStateException(
+        s"curation function body did not analyze to a projection:\n$analyzed"))
+    val resolved = project.projectList.head match {
+      case a: Alias => a.child
+      case e => e
+    }
+    require(resolved.resolved, s"curation function body failed to resolve: $resolved")
+    BindReferences.bindReference(resolved, project.child.output)
+  }
+}
+
+private final class TextFunction(fnName: String, doc: String, build: Column => Column)
+    extends UnboundFunction {
+  override def name(): String = fnName
+  override def description(): String = doc
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1 &&
+      inputType.fields(0).dataType == StringType,
+      s"$fnName expects exactly one STRING argument, got " +
+        inputType.fields.map(_.dataType.simpleString).mkString("(", ", ", ")"))
+    new TextBoundFunction(fnName, LakeTextFunctions.resolveAndBind(build))
+  }
+}
+
+/** Serialized with the plan; each task deserializes its own copy, so the
+  * expression tree's transient per-instance caches (compiled regexes) are
+  * single-threaded — the same lifecycle every interpreted Catalyst
+  * projection has.
+  */
+private final class TextBoundFunction(fnName: String, expr: Expression)
+    extends ScalarFunction[Any] {
+  override def name(): String = fnName
+  override def canonicalName(): String = s"graft.text.$fnName"
+  override def inputTypes(): Array[DataType] = Array(StringType)
+  override def resultType(): DataType = expr.dataType
+  override def isResultNullable: Boolean = true
+  override def isDeterministic: Boolean = true
+  // BoundReference(0) reads straight off the args row — null flows through
+  // the expression's own null semantics, no unboxing here.
+  override def produceResult(input: InternalRow): Any = expr.eval(input)
+}

@@ -31,7 +31,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object LakeProcedures {
 
   /** Procedure names, exposed under the `system` namespace. */
-  val Names: Seq[String] = Seq("compact", "vacuum", "rollback", "rebucket", "tag", "drop_tag")
+  val Names: Seq[String] =
+    Seq("compact", "vacuum", "rollback", "rebucket", "tag", "drop_tag", "bm25")
 
   /** @param name        procedure name (one of [[Names]])
     * @param resolveRoot  maps the `table` argument ("tbl" or "ns.tbl",
@@ -44,6 +45,7 @@ object LakeProcedures {
     case "rebucket" => new RebucketProc(resolveRoot)
     case "tag" => new TagProc(resolveRoot)
     case "drop_tag" => new DropTagProc(resolveRoot)
+    case "bm25" => new Bm25Proc
     case other => throw new UnsupportedOperationException(
       s"unknown lake procedure '$other'; available: ${Names.mkString(", ")}")
   }
@@ -207,6 +209,66 @@ object LakeProcedures {
       val version = if (args.isNullAt(2)) t.currentSnapshot().get.version else args.getLong(2)
       t.tag(tagName, version)
       Array(UTF8String.fromString(tagName), version)
+    }
+  }
+
+  /** `CALL cat.system.bm25(view => 'docs', terms => 'table,query', k => 100)`
+    * — the TVF-shaped SQL face of [[graft.operators.TextRank.bm25]]: rank
+    * any session-visible relation (temp view, catalog table) against a
+    * comma-separated probe-term bag and return the top-k `(id, bm25)` rows,
+    * ordered by (score desc, id) — a deterministic tie-break, so the same
+    * call always returns the same set. The ranking itself is the engine's
+    * distributed expression pipeline (one tokenization pass, 1-row broadcast
+    * stats, TakeOrdered top-k); only the k result rows reach the driver,
+    * which is why k is bounded — the result is a LocalScan relation, and an
+    * unbounded "top-k" is a corpus download wearing a hat.
+    */
+  private final class Bm25Proc extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "bm25"
+    override def description(): String =
+      "bm25(view, terms, id_col => 'doc_id', text_col => 'text', k => 100): " +
+        "Okapi BM25 top-k of a session-visible relation against probe terms"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false // reads session state (the view)
+    override def parameters(): Array[ProcedureParameter] =
+      Array(p("view", StringType), p("terms", StringType),
+        pDefault("id_col", StringType, "'doc_id'"),
+        pDefault("text_col", StringType, "'text'"),
+        pDefault("k", IntegerType, "100"))
+    private val outSchema: StructType = StructType(Seq(
+      StructField("id", StringType, nullable = true),
+      StructField("bm25", DoubleType, nullable = true)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      require(!input.isNullAt(0) && !input.isNullAt(1),
+        "bm25: view and terms must not be null")
+      val view = input.getUTF8String(0).toString
+      val terms = input.getUTF8String(1).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val idCol = if (input.isNullAt(2)) "doc_id" else input.getUTF8String(2).toString
+      val textCol = if (input.isNullAt(3)) "text" else input.getUTF8String(3).toString
+      val k = if (input.isNullAt(4)) 100 else input.getInt(4)
+      require(k > 0 && k <= 100000,
+        s"bm25: k must be in [1, 100000] (the result is a driver-side relation), got $k")
+      val spark = SparkSession.active
+      import org.apache.spark.sql.functions.col
+      val ranked = graft.operators.TextRank
+        .bm25(spark.table(view), terms, idCol, textCol)
+        .orderBy(col("bm25").desc, col(idCol))
+        .limit(k)
+        .select(col(idCol).cast("string").as("id"), col("bm25"))
+        .collect()
+      val out: Scan = new LocalScan {
+        override val readSchema: StructType = outSchema
+        override val rows: Array[InternalRow] = ranked.map { r =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](
+              if (r.isNullAt(0)) null else UTF8String.fromString(r.getString(0)),
+              if (r.isNullAt(1)) null else r.getDouble(1)))
+        }
+        override def description(): String = s"LakeProcedure(bm25, view=$view, k=$k)"
+      }
+      java.util.List.of(out).iterator()
     }
   }
 
