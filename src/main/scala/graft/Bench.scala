@@ -864,7 +864,25 @@ object Bench {
           k = 5, nProbe = 2).count()
       }._2)
       rmDir(annIdxDir)
-      recallJson = f"""{"dedup_minhash_lsh_bands16":$rMinhash%.4f,"dedup_simhash_banded":$rSimhash%.4f,"embed_neardup_32x5":$rNearDup%.4f,"ann_lsh_topk_32x5":$rAnn%.4f,"ann_ivf_topk_probe2of8":$rIvf%.4f,"ann_ivf_topk_probe2of8_clustered":$rIvfClustered%.4f,"ann_quant_topk_refine20":$rQuant%.4f,"ann_ivfpq_topk_probe2of8_refineauto":$rIvfPq%.4f,"ann_ivfpq_topk_probe2of8_refineauto_clustered":$rIvfPqClustered%.4f,"ann_bf_64q_sec":${annBfS.min}%.3f,"ann_quant_64q_sec":${annQuantS.min}%.3f,"ann_index_float_bytes":$idxFloatBytes,"ann_index_int8_bytes":$idxInt8Bytes,"ann_ivf_index_build_sec":$annIdxBuildSec%.3f,"ann_ivf_recompute_64q_samples":${jsonArr(annRecomputeS)},"ann_ivf_recompute_64q_sec":${annRecomputeS.min}%.3f,"ann_ivf_indexed_64q_samples":${jsonArr(annIndexedS)},"ann_ivf_indexed_64q_sec":${annIndexedS.min}%.3f}"""
+      // incremental admission, measured: a CDC batch (one third of the
+      // corpus) appended against the STORED model vs the full rebuild that
+      // is the only alternative without appendIvf. The rebuild column is
+      // annIdxBuildSec's cost class — train + full-corpus encode — so the
+      // ratio is what a daily ingest pays per index refresh at scale.
+      progress("timing: IVF index append (1/3 corpus) vs full rebuild")
+      val annApDir = tmp("bench-annidx-append")
+      val (apBase, annApBuildSec) = timed {
+        graft.operators.AnnIndex.buildIvf(
+          embDf.filter(col("vec_id") % 3 =!= 0), annApDir, nLists = 8, iters = 3)
+      }
+      val (apMeta, annAppendSec) = timed {
+        graft.operators.AnnIndex.appendIvf(spark, annApDir,
+          embDf.filter(col("vec_id") % 3 === 0))
+      }
+      require(apMeta.corpusCount > apBase.corpusCount,
+        "append leg wrote no vectors")
+      rmDir(annApDir)
+      recallJson = f"""{"dedup_minhash_lsh_bands16":$rMinhash%.4f,"dedup_simhash_banded":$rSimhash%.4f,"embed_neardup_32x5":$rNearDup%.4f,"ann_lsh_topk_32x5":$rAnn%.4f,"ann_ivf_topk_probe2of8":$rIvf%.4f,"ann_ivf_topk_probe2of8_clustered":$rIvfClustered%.4f,"ann_quant_topk_refine20":$rQuant%.4f,"ann_ivfpq_topk_probe2of8_refineauto":$rIvfPq%.4f,"ann_ivfpq_topk_probe2of8_refineauto_clustered":$rIvfPqClustered%.4f,"ann_bf_64q_sec":${annBfS.min}%.3f,"ann_quant_64q_sec":${annQuantS.min}%.3f,"ann_index_float_bytes":$idxFloatBytes,"ann_index_int8_bytes":$idxInt8Bytes,"ann_ivf_index_build_sec":$annIdxBuildSec%.3f,"ann_ivf_recompute_64q_samples":${jsonArr(annRecomputeS)},"ann_ivf_recompute_64q_sec":${annRecomputeS.min}%.3f,"ann_ivf_indexed_64q_samples":${jsonArr(annIndexedS)},"ann_ivf_indexed_64q_sec":${annIndexedS.min}%.3f,"ann_ivf_append_third_sec":$annAppendSec%.3f,"ann_ivf_rebuild_base_sec":$annApBuildSec%.3f}"""
     }
 
     emit(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdcJson,"scaling":$scalingJson,"recall":$recallJson}""")

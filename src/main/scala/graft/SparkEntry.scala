@@ -801,6 +801,33 @@ object SparkEntry {
       AnnIndex.searchIvfPq(s, root, emb, emb.filter(col("vec_id") < 8), k = 5,
         nProbe = 8, refine = Int.MaxValue)
     }),
+    // INCREMENTAL index lifecycle (the CDC shape): build on two-thirds of
+    // the corpus, APPEND the late third quantized against the STORED model
+    // (no retraining pass — appendIvf/appendIvfPq), search the union.
+    // Exhaustive probe (+ refine) makes assignment/encode quality
+    // irrelevant to the answer, so the gates isolate exactly what append
+    // adds — stored-model assignment, file append into the list dirs,
+    // corpusCount maintenance — against the same brute-force oracle.
+    "ann_ivf_appended" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val root = gateRoot.resolve("ann_ivf_appended").toString
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      AnnIndex.buildIvf(emb.filter(col("vec_id") % 3 =!= 0), root,
+        nLists = 8, iters = 3)
+      AnnIndex.appendIvf(s, root, emb.filter(col("vec_id") % 3 === 0))
+      AnnIndex.searchIvf(s, root, emb.filter(col("vec_id") < 8), k = 5,
+        nProbe = 8)
+    }),
+    "ann_ivfpq_appended" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val root = gateRoot.resolve("ann_ivfpq_appended").toString
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      AnnIndex.buildIvfPq(emb.filter(col("vec_id") % 3 =!= 0), root,
+        nLists = 8, m = 8, codes = 16, iters = 2)
+      AnnIndex.appendIvfPq(s, root, emb.filter(col("vec_id") % 3 === 0))
+      AnnIndex.searchIvfPq(s, root, emb, emb.filter(col("vec_id") < 8), k = 5,
+        nProbe = 8, refine = Int.MaxValue)
+    }),
     // threshold 0.35: the synthetic embeddings are near-orthogonal (max
     // pairwise cosine ≈0.46), so a realistic 0.95 cutoff would be vacuous;
     // 0.35 exercises the pairing + verify path non-trivially.
@@ -984,6 +1011,8 @@ object SparkEntry {
       "ann_ivfpq_topk" -> oracleSqlBase("ann_cosine_topk"),
       "ann_ivf_persisted" -> oracleSqlBase("ann_cosine_topk"),
       "ann_ivfpq_persisted" -> oracleSqlBase("ann_cosine_topk"),
+      "ann_ivf_appended" -> oracleSqlBase("ann_cosine_topk"),
+      "ann_ivfpq_appended" -> oracleSqlBase("ann_cosine_topk"),
       // the streaming funnel over ts-ordered arrival must equal the batch
       // funnel's relational answer
       "q_funnel_stream" -> oracleSqlBase("q_funnel"),

@@ -33,12 +33,17 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   *
   * Layout notes for cluster scale: rows are repartitioned BY LIST before the
   * write, so each list's rows land in one task → one file per list per
-  * build. A list too large for one file gets a salt column in the
-  * repartition (directory-level pruning is unaffected); a FULL lake-table
-  * treatment (snapshots, OCC, compaction) applies when the index must accept
-  * incremental upserts — this store is the rebuild-on-schedule shape, which
-  * is how IVF indexes are actually operated (centroids drift ⇒ periodic
-  * retrain anyway; see Jégou/Douze/Schmid, IEEE TPAMI 2011).
+  * build/append. A list too large for one file gets a salt column in the
+  * repartition (directory-level pruning is unaffected). The LIFECYCLE is
+  * build → append → periodic rebuild: [[appendIvf]]/[[appendIvfPq]] admit
+  * newly-arrived vectors by quantizing them against the STORED model (the
+  * CDC shape — no retraining pass, appended files land inside the list
+  * directories so pruning is untouched), and the periodic rebuild absorbs
+  * quantizer drift, which is how IVF indexes are actually operated
+  * (centroids drift ⇒ periodic retrain anyway; see Jégou/Douze/Schmid,
+  * IEEE TPAMI 2011). Id-level UPSERTS are out of scope by contract — that
+  * is the full lake-table treatment (snapshots, OCC, LWW), not an index
+  * file store.
   */
 object AnnIndex {
 
@@ -100,6 +105,55 @@ object AnnIndex {
     meta
   }
 
+  /** Incrementally APPEND new vectors to a persisted IVF index — the CDC
+    * shape: documents keep arriving between periodic retrains, and
+    * re-training + re-encoding 10^10 stored vectors to admit a day's worth
+    * of new ones is the wrong cost class. New vectors are assigned to lists
+    * by the STORED centroids (no training pass) and their files land inside
+    * the existing `list=<id>` directories, so probe-time partition pruning
+    * is untouched; `corpusCount` (which sizes IVF-PQ's auto-refine) is
+    * updated last — a reader that races the append sees the old complete
+    * index, never a torn one (parquet part-files appear atomically per
+    * task, and search never lists files it hasn't been told about via the
+    * directory scan... the honest caveat: a CONCURRENT search's directory
+    * listing may see a partial append; serialize appends against reads, or
+    * front the index with the lake table when that matters).
+    *
+    * Append-ONLY by contract: the caller appends NEW vec_ids. Replacing an
+    * existing id needs the rebuild (or the full lake-table treatment —
+    * snapshots + LWW); a duplicated id would simply appear twice. Centroid
+    * DRIFT is the appender's operating limit — vectors from a distribution
+    * the training never saw still land in their nearest stored list
+    * (search stays CORRECT at any probe count; exhaustive probe stays
+    * exact), but lists grow lopsided and partial-probe recall decays ⇒
+    * periodic rebuild, which is how IVF indexes are actually operated.
+    */
+  def appendIvf(spark: SparkSession, root: String, newVectors: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Meta = {
+    val meta = readMeta(root)
+    require(meta.variant == "ivf", s"index at $root is ${meta.variant}")
+    val c = newVectors.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .localCheckpoint(true)
+    requireDim(c, meta.dim)
+    val centroids = spark.read.parquet(s"$root/centroids")
+    Similarity.assignListsCos(c, centroids, "vec_id", "cv")
+      .repartition(col("list"))
+      .write.mode("append").partitionBy("list").parquet(s"$root/vectors")
+    val updated = meta.copy(corpusCount = meta.corpusCount + c.count())
+    writeMeta(root, updated)
+    updated
+  }
+
+  /** One full scan of the batch proves every vector matches the index's
+    * dimension BEFORE any file is written — a silently-appended wrong-width
+    * vector would poison every later search that probes its list.
+    */
+  private def requireDim(c: DataFrame, dim: Int): Unit = {
+    val bad = c.filter(size(col("cv")) =!= dim).count()
+    require(bad == 0L,
+      s"append batch has $bad vector(s) whose dimension != the index's $dim")
+  }
+
   /** Search a persisted IVF index: probes from the stored centroids, probed
     * lists' files ONLY (partition pruning), exact-cosine re-rank. Needs no
     * corpus access — the index carries the full vectors.
@@ -135,13 +189,7 @@ object AnnIndex {
       trainSample, idCol, vecCol)
     model.coarse.write.mode("overwrite").parquet(s"$root/centroids")
     model.cbs.write.mode("overwrite").parquet(s"$root/codebooks")
-    val wide = model.encoded
-      .groupBy("vec_id")
-      .agg(first(col("nv")).as("nv"),
-        transform(
-          array_sort(collect_list(struct(col("g").as("g"), col("code").as("code")))),
-          e => e.getField("code").cast("int")).as("codes"),
-        first(col("list")).as("list"))
+    val wide = pivotCodes(model.encoded)
     wide
       .repartition(col("list"))
       .write.mode("overwrite").partitionBy("list").parquet(s"$root/vectors")
@@ -149,6 +197,47 @@ object AnnIndex {
       wide.schema.json)
     writeMeta(root, meta)
     meta
+  }
+
+  /** Long-shape encoded rows (vec_id, g, code, list, nv; m rows per vector)
+    * pivoted to the stored one-row-per-vector shape: codes as an array
+    * ordered by subspace, so the index stays O(m) bytes per vector.
+    */
+  private def pivotCodes(encoded: DataFrame): DataFrame =
+    encoded
+      .groupBy("vec_id")
+      .agg(first(col("nv")).as("nv"),
+        transform(
+          array_sort(collect_list(struct(col("g").as("g"), col("code").as("code")))),
+          e => e.getField("code").cast("int")).as("codes"),
+        first(col("list")).as("list"))
+
+  /** Incrementally APPEND new vectors to a persisted IVF-PQ index: residual-
+    * encode them against the STORED coarse quantizer + codebooks (no
+    * training pass — [[Similarity.encodePq]], the exact encoder the build
+    * used) and append the code files into the existing list directories.
+    * Same contract and caveats as [[appendIvf]] (append-only ids, serialize
+    * appends against reads, quantizer drift ⇒ periodic rebuild — here drift
+    * also costs CODE fidelity, since the codebooks never saw the new
+    * residual distribution, so the refine window is the appended vectors'
+    * safety net until the next rebuild). `corpusCount` is updated so
+    * [[Similarity.effectiveRefine]]'s auto sizing tracks the real index.
+    */
+  def appendIvfPq(spark: SparkSession, root: String, newVectors: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Meta = {
+    val meta = readMeta(root)
+    require(meta.variant == "ivfpq", s"index at $root is ${meta.variant}")
+    val c = newVectors.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .localCheckpoint(true)
+    requireDim(c, meta.dim)
+    val coarse = spark.read.parquet(s"$root/centroids")
+    val cbs = spark.read.parquet(s"$root/codebooks")
+    pivotCodes(Similarity.encodePq(coarse, cbs, c, meta.m, meta.dim / meta.m))
+      .repartition(col("list"))
+      .write.mode("append").partitionBy("list").parquet(s"$root/vectors")
+    val updated = meta.copy(corpusCount = meta.corpusCount + c.count())
+    writeMeta(root, updated)
+    updated
   }
 
   /** Search a persisted IVF-PQ index: ADC scoring over the probed lists'

@@ -354,7 +354,6 @@ object Similarity {
   private[operators] def buildPqModel(corpus: DataFrame,
       nLists: Int, m: Int, codes: Int, iters: Int, trainSample: Double,
       idCol: String, vecCol: String): PqModel = {
-    import graft.functions.expressions.TextExprs.{dotCol, l2SqCol}
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .localCheckpoint(true)
     val dim = c.select(size(col("cv"))).first().getInt(0)
@@ -375,43 +374,66 @@ object Similarity {
       cTrain.select(lit(-1).as("g"), col("vec_id").as("id"), col("cv").as("v")),
       nLists, iters).select(col("cid").as("list"), col("centroid"))
       .localCheckpoint(true)
-    def nearestList(r: DataFrame, id: String, v: String): DataFrame =
-      r.join(broadcast(coarse))
-        .withColumn("__sc",
-          struct((-l2SqCol(col(v), col("centroid"))).as("s"), col("list").as("list")))
-        .groupBy(col(id))
-        .agg(first(col(v)).as(v), max(col("__sc")).getField("list").as("list"))
-    // per-subspace slices: (id, sub g, subvector)
-    def subRows(r: DataFrame, id: String, v: String): DataFrame =
-      r.select(col(id), posexplode(transform(sequence(lit(0), lit(m - 1)),
-        s => slice(col(v), s * sub + 1, lit(sub)))).as(Seq("g", "v")))
-    // RESIDUAL encoding (the paper's §IV practice, and not optional at any
-    // scale with cluster structure): codebooks over raw vectors collapse a
-    // whole coarse cell onto one codeword per subspace — every candidate in
-    // a probed list then carries an IDENTICAL ADC score and the top-refine
-    // degenerates to the tie-break (measured recall 0.10 on the clustered
-    // corpus). Quantizing r = v − centroid(list(v)) spreads within-cell
-    // differences across the code space; ADC adds the exact dot(q, c_list)
-    // term back per probed list.
-    // each vector also carries its EXACT norm (one float): ADC approximates
-    // dot(q, v), but the operator's contract ranks by COSINE — within a
-    // coarse cell the norm division reorders materially (center-dominated
-    // dot vs noise-driven cosine), so the score is adc/‖v‖ (‖q‖ is constant
-    // per query and cancels from the ranking)
-    def residuals(r: DataFrame, id: String, v: String): DataFrame =
-      nearestList(r, id, v)
-        .join(broadcast(coarse), "list")
-        .select(col(id), col("list"),
-          sqrt(dotCol(col(v), col(v))).as("nv"),
-          zip_with(col(v), col("centroid"), (a, b) => a - b).as("res"))
     // PQ codebooks: every subspace of the residual space in one keyed loop
     val cbs = trainCodebooksL2(
-      subRows(residuals(cTrain, "vec_id", "cv"), "vec_id", "res")
+      subSlices(residualsAgainst(coarse, cTrain), "res", m, sub)
         .withColumnRenamed("vec_id", "id"),
       codes, iters).localCheckpoint(true)
-    // encode: (vec_id, list, sub, code) — nearest codeword per subspace
-    val cRes = residuals(c, "vec_id", "cv").localCheckpoint(true)
-    val encoded = subRows(cRes, "vec_id", "res")
+    val encoded = encodePq(coarse, cbs, c, m, sub)
+    PqModel(coarse, cbs, encoded, c, dim, m, nLists, c.count())
+  }
+
+  /** Per-subspace slices of `v`: (vec_id, sub g, subvector) — m rows per
+    * vector.
+    */
+  private def subSlices(r: DataFrame, v: String, m: Int, sub: Int): DataFrame =
+    r.select(col("vec_id"), posexplode(transform(sequence(lit(0), lit(m - 1)),
+      s => slice(col(v), s * sub + 1, lit(sub)))).as(Seq("g", "v")))
+
+  /** Coarse-assign (vec_id, cv) rows against an EXISTING quantizer `coarse`
+    * (list, centroid) and emit their residuals: (vec_id, list, nv, res).
+    *
+    * RESIDUAL encoding (the paper's §IV practice, and not optional at any
+    * scale with cluster structure): codebooks over raw vectors collapse a
+    * whole coarse cell onto one codeword per subspace — every candidate in
+    * a probed list then carries an IDENTICAL ADC score and the top-refine
+    * degenerates to the tie-break (measured recall 0.10 on the clustered
+    * corpus). Quantizing r = v − centroid(list(v)) spreads within-cell
+    * differences across the code space; ADC adds the exact dot(q, c_list)
+    * term back per probed list.
+    *
+    * Each vector also carries its EXACT norm (one float): ADC approximates
+    * dot(q, v), but the operator's contract ranks by COSINE — within a
+    * coarse cell the norm division reorders materially (center-dominated
+    * dot vs noise-driven cosine), so the score is adc/‖v‖ (‖q‖ is constant
+    * per query and cancels from the ranking).
+    */
+  private[operators] def residualsAgainst(coarse: DataFrame,
+      r: DataFrame): DataFrame = {
+    import graft.functions.expressions.TextExprs.{dotCol, l2SqCol}
+    r.join(broadcast(coarse))
+      .withColumn("__sc",
+        struct((-l2SqCol(col("cv"), col("centroid"))).as("s"), col("list").as("list")))
+      .groupBy(col("vec_id"))
+      .agg(first(col("cv")).as("cv"), max(col("__sc")).getField("list").as("list"))
+      .join(broadcast(coarse), "list")
+      .select(col("vec_id"), col("list"),
+        sqrt(dotCol(col("cv"), col("cv"))).as("nv"),
+        zip_with(col("cv"), col("centroid"), (a, b) => a - b).as("res"))
+  }
+
+  /** Encode (vec_id, cv) rows against an EXISTING model (coarse quantizer +
+    * residual codebooks) — nearest codeword per subspace. Returns the
+    * long-shape encoded frame (vec_id, g, code, list, nv). Serves both the
+    * build's full-corpus encode pass and [[AnnIndex]]'s incremental append
+    * (new vectors quantized against the STORED model — the standard IVF
+    * operating shape: encode cheaply between periodic retrains).
+    */
+  private[operators] def encodePq(coarse: DataFrame, cbs: DataFrame,
+      c: DataFrame, m: Int, sub: Int): DataFrame = {
+    import graft.functions.expressions.TextExprs.l2SqCol
+    val cRes = residualsAgainst(coarse, c).localCheckpoint(true)
+    subSlices(cRes, "res", m, sub)
       .join(broadcast(cbs), Seq("g"))
       .withColumn("__sc",
         struct((-l2SqCol(col("v"), col("centroid"))).as("s"), col("cid").as("cid")))
@@ -419,7 +441,6 @@ object Similarity {
       .agg(max(col("__sc")).getField("cid").as("code"))
       .join(cRes.select("vec_id", "list", "nv"), "vec_id")
       .localCheckpoint(true)
-    PqModel(coarse, cbs, encoded, c, dim, m, nLists, c.count())
   }
 
   /** IVF-PQ search over an (already pruned, for the persisted path) encoded

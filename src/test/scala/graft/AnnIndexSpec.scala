@@ -133,6 +133,90 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(after == auto)
   }
 
+  test("IVF append: stored-centroid assignment, exact at exhaustive probe, corpusCount tracks") {
+    val root = tmpDir("ann-ivf-append")
+    val base = clustered.filter($"vec_id" % 3 =!= 0)
+    val late = clustered.filter($"vec_id" % 3 === 0)
+    val built = AnnIndex.buildIvf(base, root, nLists = 4, iters = 3)
+    val appended = AnnIndex.appendIvf(spark, root, late)
+    assert(built.corpusCount + late.count() == appended.corpusCount)
+    assert(AnnIndex.readMeta(root).corpusCount == appended.corpusCount)
+    // exhaustive probe ⇒ exact over base ∪ appended, regardless of how well
+    // the stored centroids fit the late arrivals
+    val queries = clustered.filter($"vec_id" % 25 === 0)
+    val got = AnnIndex.searchIvf(spark, root, queries, k = 5, nProbe = 4)
+      .collect().map(key).toSet
+    val bf = Similarity.bruteForceTopK(clustered, queries, k = 5)
+      .collect().map(key).toSet
+    assert(got == bf)
+  }
+
+  test("IVF append keeps pruning physical: appended files join their list's directory") {
+    val root = tmpDir("ann-ivf-append-prune")
+    AnnIndex.buildIvf(clustered.filter($"vec_id" % 3 =!= 0), root,
+      nLists = 4, iters = 3)
+    AnnIndex.appendIvf(spark, root, clustered.filter($"vec_id" % 3 === 0))
+    val queries = clustered.filter($"vec_id" === 0L)
+    // k=20 > the 16 non-appended cluster-0 candidates, so a correct append
+    // FORCES appended ids into the result — the searchability proof can't
+    // pass vacuously
+    val before = AnnIndex.searchIvf(spark, root, queries, k = 20, nProbe = 1)
+      .collect().map(key).toSet
+    val meta = AnnIndex.readMeta(root)
+    val probedList = spark.read.schema(meta.schema).parquet(s"$root/vectors")
+      .filter($"vec_id" === 0L).select($"list".cast("int")).first().getInt(0)
+    val appendedInList = before.map(_._3).count(_ % 3 == 0)
+    assert(appendedInList > 0,
+      s"appended vectors must be searchable in the probed list: $before")
+    // corrupt every other list's files — INCLUDING their appended parts —
+    // and the answer must not change
+    val vecDir = java.nio.file.Paths.get(root, "vectors")
+    java.nio.file.Files.list(vecDir).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => p.getFileName.toString.startsWith("list=") &&
+        p.getFileName.toString != s"list=$probedList")
+      .foreach { dir =>
+        java.nio.file.Files.list(dir).toArray.toSeq
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(f => java.nio.file.Files.write(f, "garbage".getBytes))
+      }
+    val after = AnnIndex.searchIvf(spark, root, queries, k = 20, nProbe = 1)
+      .collect().map(key).toSet
+    assert(after == before)
+  }
+
+  test("IVF-PQ append: stored-model residual encode, exact at exhaustive probe+refine") {
+    val root = tmpDir("ann-ivfpq-append")
+    val base = clustered.filter($"vec_id" % 3 =!= 0)
+    val late = clustered.filter($"vec_id" % 3 === 0)
+    val built = AnnIndex.buildIvfPq(base, root, nLists = 4, m = 8,
+      codes = 16, iters = 2)
+    val appended = AnnIndex.appendIvfPq(spark, root, late)
+    assert(built.corpusCount + late.count() == appended.corpusCount)
+    val queries = clustered.filter($"vec_id" % 25 === 0)
+    val got = AnnIndex.searchIvfPq(spark, root, clustered, queries, k = 5,
+      nProbe = 4, refine = Int.MaxValue).collect().map(key).toSet
+    val bf = Similarity.bruteForceTopK(clustered, queries, k = 5)
+      .collect().map(key).toSet
+    assert(got == bf)
+  }
+
+  test("append refuses dimension and variant mismatches loudly") {
+    val root = tmpDir("ann-append-guards")
+    AnnIndex.buildIvf(clustered, root, nLists = 4, iters = 3)
+    val wrongDim = Seq((1000L, Array.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val eDim = intercept[IllegalArgumentException] {
+      AnnIndex.appendIvf(spark, root, wrongDim)
+    }
+    assert(eDim.getMessage.contains("dimension"))
+    val eVar = intercept[IllegalArgumentException] {
+      AnnIndex.appendIvfPq(spark, root, clustered.limit(1))
+    }
+    assert(eVar.getMessage.contains("ivf"))
+  }
+
   test("effectiveRefine: explicit wins; auto sized to candidates; capped with a floor of 4k") {
     assert(Similarity.effectiveRefine(100, k = 5, nProbe = 2, nLists = 8,
       corpusCount = 1000000L) == 100)
