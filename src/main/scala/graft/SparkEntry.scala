@@ -828,6 +828,48 @@ object SparkEntry {
       AnnIndex.searchIvfPq(s, root, emb, emb.filter(col("vec_id") < 8), k = 5,
         nProbe = 8, refine = Int.MaxValue)
     }),
+    // The ANN SQL surface: the whole index lifecycle — build, append, search
+    // — driven ENTIRELY through `CALL cat.system.ann_*` (zero Scala calls in
+    // the query path), exhaustive probe ⇒ the same brute-force oracle
+    // (string-cast ids: the procedure serves any id type, so it surfaces
+    // ids as strings). ann_sql_topk exercises ivf build+search;
+    // ann_sql_ivfpq_topk adds append and the corpus re-rank argument, so
+    // all three procedures sit behind oracle gates.
+    "ann_sql_topk" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftfns",
+        classOf[graft.table.LakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftfns.base", gateRoot.toString)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(gateRoot.resolve("ann_sql_idx").toString))
+      table(s, dir, "embeddings").createOrReplaceTempView("sql_ann_vectors")
+      table(s, dir, "embeddings").filter(col("vec_id") < 8)
+        .createOrReplaceTempView("sql_ann_queries")
+      s.sql("""CALL graftfns.system.ann_build(index => 'ann_sql_idx',
+              |  view => 'sql_ann_vectors', variant => 'ivf', n_lists => 8,
+              |  iters => 3)""".stripMargin)
+      s.sql("""CALL graftfns.system.ann_topk(index => 'ann_sql_idx',
+              |  queries => 'sql_ann_queries', k => 5, n_probe => 8)""".stripMargin)
+    }),
+    "ann_sql_ivfpq_topk" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftfns",
+        classOf[graft.table.LakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftfns.base", gateRoot.toString)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(gateRoot.resolve("ann_sql_pq_idx").toString))
+      val emb = table(s, dir, "embeddings")
+      emb.createOrReplaceTempView("sql_annpq_vectors")
+      emb.filter(col("vec_id") % 3 =!= 0).createOrReplaceTempView("sql_annpq_base")
+      emb.filter(col("vec_id") % 3 === 0).createOrReplaceTempView("sql_annpq_late")
+      emb.filter(col("vec_id") < 8).createOrReplaceTempView("sql_annpq_queries")
+      s.sql("""CALL graftfns.system.ann_build(index => 'ann_sql_pq_idx',
+              |  view => 'sql_annpq_base', variant => 'ivfpq', n_lists => 8,
+              |  m => 8, codes => 16, iters => 2)""".stripMargin)
+      s.sql("""CALL graftfns.system.ann_append(index => 'ann_sql_pq_idx',
+              |  view => 'sql_annpq_late')""".stripMargin)
+      s.sql("""CALL graftfns.system.ann_topk(index => 'ann_sql_pq_idx',
+              |  queries => 'sql_annpq_queries', k => 5, n_probe => 8,
+              |  refine => 2147483647, corpus => 'sql_annpq_vectors')""".stripMargin)
+    }),
     // threshold 0.35: the synthetic embeddings are near-orthogonal (max
     // pairwise cosine ≈0.46), so a realistic 0.95 cutoff would be vacuous;
     // 0.35 exercises the pairing + verify path non-trivially.
@@ -999,6 +1041,24 @@ object SparkEntry {
 
   private val C = Changelog.DuckDbCte
 
+  /** The brute-force cosine-top-k oracle with VARCHAR-cast ids — the CALL
+    * ann_* procedures surface ids as strings (they serve any id type a view
+    * carries), so their gates compare against the same exhaustive answer in
+    * the same value domain.
+    */
+  private val annSqlOracle: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      |  WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+      |SELECT CAST(query_id AS VARCHAR) AS query_id, CAST(vec_id AS VARCHAR) AS vec_id,
+      |  ROUND(cos, 4) AS cosine, rank FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, vec_id ASC) AS rank FROM scored) t
+      |WHERE rank <= 5""".stripMargin
+
   // Shared oracles: star contraction computes the same deliverable as label
   // propagation; the table-lifecycle gates (incremental COW, MOR read, MOR +
   // compact) must all converge to the one-shot fold (associativity is the
@@ -1013,6 +1073,10 @@ object SparkEntry {
       "ann_ivfpq_persisted" -> oracleSqlBase("ann_cosine_topk"),
       "ann_ivf_appended" -> oracleSqlBase("ann_cosine_topk"),
       "ann_ivfpq_appended" -> oracleSqlBase("ann_cosine_topk"),
+      // the CALL ann_* surface returns string ids (any-id-type contract), so
+      // its gates share the brute-force oracle modulo a VARCHAR cast
+      "ann_sql_topk" -> annSqlOracle,
+      "ann_sql_ivfpq_topk" -> annSqlOracle,
       // the streaming funnel over ts-ordered arrival must equal the batch
       // funnel's relational answer
       "q_funnel_stream" -> oracleSqlBase("q_funnel"),

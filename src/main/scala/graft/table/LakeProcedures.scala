@@ -32,7 +32,8 @@ object LakeProcedures {
 
   /** Procedure names, exposed under the `system` namespace. */
   val Names: Seq[String] =
-    Seq("compact", "vacuum", "rollback", "rebucket", "tag", "drop_tag", "bm25")
+    Seq("compact", "vacuum", "rollback", "rebucket", "tag", "drop_tag", "bm25",
+      "ann_build", "ann_append", "ann_topk")
 
   /** @param name        procedure name (one of [[Names]])
     * @param resolveRoot  maps the `table` argument ("tbl" or "ns.tbl",
@@ -46,6 +47,9 @@ object LakeProcedures {
     case "tag" => new TagProc(resolveRoot)
     case "drop_tag" => new DropTagProc(resolveRoot)
     case "bm25" => new Bm25Proc
+    case "ann_build" => new AnnBuildProc(resolveRoot)
+    case "ann_append" => new AnnAppendProc(resolveRoot)
+    case "ann_topk" => new AnnTopKProc(resolveRoot)
     case other => throw new UnsupportedOperationException(
       s"unknown lake procedure '$other'; available: ${Names.mkString(", ")}")
   }
@@ -269,6 +273,210 @@ object LakeProcedures {
         override def description(): String = s"LakeProcedure(bm25, view=$view, k=$k)"
       }
       java.util.List.of(out).iterator()
+    }
+  }
+
+  /** Shared plumbing for the ANN index procedures: the `index` argument
+    * resolves through the SAME base-relative mapping tables use (`'idx/docs'`
+    * → `<base>/idx/docs`), so an index lives next to the tables it serves
+    * and the SQL user never types a filesystem path. Vector inputs are any
+    * session-visible relation (temp view, catalog table) — the procedure
+    * never owns the primary store, it quantizes what the view yields.
+    */
+  private abstract class AnnProc(rr: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false // reads session views + index files
+
+    protected def str(in: InternalRow, i: Int, default: => String): String =
+      if (in.isNullAt(i)) default else in.getUTF8String(i).toString
+    protected def int(in: InternalRow, i: Int, default: Int): Int =
+      if (in.isNullAt(i)) default else in.getInt(i)
+    protected def indexRoot(in: InternalRow): String = {
+      require(!in.isNullAt(0), s"$name: index argument must not be null")
+      rr(in.getUTF8String(0).toString)
+    }
+    protected def oneRow(schema: StructType, values: Array[Any]): java.util.Iterator[Scan] = {
+      val scan: Scan = new LocalScan {
+        override val readSchema: StructType = schema
+        override val rows: Array[InternalRow] =
+          Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values))
+        override def description(): String = s"LakeProcedure($name)"
+      }
+      java.util.List.of(scan).iterator()
+    }
+  }
+
+  /** `CALL cat.system.ann_build(index => 'idx/docs', view => 'vectors',
+    * variant => 'ivf'|'ivfpq', ...)` — train + persist the list-partitioned
+    * ANN index ([[graft.operators.AnnIndex.buildIvf]]/[[graft.operators
+    * .AnnIndex.buildIvfPq]]) from SQL: the index lifecycle (build → append
+    * → periodic rebuild) becomes scriptable from any SQL client, same as
+    * compaction. The distributed work (Lloyd training, assignment/encoding,
+    * the by-list write) is the engine's; only the one summary row reaches
+    * the driver.
+    */
+  private final class AnnBuildProc(rr: String => String) extends AnnProc(rr) {
+    override def name(): String = "ann_build"
+    override def description(): String =
+      "ann_build(index, view, variant => 'ivf', n_lists => 8, m => 8, codes => 16, " +
+        "iters => 3, id_col => 'vec_id', vec_col => 'embedding'): train + persist a " +
+        "list-partitioned ANN index (variant 'ivf' = full vectors, 'ivfpq' = m-byte PQ codes)"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(p("index", StringType), p("view", StringType),
+        pDefault("variant", StringType, "'ivf'"),
+        pDefault("n_lists", IntegerType, "8"),
+        pDefault("m", IntegerType, "8"),
+        pDefault("codes", IntegerType, "16"),
+        pDefault("iters", IntegerType, "3"),
+        pDefault("id_col", StringType, "'vec_id'"),
+        pDefault("vec_col", StringType, "'embedding'"))
+    private val outSchema: StructType = StructType(Seq(
+      StructField("variant", StringType, nullable = false),
+      StructField("dim", IntegerType, nullable = false),
+      StructField("n_lists", IntegerType, nullable = false),
+      StructField("corpus_count", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = indexRoot(input)
+      require(!input.isNullAt(1), "ann_build: view argument must not be null")
+      val view = input.getUTF8String(1).toString
+      val variant = str(input, 2, "ivf")
+      val (nLists, m, codes, iters) =
+        (int(input, 3, 8), int(input, 4, 8), int(input, 5, 16), int(input, 6, 3))
+      require(nLists > 0 && m > 0 && codes > 1 && iters > 0,
+        s"ann_build: n_lists/m/iters must be positive and codes > 1, " +
+          s"got ($nLists, $m, $codes, $iters)")
+      val (idCol, vecCol) = (str(input, 7, "vec_id"), str(input, 8, "embedding"))
+      val corpus = SparkSession.active.table(view)
+      val meta = variant match {
+        case "ivf" =>
+          graft.operators.AnnIndex.buildIvf(corpus, root, nLists, iters, idCol, vecCol)
+        case "ivfpq" =>
+          graft.operators.AnnIndex.buildIvfPq(corpus, root, nLists, m, codes,
+            iters, trainSample = 1.0, idCol, vecCol)
+        case other => throw new IllegalArgumentException(
+          s"ann_build: variant must be 'ivf' or 'ivfpq', got '$other'")
+      }
+      oneRow(outSchema, Array(UTF8String.fromString(meta.variant), meta.dim,
+        meta.nLists, meta.corpusCount))
+    }
+  }
+
+  /** `CALL cat.system.ann_append(index => 'idx/docs', view => 'new_vectors')`
+    * — admit newly-arrived vectors by quantizing them against the STORED
+    * model (no retraining pass — [[graft.operators.AnnIndex.appendIvf]]/
+    * [[graft.operators.AnnIndex.appendIvfPq]]); the CDC half of the index
+    * lifecycle, from SQL. Append-only ids; quantizer drift ⇒ periodic
+    * `ann_build` rebuild (the operators' documented contract).
+    */
+  private final class AnnAppendProc(rr: String => String) extends AnnProc(rr) {
+    override def name(): String = "ann_append"
+    override def description(): String =
+      "ann_append(index, view, id_col => 'vec_id', vec_col => 'embedding'): quantize " +
+        "new vectors against the stored model and append them into the index's lists"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(p("index", StringType), p("view", StringType),
+        pDefault("id_col", StringType, "'vec_id'"),
+        pDefault("vec_col", StringType, "'embedding'"))
+    private val outSchema: StructType = StructType(Seq(
+      StructField("variant", StringType, nullable = false),
+      StructField("corpus_count", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = indexRoot(input)
+      require(!input.isNullAt(1), "ann_append: view argument must not be null")
+      val spark = SparkSession.active
+      val batch = spark.table(input.getUTF8String(1).toString)
+      val (idCol, vecCol) = (str(input, 2, "vec_id"), str(input, 3, "embedding"))
+      val meta = graft.operators.AnnIndex.readMeta(root).variant match {
+        case "ivf" => graft.operators.AnnIndex.appendIvf(spark, root, batch, idCol, vecCol)
+        case _ => graft.operators.AnnIndex.appendIvfPq(spark, root, batch, idCol, vecCol)
+      }
+      oneRow(outSchema, Array(UTF8String.fromString(meta.variant), meta.corpusCount))
+    }
+  }
+
+  /** `CALL cat.system.ann_topk(index => 'idx/docs', queries => 'probe_vecs',
+    * k => 5, n_probe => 2 [, corpus => 'vectors'])` — search the persisted
+    * index from SQL. The search is the engine's distributed path (probed
+    * lists' files ONLY — partition pruning; IVF-PQ: ADC over m-byte codes,
+    * exact re-rank by id-join against `corpus`, `refine <= 0` = the
+    * self-sizing auto default); only the k×|queries| result rows reach the
+    * driver, which is why both are bounded — the result is a LocalScan
+    * relation, and an unbounded top-k is a corpus download wearing a hat.
+    * Ids surface as strings (the procedure serves any id type the view
+    * carries). IVF-PQ needs `corpus` for the exact re-rank: the index
+    * stores m-byte codes, not vectors — point lookups into the primary
+    * store are the documented cost model.
+    */
+  private final class AnnTopKProc(rr: String => String) extends AnnProc(rr) {
+    override def name(): String = "ann_topk"
+    override def description(): String =
+      "ann_topk(index, queries, k => 5, n_probe => 1, refine => 0, corpus => NULL, " +
+        "id_col => 'vec_id', vec_col => 'embedding'): top-k cosine neighbors from a " +
+        "persisted ANN index; probed lists' files only; ivfpq requires corpus (re-rank)"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(p("index", StringType), p("queries", StringType),
+        pDefault("k", IntegerType, "5"),
+        pDefault("n_probe", IntegerType, "1"),
+        pDefault("refine", IntegerType, "0"),
+        pDefault("corpus", StringType, "NULL"),
+        pDefault("id_col", StringType, "'vec_id'"),
+        pDefault("vec_col", StringType, "'embedding'"))
+    private val outSchema: StructType = StructType(Seq(
+      StructField("query_id", StringType, nullable = true),
+      StructField("vec_id", StringType, nullable = true),
+      StructField("cosine", DoubleType, nullable = true),
+      StructField("rank", LongType, nullable = true)))
+    private val maxRows = 100000
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = indexRoot(input)
+      require(!input.isNullAt(1), "ann_topk: queries argument must not be null")
+      val spark = SparkSession.active
+      val queries = spark.table(input.getUTF8String(1).toString)
+      val k = int(input, 2, 5)
+      require(k > 0 && k <= 1000,
+        s"ann_topk: k must be in [1, 1000] (the result is a driver-side relation), got $k")
+      val nProbe = int(input, 3, 1)
+      require(nProbe > 0, s"ann_topk: n_probe must be positive, got $nProbe")
+      val refine = int(input, 4, 0)
+      val (idCol, vecCol) = (str(input, 6, "vec_id"), str(input, 7, "embedding"))
+      val ranked = graft.operators.AnnIndex.readMeta(root).variant match {
+        case "ivf" =>
+          graft.operators.AnnIndex.searchIvf(spark, root, queries, k, nProbe,
+            idCol, vecCol)
+        case _ =>
+          require(!input.isNullAt(5),
+            "ann_topk: an ivfpq index needs corpus => <view> for the exact re-rank " +
+              "(the index stores m-byte codes, not vectors)")
+          val corpus = spark.table(input.getUTF8String(5).toString)
+          graft.operators.AnnIndex.searchIvfPq(spark, root, corpus, queries, k,
+            nProbe, refine, idCol, vecCol)
+      }
+      import org.apache.spark.sql.functions.col
+      val out = ranked
+        .select(col("query_id").cast("string"), col("vec_id").cast("string"),
+          col("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+        .limit(maxRows + 1)
+        .collect()
+      require(out.length <= maxRows,
+        s"ann_topk: result exceeds $maxRows rows — bound the queries view or lower k")
+      val scan: Scan = new LocalScan {
+        override val readSchema: StructType = outSchema
+        override val rows: Array[InternalRow] = out.map { r =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](
+              if (r.isNullAt(0)) null else UTF8String.fromString(r.getString(0)),
+              if (r.isNullAt(1)) null else UTF8String.fromString(r.getString(1)),
+              if (r.isNullAt(2)) null else r.getDouble(2),
+              if (r.isNullAt(3)) null else r.getLong(3)))
+        }
+        override def description(): String = s"LakeProcedure(ann_topk, k=$k, nProbe=$nProbe)"
+      }
+      java.util.List.of(scan).iterator()
     }
   }
 
