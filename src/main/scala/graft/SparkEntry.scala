@@ -4,7 +4,7 @@ import graft.changelog.Changelog
 import graft.functions.{Grel, Rml, Text}
 import graft.multimodal.Multimodal
 import graft.operators.{AnnIndex, ChangeFeed, Dedup, IncrementalAgg, Lww, MergeApplier, Similarity}
-import graft.streaming.Replicate
+import graft.streaming.{AnnMaintenance, Replicate}
 import graft.table.LakeTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -870,6 +870,44 @@ object SparkEntry {
               |  queries => 'sql_annpq_queries', k => 5, n_probe => 8,
               |  refine => 2147483647, corpus => 'sql_annpq_vectors')""".stripMargin)
     }),
+    // STREAMING index maintenance (the full CDC closure): two-thirds of the
+    // corpus lands in a REAL lake table, the index is built on that state,
+    // the late third is committed, and AnnMaintenance tails the table's
+    // change feed to catch the index up — then exhaustive-probe search over
+    // the maintained index must equal brute force over the whole corpus.
+    // Ids ride as strings through the table (conv_id) and are cast back for
+    // the oracle; exactly-once/rollback shapes are pinned in
+    // AnnMaintenanceSpec — this gate pins the end-to-end answer.
+    "ann_maintained_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val tblRoot = gateRoot.resolve("ann_maint_tbl").toString
+      val idxRoot = gateRoot.resolve("ann_maint_idx").toString
+      val ckpt = gateRoot.resolve("ann_maint_ckpt").toString
+      Seq(tblRoot, idxRoot, ckpt).foreach(r =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r)))
+      val t = new LakeTable(tblRoot, numBuckets = 8)
+      def asEvents(df: DataFrame): DataFrame = df.select(
+        col("vec_id").cast("string").as("conv_id"), lit(0).as("turn_idx"),
+        lit("user").as("role"), lit("").as("text"),
+        lit(null).cast("string").as("tool"),
+        lit(java.sql.Timestamp.valueOf("2025-01-01 00:00:00")).as("ts"),
+        lit("insert").as("op"), col("vec_id").as("seq"), col("embedding"))
+      MergeApplier.applyBatch(s, t,
+        asEvents(emb.filter(col("vec_id") % 3 =!= 0)), "annm", 0L)
+      val v0 = t.currentSnapshot().get.version
+      AnnIndex.buildIvf(t.read(s).select(col("conv_id"), col("embedding")),
+        idxRoot, nLists = 8, iters = 3, idCol = "conv_id")
+      MergeApplier.applyBatch(s, t,
+        asEvents(emb.filter(col("vec_id") % 3 === 0)), "annm", 1L)
+      AnnMaintenance.runAvailableNow(s, tblRoot, idxRoot, ckpt,
+        idCol = "conv_id", startingVersion = v0.toString)
+      AnnIndex.searchIvf(s, idxRoot,
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("string").as("conv_id"), col("embedding")),
+        k = 5, nProbe = 8, idCol = "conv_id")
+        .select(col("query_id").cast("long").as("query_id"),
+          col("vec_id").cast("long").as("vec_id"), col("cosine"), col("rank"))
+    }),
     // threshold 0.35: the synthetic embeddings are near-orthogonal (max
     // pairwise cosine ≈0.46), so a realistic 0.95 cutoff would be vacuous;
     // 0.35 exercises the pairing + verify path non-trivially.
@@ -1076,6 +1114,7 @@ object SparkEntry {
       // the CALL ann_* surface returns string ids (any-id-type contract), so
       // its gates share the brute-force oracle modulo a VARCHAR cast
       "ann_sql_topk" -> annSqlOracle,
+      "ann_maintained_topk" -> oracleSqlBase("ann_cosine_topk"),
       "ann_sql_ivfpq_topk" -> annSqlOracle,
       // the streaming funnel over ts-ordered arrival must equal the batch
       // funnel's relational answer

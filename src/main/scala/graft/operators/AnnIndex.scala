@@ -74,6 +74,13 @@ object AnnIndex {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
+  /** Re-write the meta file (crash-recovery hook for
+    * [[graft.streaming.AnnMaintenance]]'s torn-append rollback, which must
+    * restore `corpusCount`). Not a public mutation surface.
+    */
+  private[graft] def writeMetaFor(root: String, meta: Meta): Unit =
+    writeMeta(root, meta)
+
   def readMeta(root: String): Meta = {
     val om = new ObjectMapper()
     val n = om.readTree(Files.readAllBytes(Paths.get(root, "meta.json")))

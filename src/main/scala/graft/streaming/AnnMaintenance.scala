@@ -1,0 +1,192 @@
+package graft.streaming
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.AnnIndex
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** STREAMING maintenance of a persisted ANN index: tail a lake table's
+  * change feed (`lake-cdf`) and keep the index fresh by quantizing each
+  * micro-batch's inserts against the STORED model ([[AnnIndex.appendIvf]] /
+  * [[AnnIndex.appendIvfPq]]) — the CDC closure of the index lifecycle. The
+  * reference ships vectors to an external search service and re-syncs out of
+  * band (reference: etl/load, GraphDB delegation); here the index FOLLOWS
+  * the table the same way a replica or a materialized view does: one
+  * streaming query, offsets = table versions, O(changed buckets) per
+  * trigger on the source side and O(batch) quantize+append on the index
+  * side. Nothing rescans the corpus — at 10^10 stored vectors the
+  * train+encode rebuild is a scheduled maintenance job, not a per-arrival
+  * cost.
+  *
+  * Contract (inherited from the append operators, enforced loudly):
+  *   - INSERT-only by default. The index is append-only (an id-level upsert
+  *     needs the full lake-table treatment — snapshots, LWW), so an update
+  *     or delete in the feed fails the stream by default; `allowNonInsert =
+  *     true` SKIPS them instead, accepting documented staleness (the index
+  *     keeps serving the superseded vector until the periodic rebuild — the
+  *     usual operating mode for ANN sidecars, where deletes are filtered at
+  *     query time against the primary store).
+  *   - EXACTLY-ONCE across restarts via a write-ahead ledger
+  *     (`<indexRoot>/stream_ledger.json`): a replayed foreachBatch id is
+  *     skipped; a batch that CRASHED mid-append is ROLLED BACK on recovery
+  *     (the ledger records the pre-append file listing + corpusCount; files
+  *     not in the listing are deleted, the count restored) and re-applied —
+  *     a torn append can never double-admit a vector. The pre-append
+  *     listing is O(index files); appends add ≤ nLists files per batch and
+  *     the periodic rebuild collapses them, which bounds the ledger the
+  *     same way compaction bounds the manifest list.
+  *   - Centroid drift is the appender's limit (search stays CORRECT at any
+  *     probe count — exhaustive probe stays exact — but partial-probe
+  *     recall decays as lists grow lopsided): schedule rebuilds like
+  *     compaction, e.g. `CALL cat.system.ann_build` from the same cron that
+  *     calls `compact`.
+  */
+object AnnMaintenance {
+
+  /** Start the maintenance stream. `startingVersion` follows the lake-cdf
+    * contract: "earliest" bootstraps the CURRENT table state as inserts
+    * (use when the index starts empty... it cannot — [[AnnIndex.buildIvf]]
+    * needs a corpus to train on, so the normal shape is: build on the state
+    * as of version V, then maintain with `startingVersion = V.toString`).
+    */
+  def start(spark: SparkSession, sourceRoot: String, indexRoot: String,
+      checkpointDir: String, idCol: String = "conv_id",
+      vecCol: String = "embedding", startingVersion: String = "earliest",
+      maxVersionsPerTrigger: Long = 16,
+      trigger: Trigger = Trigger.AvailableNow(),
+      allowNonInsert: Boolean = false): StreamingQuery =
+    spark.readStream.format("lake-cdf")
+      .option("path", sourceRoot)
+      .option("startingVersion", startingVersion)
+      .option("maxVersionsPerTrigger", maxVersionsPerTrigger)
+      .load()
+      .writeStream
+      .queryName(s"ann-maintenance-${Paths.get(indexRoot).getFileName}")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(spark, indexRoot, batch, batchId, idCol, vecCol, allowNonInsert)
+      }
+      .start()
+
+  /** Catch the index up to the table's current version and stop. */
+  def runAvailableNow(spark: SparkSession, sourceRoot: String,
+      indexRoot: String, checkpointDir: String, idCol: String = "conv_id",
+      vecCol: String = "embedding", startingVersion: String = "earliest",
+      maxVersionsPerTrigger: Long = 16,
+      allowNonInsert: Boolean = false): Unit = {
+    val q = start(spark, sourceRoot, indexRoot, checkpointDir, idCol, vecCol,
+      startingVersion, maxVersionsPerTrigger, Trigger.AvailableNow(),
+      allowNonInsert)
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  /** One micro-batch against the index, with the ledger protocol. Package-
+    * visible so the spec can drive replay/crash shapes deterministically.
+    */
+  private[streaming] def applyBatch(spark: SparkSession, indexRoot: String,
+      batch: DataFrame, batchId: Long, idCol: String, vecCol: String,
+      allowNonInsert: Boolean): Unit = {
+    val ledger = readLedger(indexRoot)
+    if (batchId <= ledger.lastBatchId) return // checkpoint replay: already applied
+    // crash recovery: a ledger with an inflight batch means the previous
+    // attempt died between file-append and ledger-commit — roll its files
+    // back (they may be partial OR complete; either way re-applying from
+    // scratch is the only state we can prove) before touching anything
+    ledger.inflight.foreach(inf => rollback(indexRoot, inf))
+
+    // one pass over the batch: row counts by change class
+    val counts = batch.agg(
+      count(when(col("change_type") === "insert", 1)).as("ins"),
+      count(when(col("change_type").isin("update", "update_preimage", "delete"), 1))
+        .as("other")).first()
+    val (ins, other) = (counts.getLong(0), counts.getLong(1))
+    require(other == 0 || allowNonInsert,
+      s"ann maintenance batch $batchId carries $other update/delete change(s): " +
+        "the index is append-only — rebuild to absorb replacements, or pass " +
+        "allowNonInsert=true to skip them (index serves stale vectors until rebuild)")
+
+    if (ins > 0) {
+      val meta = AnnIndex.readMeta(indexRoot)
+      writeLedger(indexRoot, Ledger(ledger.lastBatchId,
+        Some(Inflight(batchId, listVectorFiles(indexRoot), meta.corpusCount))))
+      val inserts = batch.filter(col("change_type") === "insert")
+        .filter(col(vecCol).isNotNull)
+        .select(col(idCol), col(vecCol))
+      meta.variant match {
+        case "ivf" => AnnIndex.appendIvf(spark, indexRoot, inserts, idCol, vecCol)
+        case _ => AnnIndex.appendIvfPq(spark, indexRoot, inserts, idCol, vecCol)
+      }
+    }
+    writeLedger(indexRoot, Ledger(batchId, None))
+  }
+
+  // --- write-ahead ledger ----------------------------------------------------
+
+  private[streaming] final case class Inflight(batchId: Long,
+      preFiles: Set[String], preCorpusCount: Long)
+  private[streaming] final case class Ledger(lastBatchId: Long,
+      inflight: Option[Inflight])
+
+  private def ledgerPath(root: String): Path = Paths.get(root, "stream_ledger.json")
+
+  private[streaming] def readLedger(root: String): Ledger = {
+    val p = ledgerPath(root)
+    if (!Files.exists(p)) return Ledger(-1L, None)
+    val n = new ObjectMapper().readTree(Files.readAllBytes(p))
+    val inflight = Option(n.get("inflightBatchId")).map { b =>
+      Inflight(b.asLong(),
+        n.get("preFiles").elements().asScala.map(_.asText()).toSet,
+        n.get("preCorpusCount").asLong())
+    }
+    Ledger(n.get("lastBatchId").asLong(), inflight)
+  }
+
+  private[streaming] def writeLedger(root: String, l: Ledger): Unit = {
+    val om = new ObjectMapper()
+    val node = om.createObjectNode()
+    node.put("lastBatchId", l.lastBatchId)
+    l.inflight.foreach { inf =>
+      node.put("inflightBatchId", inf.batchId)
+      node.put("preCorpusCount", inf.preCorpusCount)
+      val arr = node.putArray("preFiles")
+      inf.preFiles.toSeq.sorted.foreach(arr.add)
+    }
+    Files.write(ledgerPath(root),
+      om.writerWithDefaultPrettyPrinter().writeValueAsBytes(node),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** All data files under `<root>/vectors`, root-relative — the rollback
+    * unit. O(index files); see the class doc for why that is bounded.
+    */
+  private[streaming] def listVectorFiles(root: String): Set[String] = {
+    val base = Paths.get(root, "vectors")
+    if (!Files.exists(base)) return Set.empty
+    val s = Files.walk(base)
+    try s.iterator().asScala.filter(Files.isRegularFile(_))
+      .map(p => base.relativize(p).toString).toSet
+    finally s.close()
+  }
+
+  /** Undo a torn append: delete every vectors file the inflight record does
+    * not list (only our appends write there — the recovery owns the index
+    * the same way the streaming query does), restore `corpusCount`.
+    */
+  private def rollback(root: String, inf: Inflight): Unit = {
+    val base = Paths.get(root, "vectors")
+    (listVectorFiles(root) -- inf.preFiles).foreach { rel =>
+      Files.deleteIfExists(base.resolve(rel))
+    }
+    val meta = AnnIndex.readMeta(root)
+    if (meta.corpusCount != inf.preCorpusCount)
+      AnnIndex.writeMetaFor(root, meta.copy(corpusCount = inf.preCorpusCount))
+    writeLedger(root, Ledger(inf.batchId - 1, None))
+  }
+}

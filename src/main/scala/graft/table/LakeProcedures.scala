@@ -33,7 +33,7 @@ object LakeProcedures {
   /** Procedure names, exposed under the `system` namespace. */
   val Names: Seq[String] =
     Seq("compact", "vacuum", "rollback", "rebucket", "tag", "drop_tag", "bm25",
-      "ann_build", "ann_append", "ann_topk")
+      "ann_build", "ann_append", "ann_topk", "ann_maintain")
 
   /** @param name        procedure name (one of [[Names]])
     * @param resolveRoot  maps the `table` argument ("tbl" or "ns.tbl",
@@ -50,6 +50,7 @@ object LakeProcedures {
     case "ann_build" => new AnnBuildProc(resolveRoot)
     case "ann_append" => new AnnAppendProc(resolveRoot)
     case "ann_topk" => new AnnTopKProc(resolveRoot)
+    case "ann_maintain" => new AnnMaintainProc(resolveRoot)
     case other => throw new UnsupportedOperationException(
       s"unknown lake procedure '$other'; available: ${Names.mkString(", ")}")
   }
@@ -477,6 +478,63 @@ object LakeProcedures {
         override def description(): String = s"LakeProcedure(ann_topk, k=$k, nProbe=$nProbe)"
       }
       java.util.List.of(scan).iterator()
+    }
+  }
+
+  /** `CALL cat.system.ann_maintain(index => 'idx/docs', table => 'convs')`
+    * — catch the persisted index up to the lake table's CURRENT version and
+    * stop: [[graft.streaming.AnnMaintenance.runAvailableNow]]'s Trigger
+    * .AvailableNow run, from SQL — the scheduler-friendly shape (cron calls
+    * `ann_maintain` the way it calls `compact`; a long-lived tail uses the
+    * Scala `AnnMaintenance.start` surface). Exactly-once is the stream's
+    * (feed offsets = table versions in the checkpoint × the index's
+    * write-ahead ledger), so a re-CALL with no new commits is a no-op. The
+    * checkpoint defaults to `<indexRoot>/checkpoint` — keep it if you
+    * override: a NEW checkpoint with `starting_version => 'earliest'`
+    * re-bootstraps the whole table as inserts into an index that already
+    * holds it (the ledger only dedups batch ids within one checkpoint
+    * lineage).
+    */
+  private final class AnnMaintainProc(rr: String => String) extends AnnProc(rr) {
+    override def name(): String = "ann_maintain"
+    override def description(): String =
+      "ann_maintain(index, table, checkpoint => <index>/checkpoint, starting_version " +
+        "=> 'earliest', max_versions_per_trigger => 16, allow_non_insert => false, " +
+        "id_col => 'conv_id', vec_col => 'embedding'): catch the persisted ANN index " +
+        "up to the lake table's current version via its change feed, then stop"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(p("index", StringType), p("table", StringType),
+        pDefault("checkpoint", StringType, "NULL"),
+        pDefault("starting_version", StringType, "'earliest'"),
+        pDefault("max_versions_per_trigger", IntegerType, "16"),
+        pDefault("allow_non_insert", BooleanType, "false"),
+        pDefault("id_col", StringType, "'conv_id'"),
+        pDefault("vec_col", StringType, "'embedding'"))
+    private val outSchema: StructType = StructType(Seq(
+      StructField("variant", StringType, nullable = false),
+      StructField("corpus_count", LongType, nullable = false),
+      StructField("table_version", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = indexRoot(input)
+      require(!input.isNullAt(1), "ann_maintain: table argument must not be null")
+      val tableRoot = rr(input.getUTF8String(1).toString)
+      val table = LakeTable.open(tableRoot)
+      require(table.currentSnapshot().nonEmpty,
+        s"ann_maintain: no lake table at '${input.getUTF8String(1)}'")
+      val ckpt = str(input, 2, s"$root/checkpoint")
+      val startingVersion = str(input, 3, "earliest")
+      val maxVersions = int(input, 4, 16)
+      require(maxVersions > 0,
+        s"ann_maintain: max_versions_per_trigger must be positive, got $maxVersions")
+      val allowNonInsert = !input.isNullAt(5) && input.getBoolean(5)
+      val (idCol, vecCol) = (str(input, 6, "conv_id"), str(input, 7, "embedding"))
+      val spark = SparkSession.active
+      graft.streaming.AnnMaintenance.runAvailableNow(spark, tableRoot, root,
+        ckpt, idCol, vecCol, startingVersion, maxVersions, allowNonInsert)
+      val meta = graft.operators.AnnIndex.readMeta(root)
+      oneRow(outSchema, Array(UTF8String.fromString(meta.variant),
+        meta.corpusCount, table.currentSnapshot().get.version))
     }
   }
 

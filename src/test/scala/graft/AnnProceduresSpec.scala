@@ -122,4 +122,61 @@ class AnnProceduresSpec extends SparkSpecBase {
           |  queries => 'apc3_vectors')""".stripMargin).collect()
     }
   }
+
+  test("CALL ann_maintain catches the index up to the table; re-CALL is a no-op") {
+    import graft.model.{ChangeEvent, Model}
+    import Model.changeEventEncoder
+    val base = tmpDir("annproc-maint")
+    catalogFor(base, "apc4")
+
+    def emb(df: DataFrame): DataFrame = df.withColumn("embedding", expr(
+      "transform(sequence(0, 15), d -> " +
+        "cast(pmod(hash(conv_id, d), 19) / 19.0 + 0.05 as float))"))
+    def evs(ids: Range, t: String, seqBase: Long): Seq[ChangeEvent] =
+      ids.map(i => ChangeEvent(f"c$i%04d", 0, "user", s"doc $i", None,
+        java.sql.Timestamp.valueOf(t), "insert", seqBase + i))
+
+    val table = new graft.table.LakeTable(s"$base/convs", numBuckets = 4)
+    graft.operators.MergeApplier.applyBatch(spark, table,
+      emb(spark.createDataset(evs(0 until 20, "2025-01-01 00:00:00", 0L)).toDF()),
+      "w", 0L)
+    val v0 = table.currentSnapshot().get.version
+    table.read(spark).select($"conv_id", $"embedding")
+      .createOrReplaceTempView("apc4_state")
+    spark.sql(
+      """CALL apc4.system.ann_build(index => 'idx/m', view => 'apc4_state',
+        |  variant => 'ivf', n_lists => 4, id_col => 'conv_id')""".stripMargin)
+
+    graft.operators.MergeApplier.applyBatch(spark, table,
+      emb(spark.createDataset(evs(20 until 32, "2025-01-01 00:01:00", 100L)).toDF()),
+      "w", 1L)
+    val caught = spark.sql(
+      s"""CALL apc4.system.ann_maintain(index => 'idx/m', table => 'convs',
+         |  starting_version => '$v0')""".stripMargin).collect().head
+    assert(caught.getAs[Long]("corpus_count") == 32L)
+    assert(caught.getAs[Long]("table_version") ==
+      table.currentSnapshot().get.version)
+
+    // maintained index answers exactly (exhaustive probe == brute force)
+    val full = table.read(spark).select($"conv_id", $"embedding")
+      .localCheckpoint(true)
+    full.filter($"conv_id".isin("c0003", "c0027")).createOrReplaceTempView("apc4_q")
+    val got = spark.sql(
+      """CALL apc4.system.ann_topk(index => 'idx/m', queries => 'apc4_q',
+        |  k => 5, n_probe => 4, id_col => 'conv_id')""".stripMargin)
+      .collect().map(key).toSet
+    val bf = graft.operators.Similarity
+      .bruteForceTopK(full, full.filter($"conv_id".isin("c0003", "c0027")),
+        k = 5, idCol = "conv_id")
+      .select(col("query_id").cast("string"), col("vec_id").cast("string"),
+        col("cosine"), col("rank")).collect().map(key).toSet
+    assert(got == bf)
+
+    // no new commits: the default checkpoint under the index root makes the
+    // re-CALL exactly-once — nothing re-admitted
+    val again = spark.sql(
+      s"""CALL apc4.system.ann_maintain(index => 'idx/m', table => 'convs',
+         |  starting_version => '$v0')""".stripMargin).collect().head
+    assert(again.getAs[Long]("corpus_count") == 32L)
+  }
 }
