@@ -908,6 +908,49 @@ object SparkEntry {
         .select(col("query_id").cast("long").as("query_id"),
           col("vec_id").cast("long").as("vec_id"), col("cosine"), col("rank"))
     }),
+    // STREAMING maintenance under MUTATIONS (the LWW closure): the table
+    // takes updates (vec_id % 13 = 2, re-upserted at a newer version — an
+    // LWW-correct index must tombstone the old row AND keep the
+    // re-appended one, or the id duplicates/disappears and ranks shift)
+    // and deletes (vec_id % 17 = 3; conflicting ids resolve to delete by
+    // seq); mutations="apply" turns the feed's net diff into generation-
+    // tagged tombstones + re-appends, and exhaustive-probe search must
+    // equal brute force over the SURVIVING corpus.
+    "ann_maintained_mutations" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val tblRoot = gateRoot.resolve("ann_mutate_tbl").toString
+      val idxRoot = gateRoot.resolve("ann_mutate_idx").toString
+      val ckpt = gateRoot.resolve("ann_mutate_ckpt").toString
+      Seq(tblRoot, idxRoot, ckpt).foreach(r =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r)))
+      val t = new LakeTable(tblRoot, numBuckets = 8)
+      def asEvents(df: DataFrame, tsS: String, op: String,
+          seqOff: Long): DataFrame = df.select(
+        col("vec_id").cast("string").as("conv_id"), lit(0).as("turn_idx"),
+        lit("user").as("role"), lit("").as("text"),
+        lit(null).cast("string").as("tool"),
+        lit(java.sql.Timestamp.valueOf(tsS)).as("ts"),
+        lit(op).as("op"), (col("vec_id") + seqOff).as("seq"), col("embedding"))
+      MergeApplier.applyBatch(s, t,
+        asEvents(emb, "2025-01-01 00:00:00", "insert", 0L), "annx", 0L)
+      val v0 = t.currentSnapshot().get.version
+      AnnIndex.buildIvf(t.read(s).select(col("conv_id"), col("embedding")),
+        idxRoot, nLists = 8, iters = 3, idCol = "conv_id")
+      MergeApplier.applyBatch(s, t,
+        asEvents(emb.filter(col("vec_id") % 13 === 2),
+            "2025-01-01 00:01:00", "insert", 1000000L)
+          .unionByName(asEvents(emb.filter(col("vec_id") % 17 === 3),
+            "2025-01-01 00:01:00", "delete", 2000000L)), "annx", 1L)
+      AnnMaintenance.runAvailableNow(s, tblRoot, idxRoot, ckpt,
+        idCol = "conv_id", startingVersion = v0.toString,
+        mutations = "apply")
+      AnnIndex.searchIvf(s, idxRoot,
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("string").as("conv_id"), col("embedding")),
+        k = 5, nProbe = 8, idCol = "conv_id")
+        .select(col("query_id").cast("long").as("query_id"),
+          col("vec_id").cast("long").as("vec_id"), col("cosine"), col("rank"))
+    }),
     // threshold 0.35: the synthetic embeddings are near-orthogonal (max
     // pairwise cosine ≈0.46), so a realistic 0.95 cutoff would be vacuous;
     // 0.35 exercises the pairing + verify path non-trivially.
@@ -1115,6 +1158,22 @@ object SparkEntry {
       // its gates share the brute-force oracle modulo a VARCHAR cast
       "ann_sql_topk" -> annSqlOracle,
       "ann_maintained_topk" -> oracleSqlBase("ann_cosine_topk"),
+      // the mutation gate's oracle is brute force over the SURVIVING corpus
+      // (deletes excluded; updates re-wrote the same vector at a newer
+      // version, so the formula's vectors are unchanged while the engine
+      // must still tombstone + re-append them correctly to match)
+      "ann_maintained_mutations" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          |  WHERE vec_id < 8),
+          |live AS (SELECT * FROM embeddings WHERE vec_id % 17 <> 3),
+          |scored AS (
+          |  SELECT q.query_id, e.vec_id,
+          |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+          |  FROM live e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+          |SELECT query_id, vec_id, ROUND(cos, 4) AS cosine, rank FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          |    ORDER BY cos DESC, vec_id ASC) AS rank FROM scored) t
+          |WHERE rank <= 5""".stripMargin,
       "ann_sql_ivfpq_topk" -> annSqlOracle,
       // the streaming funnel over ts-ordered arrival must equal the batch
       // funnel's relational answer

@@ -41,18 +41,32 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * directories so pruning is untouched), and the periodic rebuild absorbs
   * quantizer drift, which is how IVF indexes are actually operated
   * (centroids drift ⇒ periodic retrain anyway; see Jégou/Douze/Schmid,
-  * IEEE TPAMI 2011). Id-level UPSERTS are out of scope by contract — that
-  * is the full lake-table treatment (snapshots, OCC, LWW), not an index
-  * file store.
+  * IEEE TPAMI 2011).
+  *
+  * Id-level UPDATES and DELETES are supported WITHOUT the rebuild via
+  * GENERATION-TAGGED tombstones ([[applyChanges]]) — the LSM shape, not the
+  * lake-table shape: every row carries the `gen` (batch generation) that
+  * admitted it (build = 0, each append/mutation batch = gen+1), and a
+  * mutation writes (vec_id, gen) to `<root>/tombstones/`, which at search
+  * time kills every row of that id with a STRICTLY OLDER gen — an update's
+  * tombstone and its replacement row share one gen, so the replacement
+  * survives by construction, and a later re-insert outlives an earlier
+  * delete. Search cost: one scan of the (tiny, O(mutations-since-rebuild))
+  * tombstone dataset + a join on id before ranking; probe-time partition
+  * pruning is untouched because tombstones live outside the list dirs.
+  * The periodic rebuild compacts tombstones away exactly like an LSM major
+  * compaction.
   */
 object AnnIndex {
 
   /** `schemaJson` is the vectors dataset's EXPLICIT schema (incl. the `list`
     * partition column): reads never footer-sniff or type-infer, so opening
     * the index touches exactly meta + centroids + the probed lists' files.
+    * `gen` is the index's current generation — the batch counter that stamps
+    * appended rows and tombstones (see the class doc's LWW rule).
     */
   final case class Meta(variant: String, dim: Int, nLists: Int, m: Int,
-      codes: Int, corpusCount: Long, schemaJson: String) {
+      codes: Int, corpusCount: Long, schemaJson: String, gen: Long = 0L) {
     def schema: org.apache.spark.sql.types.StructType =
       org.apache.spark.sql.types.DataType.fromJson(schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -67,6 +81,7 @@ object AnnIndex {
     node.put("m", meta.m)
     node.put("codes", meta.codes)
     node.put("corpusCount", meta.corpusCount)
+    node.put("gen", meta.gen)
     node.put("schemaJson", meta.schemaJson)
     Files.createDirectories(Paths.get(root))
     Files.write(Paths.get(root, "meta.json"),
@@ -86,7 +101,8 @@ object AnnIndex {
     val n = om.readTree(Files.readAllBytes(Paths.get(root, "meta.json")))
     Meta(n.get("variant").asText(), n.get("dim").asInt(), n.get("nLists").asInt(),
       n.get("m").asInt(), n.get("codes").asInt(), n.get("corpusCount").asLong(),
-      n.get("schemaJson").asText())
+      n.get("schemaJson").asText(),
+      Option(n.get("gen")).map(_.asLong()).getOrElse(0L))
   }
 
   // --- IVF-flat ------------------------------------------------------------
@@ -104,6 +120,7 @@ object AnnIndex {
     val centroids = Similarity.trainIvfCentroids(c, nLists, iters)
     centroids.write.mode("overwrite").parquet(s"$root/centroids")
     val indexed = Similarity.assignListsCos(c, centroids, "vec_id", "cv")
+      .withColumn("gen", lit(0L))
     indexed
       .repartition(col("list")) // one task (→ one file) per list
       .write.mode("overwrite").partitionBy("list").parquet(s"$root/vectors")
@@ -142,13 +159,24 @@ object AnnIndex {
     val c = newVectors.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .localCheckpoint(true)
     requireDim(c, meta.dim)
-    val centroids = spark.read.parquet(s"$root/centroids")
-    Similarity.assignListsCos(c, centroids, "vec_id", "cv")
-      .repartition(col("list"))
-      .write.mode("append").partitionBy("list").parquet(s"$root/vectors")
-    val updated = meta.copy(corpusCount = meta.corpusCount + c.count())
+    appendRowsIvf(spark, root, meta, c, meta.gen + 1)
+    val updated = meta.copy(corpusCount = meta.corpusCount + c.count(),
+      gen = meta.gen + 1)
     writeMeta(root, updated)
     updated
+  }
+
+  /** Assign `c` (vec_id, cv) to lists by the stored centroids and append the
+    * rows stamped with `gen` — the write half shared by [[appendIvf]] and
+    * [[applyChanges]].
+    */
+  private def appendRowsIvf(spark: SparkSession, root: String, meta: Meta,
+      c: DataFrame, gen: Long): Unit = {
+    val centroids = spark.read.parquet(s"$root/centroids")
+    Similarity.assignListsCos(c, centroids, "vec_id", "cv")
+      .withColumn("gen", lit(gen))
+      .repartition(col("list"))
+      .write.mode("append").partitionBy("list").parquet(s"$root/vectors")
   }
 
   /** One full scan of the batch proves every vector matches the index's
@@ -159,6 +187,85 @@ object AnnIndex {
     val bad = c.filter(size(col("cv")) =!= dim).count()
     require(bad == 0L,
       s"append batch has $bad vector(s) whose dimension != the index's $dim")
+  }
+
+  // --- mutations: generation-tagged tombstones (the LSM shape) --------------
+
+  /** Apply ONE CDC batch of inserts/updates/deletes to the index, LWW-
+    * correctly, without a rebuild. `changes` carries (id, vector,
+    * change_type ∈ insert|update|delete); the whole batch becomes ONE new
+    * generation `meta.gen + 1`:
+    *
+    *   - update/delete → a (vec_id, gen) tombstone, which kills every
+    *     stored row of that id with a STRICTLY older gen;
+    *   - insert/update (vector non-null) → rows quantized against the
+    *     stored model and appended stamped with the SAME gen — so an
+    *     update's replacement outlives its own tombstone, and a re-insert
+    *     after a delete outlives the delete.
+    *
+    * The caller supplies at most one change per id per batch (a net
+    * endpoint diff — exactly what the lake change feed emits per
+    * micro-batch); two changes for one id in one batch would tie on gen.
+    * An update whose vector is null degrades to a delete (tombstone, no
+    * append). Tombstones are written BEFORE appends: a batch torn between
+    * the two halves leaves updated ids looking deleted until the retry —
+    * never two live versions. `corpusCount` (auto-refine sizing) tracks
+    * inserts − deletes, approximate under deletes of absent ids; the
+    * periodic rebuild re-exacts it and compacts tombstones away.
+    */
+  def applyChanges(spark: SparkSession, root: String, changes: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      typeCol: String = "change_type"): Meta = {
+    val meta = readMeta(root)
+    val gen = meta.gen + 1
+    val ch = changes.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+      col(typeCol).as("ct")).localCheckpoint(true)
+    val n = ch.agg(
+      count(when(col("ct") === "insert", 1)).as("i"),
+      count(when(col("ct") === "update", 1)).as("u"),
+      count(when(col("ct") === "delete", 1)).as("d"),
+      count(when(!col("ct").isin("insert", "update", "delete"), 1)).as("x"))
+      .first()
+    val (nIns, nUpd, nDel, nOther) =
+      (n.getLong(0), n.getLong(1), n.getLong(2), n.getLong(3))
+    require(nOther == 0L,
+      s"applyChanges: $nOther row(s) with change type outside insert|update|delete")
+    if (nUpd + nDel > 0)
+      ch.filter(col("ct").isin("update", "delete"))
+        .select(col("vec_id"), lit(gen).as("gen"))
+        .coalesce(1) // tombstones are tiny; one file per batch
+        .write.mode("append").parquet(s"$root/tombstones")
+    val adds = ch.filter(col("ct").isin("insert", "update") && col("cv").isNotNull)
+      .select(col("vec_id"), col("cv"))
+    if (nIns + nUpd > 0) {
+      requireDim(adds, meta.dim)
+      meta.variant match {
+        case "ivf" => appendRowsIvf(spark, root, meta, adds, gen)
+        case _ => appendRowsIvfPq(spark, root, meta, adds, gen)
+      }
+    }
+    val updated = meta.copy(
+      corpusCount = math.max(0L, meta.corpusCount + nIns - nDel), gen = gen)
+    writeMeta(root, updated)
+    updated
+  }
+
+  /** Filter stored rows against the tombstone dataset: a row dies iff some
+    * tombstone for its id carries a strictly newer gen. No tombstone dir =
+    * no cost (the pure append-only lifecycle never pays for mutations).
+    */
+  private def liveRows(spark: SparkSession, root: String, meta: Meta,
+      rows: DataFrame): DataFrame = {
+    if (!Files.exists(Paths.get(root, "tombstones"))) return rows
+    val ts = org.apache.spark.sql.types.StructType(Seq(
+      meta.schema("vec_id"),
+      org.apache.spark.sql.types.StructField("gen",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val tomb = spark.read.schema(ts).parquet(s"$root/tombstones")
+      .groupBy("vec_id").agg(max("gen").as("__tgen"))
+    rows.join(tomb, Seq("vec_id"), "left")
+      .filter(col("__tgen").isNull || col("gen") >= col("__tgen"))
+      .drop("__tgen")
   }
 
   /** Search a persisted IVF index: probes from the stored centroids, probed
@@ -179,7 +286,7 @@ object AnnIndex {
       .collect().map(_.getInt(0)).toSeq
     val indexed = spark.read.schema(meta.schema).parquet(s"$root/vectors")
       .filter(col("list").isin(probed: _*))
-    Similarity.searchIvfCore(indexed, probes, k)
+    Similarity.searchIvfCore(liveRows(spark, root, meta, indexed), probes, k)
   }
 
   // --- IVF-PQ --------------------------------------------------------------
@@ -196,7 +303,7 @@ object AnnIndex {
       trainSample, idCol, vecCol)
     model.coarse.write.mode("overwrite").parquet(s"$root/centroids")
     model.cbs.write.mode("overwrite").parquet(s"$root/codebooks")
-    val wide = pivotCodes(model.encoded)
+    val wide = pivotCodes(model.encoded).withColumn("gen", lit(0L))
     wide
       .repartition(col("list"))
       .write.mode("overwrite").partitionBy("list").parquet(s"$root/vectors")
@@ -237,14 +344,24 @@ object AnnIndex {
     val c = newVectors.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .localCheckpoint(true)
     requireDim(c, meta.dim)
+    appendRowsIvfPq(spark, root, meta, c, meta.gen + 1)
+    val updated = meta.copy(corpusCount = meta.corpusCount + c.count(),
+      gen = meta.gen + 1)
+    writeMeta(root, updated)
+    updated
+  }
+
+  /** Residual-encode `c` against the stored model and append the code rows
+    * stamped with `gen` — shared by [[appendIvfPq]] and [[applyChanges]].
+    */
+  private def appendRowsIvfPq(spark: SparkSession, root: String, meta: Meta,
+      c: DataFrame, gen: Long): Unit = {
     val coarse = spark.read.parquet(s"$root/centroids")
     val cbs = spark.read.parquet(s"$root/codebooks")
     pivotCodes(Similarity.encodePq(coarse, cbs, c, meta.m, meta.dim / meta.m))
+      .withColumn("gen", lit(gen))
       .repartition(col("list"))
       .write.mode("append").partitionBy("list").parquet(s"$root/vectors")
-    val updated = meta.copy(corpusCount = meta.corpusCount + c.count())
-    writeMeta(root, updated)
-    updated
   }
 
   /** Search a persisted IVF-PQ index: ADC scoring over the probed lists'
@@ -276,8 +393,9 @@ object AnnIndex {
       .filter(col("__pn") <= nProbe)
       .select(col("list").cast("int"))
     val probed = probedDf.distinct().collect().map(_.getInt(0)).toSeq
-    val encoded = spark.read.schema(meta.schema).parquet(s"$root/vectors")
+    val wide = spark.read.schema(meta.schema).parquet(s"$root/vectors")
       .filter(col("list").isin(probed: _*))
+    val encoded = liveRows(spark, root, meta, wide)
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("g", "code")),
         col("list"), col("nv"))
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))

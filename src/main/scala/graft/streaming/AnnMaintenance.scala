@@ -12,34 +12,39 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 
 /** STREAMING maintenance of a persisted ANN index: tail a lake table's
-  * change feed (`lake-cdf`) and keep the index fresh by quantizing each
-  * micro-batch's inserts against the STORED model ([[AnnIndex.appendIvf]] /
-  * [[AnnIndex.appendIvfPq]]) — the CDC closure of the index lifecycle. The
-  * reference ships vectors to an external search service and re-syncs out of
-  * band (reference: etl/load, GraphDB delegation); here the index FOLLOWS
-  * the table the same way a replica or a materialized view does: one
-  * streaming query, offsets = table versions, O(changed buckets) per
-  * trigger on the source side and O(batch) quantize+append on the index
-  * side. Nothing rescans the corpus — at 10^10 stored vectors the
-  * train+encode rebuild is a scheduled maintenance job, not a per-arrival
-  * cost.
+  * change feed (`lake-cdf`) and keep the index fresh — the CDC closure of
+  * the index lifecycle. The reference ships vectors to an external search
+  * service and re-syncs out of band (reference: etl/load, GraphDB
+  * delegation); here the index FOLLOWS the table the same way a replica or
+  * a materialized view does: one streaming query, offsets = table versions,
+  * O(changed buckets) per trigger on the source side and O(batch)
+  * quantize+append on the index side. Nothing rescans the corpus — at 10^10
+  * stored vectors the train+encode rebuild is a scheduled maintenance job,
+  * not a per-arrival cost.
   *
-  * Contract (inherited from the append operators, enforced loudly):
-  *   - INSERT-only by default. The index is append-only (an id-level upsert
-  *     needs the full lake-table treatment — snapshots, LWW), so an update
-  *     or delete in the feed fails the stream by default; `allowNonInsert =
-  *     true` SKIPS them instead, accepting documented staleness (the index
-  *     keeps serving the superseded vector until the periodic rebuild — the
-  *     usual operating mode for ANN sidecars, where deletes are filtered at
-  *     query time against the primary store).
+  * Contract:
+  *   - `mutations` picks the update/delete policy. `"fail"` (default): the
+  *     stream fails loudly on any non-insert change — the index is treated
+  *     as append-only. `"skip"`: non-inserts are dropped, accepting
+  *     documented staleness (the index serves the superseded vector until
+  *     the periodic rebuild — the classic ANN-sidecar mode where deletes
+  *     are filtered at query time against the primary store). `"apply"`:
+  *     the FULL LWW closure — each micro-batch (a net endpoint diff, one
+  *     change per key) becomes one index generation via
+  *     [[AnnIndex.applyChanges]]: updates/deletes write generation-tagged
+  *     tombstones, replacement vectors are quantized against the stored
+  *     model and appended with the same generation, and search kills
+  *     strictly-older rows — no rebuild, no staleness window beyond the
+  *     trigger cadence.
   *   - EXACTLY-ONCE across restarts via a write-ahead ledger
   *     (`<indexRoot>/stream_ledger.json`): a replayed foreachBatch id is
-  *     skipped; a batch that CRASHED mid-append is ROLLED BACK on recovery
-  *     (the ledger records the pre-append file listing + corpusCount; files
-  *     not in the listing are deleted, the count restored) and re-applied —
-  *     a torn append can never double-admit a vector. The pre-append
-  *     listing is O(index files); appends add ≤ nLists files per batch and
-  *     the periodic rebuild collapses them, which bounds the ledger the
+  *     skipped; a batch that CRASHED mid-apply is ROLLED BACK on recovery
+  *     (the ledger records the pre-batch file listing — vectors AND
+  *     tombstones — plus corpusCount and gen; files not in the listing are
+  *     deleted, the counters restored) and re-applied — a torn batch can
+  *     never double-admit a vector or leave a half-applied generation. The
+  *     pre-batch listing is O(index files); batches add ≤ nLists + 1 files
+  *     and the periodic rebuild collapses them, which bounds the ledger the
   *     same way compaction bounds the manifest list.
   *   - Centroid drift is the appender's limit (search stays CORRECT at any
   *     probe count — exhaustive probe stays exact — but partial-probe
@@ -48,6 +53,8 @@ import scala.jdk.CollectionConverters._
   *     calls `compact`.
   */
 object AnnMaintenance {
+
+  private val Modes = Set("fail", "skip", "apply")
 
   /** Start the maintenance stream. `startingVersion` follows the lake-cdf
     * contract: "earliest" bootstraps the CURRENT table state as inserts
@@ -60,7 +67,9 @@ object AnnMaintenance {
       vecCol: String = "embedding", startingVersion: String = "earliest",
       maxVersionsPerTrigger: Long = 16,
       trigger: Trigger = Trigger.AvailableNow(),
-      allowNonInsert: Boolean = false): StreamingQuery =
+      mutations: String = "fail"): StreamingQuery = {
+    require(Modes(mutations),
+      s"mutations must be one of ${Modes.mkString("|")}, got '$mutations'")
     spark.readStream.format("lake-cdf")
       .option("path", sourceRoot)
       .option("startingVersion", startingVersion)
@@ -71,19 +80,20 @@ object AnnMaintenance {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(spark, indexRoot, batch, batchId, idCol, vecCol, allowNonInsert)
+        applyBatch(spark, indexRoot, batch, batchId, idCol, vecCol, mutations)
       }
       .start()
+  }
 
   /** Catch the index up to the table's current version and stop. */
   def runAvailableNow(spark: SparkSession, sourceRoot: String,
       indexRoot: String, checkpointDir: String, idCol: String = "conv_id",
       vecCol: String = "embedding", startingVersion: String = "earliest",
       maxVersionsPerTrigger: Long = 16,
-      allowNonInsert: Boolean = false): Unit = {
+      mutations: String = "fail"): Unit = {
     val q = start(spark, sourceRoot, indexRoot, checkpointDir, idCol, vecCol,
       startingVersion, maxVersionsPerTrigger, Trigger.AvailableNow(),
-      allowNonInsert)
+      mutations)
     try q.awaitTermination() finally if (q.isActive) q.stop()
   }
 
@@ -92,36 +102,51 @@ object AnnMaintenance {
     */
   private[streaming] def applyBatch(spark: SparkSession, indexRoot: String,
       batch: DataFrame, batchId: Long, idCol: String, vecCol: String,
-      allowNonInsert: Boolean): Unit = {
+      mutations: String): Unit = {
+    require(Modes(mutations),
+      s"mutations must be one of ${Modes.mkString("|")}, got '$mutations'")
     val ledger = readLedger(indexRoot)
     if (batchId <= ledger.lastBatchId) return // checkpoint replay: already applied
     // crash recovery: a ledger with an inflight batch means the previous
-    // attempt died between file-append and ledger-commit — roll its files
+    // attempt died between file writes and ledger-commit — roll its files
     // back (they may be partial OR complete; either way re-applying from
     // scratch is the only state we can prove) before touching anything
     ledger.inflight.foreach(inf => rollback(indexRoot, inf))
 
-    // one pass over the batch: row counts by change class
+    // one pass over the batch: row counts by change class (pre-images are
+    // metadata for OTHER consumers — never index content)
     val counts = batch.agg(
       count(when(col("change_type") === "insert", 1)).as("ins"),
-      count(when(col("change_type").isin("update", "update_preimage", "delete"), 1))
-        .as("other")).first()
-    val (ins, other) = (counts.getLong(0), counts.getLong(1))
-    require(other == 0 || allowNonInsert,
-      s"ann maintenance batch $batchId carries $other update/delete change(s): " +
-        "the index is append-only — rebuild to absorb replacements, or pass " +
-        "allowNonInsert=true to skip them (index serves stale vectors until rebuild)")
+      count(when(col("change_type").isin("update", "delete"), 1)).as("mut"))
+      .first()
+    val (ins, mut) = (counts.getLong(0), counts.getLong(1))
+    require(mut == 0 || mutations != "fail",
+      s"ann maintenance batch $batchId carries $mut update/delete change(s): " +
+        "the index is being maintained append-only — pass mutations=\"apply\" " +
+        "for the tombstone-based LWW closure, mutations=\"skip\" to drop them " +
+        "(index serves stale vectors until rebuild), or rebuild to absorb them")
 
-    if (ins > 0) {
+    val work = mutations match {
+      case "apply" => ins + mut
+      case _ => ins
+    }
+    if (work > 0) {
       val meta = AnnIndex.readMeta(indexRoot)
       writeLedger(indexRoot, Ledger(ledger.lastBatchId,
-        Some(Inflight(batchId, listVectorFiles(indexRoot), meta.corpusCount))))
-      val inserts = batch.filter(col("change_type") === "insert")
-        .filter(col(vecCol).isNotNull)
-        .select(col(idCol), col(vecCol))
-      meta.variant match {
-        case "ivf" => AnnIndex.appendIvf(spark, indexRoot, inserts, idCol, vecCol)
-        case _ => AnnIndex.appendIvfPq(spark, indexRoot, inserts, idCol, vecCol)
+        Some(Inflight(batchId, listIndexFiles(indexRoot), meta.corpusCount,
+          meta.gen))))
+      if (mutations == "apply") {
+        AnnIndex.applyChanges(spark, indexRoot,
+          batch.filter(col("change_type").isin("insert", "update", "delete")),
+          idCol, vecCol)
+      } else {
+        val inserts = batch.filter(col("change_type") === "insert")
+          .filter(col(vecCol).isNotNull)
+          .select(col(idCol), col(vecCol))
+        meta.variant match {
+          case "ivf" => AnnIndex.appendIvf(spark, indexRoot, inserts, idCol, vecCol)
+          case _ => AnnIndex.appendIvfPq(spark, indexRoot, inserts, idCol, vecCol)
+        }
       }
     }
     writeLedger(indexRoot, Ledger(batchId, None))
@@ -130,7 +155,7 @@ object AnnMaintenance {
   // --- write-ahead ledger ----------------------------------------------------
 
   private[streaming] final case class Inflight(batchId: Long,
-      preFiles: Set[String], preCorpusCount: Long)
+      preFiles: Set[String], preCorpusCount: Long, preGen: Long)
   private[streaming] final case class Ledger(lastBatchId: Long,
       inflight: Option[Inflight])
 
@@ -143,7 +168,8 @@ object AnnMaintenance {
     val inflight = Option(n.get("inflightBatchId")).map { b =>
       Inflight(b.asLong(),
         n.get("preFiles").elements().asScala.map(_.asText()).toSet,
-        n.get("preCorpusCount").asLong())
+        n.get("preCorpusCount").asLong(),
+        Option(n.get("preGen")).map(_.asLong()).getOrElse(0L))
     }
     Ledger(n.get("lastBatchId").asLong(), inflight)
   }
@@ -155,6 +181,7 @@ object AnnMaintenance {
     l.inflight.foreach { inf =>
       node.put("inflightBatchId", inf.batchId)
       node.put("preCorpusCount", inf.preCorpusCount)
+      node.put("preGen", inf.preGen)
       val arr = node.putArray("preFiles")
       inf.preFiles.toSeq.sorted.foreach(arr.add)
     }
@@ -163,30 +190,35 @@ object AnnMaintenance {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
-  /** All data files under `<root>/vectors`, root-relative — the rollback
-    * unit. O(index files); see the class doc for why that is bounded.
+  /** All data files under `<root>/vectors` AND `<root>/tombstones`,
+    * root-relative — the rollback unit. O(index files); see the class doc
+    * for why that is bounded.
     */
-  private[streaming] def listVectorFiles(root: String): Set[String] = {
-    val base = Paths.get(root, "vectors")
-    if (!Files.exists(base)) return Set.empty
-    val s = Files.walk(base)
-    try s.iterator().asScala.filter(Files.isRegularFile(_))
-      .map(p => base.relativize(p).toString).toSet
-    finally s.close()
+  private[streaming] def listIndexFiles(root: String): Set[String] = {
+    def walk(sub: String): Set[String] = {
+      val base = Paths.get(root, sub)
+      if (!Files.exists(base)) return Set.empty
+      val s = Files.walk(base)
+      try s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => s"$sub/${base.relativize(p)}").toSet
+      finally s.close()
+    }
+    walk("vectors") ++ walk("tombstones")
   }
 
-  /** Undo a torn append: delete every vectors file the inflight record does
-    * not list (only our appends write there — the recovery owns the index
-    * the same way the streaming query does), restore `corpusCount`.
+  /** Undo a torn batch: delete every index file the inflight record does
+    * not list (only our writes land there — the recovery owns the index
+    * the same way the streaming query does), restore corpusCount and gen.
     */
   private def rollback(root: String, inf: Inflight): Unit = {
-    val base = Paths.get(root, "vectors")
-    (listVectorFiles(root) -- inf.preFiles).foreach { rel =>
+    val base = Paths.get(root)
+    (listIndexFiles(root) -- inf.preFiles).foreach { rel =>
       Files.deleteIfExists(base.resolve(rel))
     }
     val meta = AnnIndex.readMeta(root)
-    if (meta.corpusCount != inf.preCorpusCount)
-      AnnIndex.writeMetaFor(root, meta.copy(corpusCount = inf.preCorpusCount))
+    if (meta.corpusCount != inf.preCorpusCount || meta.gen != inf.preGen)
+      AnnIndex.writeMetaFor(root,
+        meta.copy(corpusCount = inf.preCorpusCount, gen = inf.preGen))
     writeLedger(root, Ledger(inf.batchId - 1, None))
   }
 }

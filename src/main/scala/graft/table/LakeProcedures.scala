@@ -499,15 +499,15 @@ object LakeProcedures {
     override def name(): String = "ann_maintain"
     override def description(): String =
       "ann_maintain(index, table, checkpoint => <index>/checkpoint, starting_version " +
-        "=> 'earliest', max_versions_per_trigger => 16, allow_non_insert => false, " +
-        "id_col => 'conv_id', vec_col => 'embedding'): catch the persisted ANN index " +
-        "up to the lake table's current version via its change feed, then stop"
+        "=> 'earliest', max_versions_per_trigger => 16, mutations => 'fail'|'skip'|" +
+        "'apply', id_col => 'conv_id', vec_col => 'embedding'): catch the persisted " +
+        "ANN index up to the lake table's current version via its change feed, then stop"
     override def parameters(): Array[ProcedureParameter] =
       Array(p("index", StringType), p("table", StringType),
         pDefault("checkpoint", StringType, "NULL"),
         pDefault("starting_version", StringType, "'earliest'"),
         pDefault("max_versions_per_trigger", IntegerType, "16"),
-        pDefault("allow_non_insert", BooleanType, "false"),
+        pDefault("mutations", StringType, "'fail'"),
         pDefault("id_col", StringType, "'conv_id'"),
         pDefault("vec_col", StringType, "'embedding'"))
     private val outSchema: StructType = StructType(Seq(
@@ -527,11 +527,11 @@ object LakeProcedures {
       val maxVersions = int(input, 4, 16)
       require(maxVersions > 0,
         s"ann_maintain: max_versions_per_trigger must be positive, got $maxVersions")
-      val allowNonInsert = !input.isNullAt(5) && input.getBoolean(5)
+      val mutations = str(input, 5, "fail")
       val (idCol, vecCol) = (str(input, 6, "conv_id"), str(input, 7, "embedding"))
       val spark = SparkSession.active
       graft.streaming.AnnMaintenance.runAvailableNow(spark, tableRoot, root,
-        ckpt, idCol, vecCol, startingVersion, maxVersions, allowNonInsert)
+        ckpt, idCol, vecCol, startingVersion, maxVersions, mutations)
       val meta = graft.operators.AnnIndex.readMeta(root)
       oneRow(outSchema, Array(UTF8String.fromString(meta.variant),
         meta.corpusCount, table.currentSnapshot().get.version))

@@ -231,6 +231,84 @@ class AnnIndexSpec extends SparkSpecBase {
       corpusCount = 100000000L) == Similarity.AutoRefineCap)
   }
 
+  private def vecOf(id: Long): Seq[Float] =
+    clustered.filter($"vec_id" === id).select("embedding").first().getSeq[Float](0)
+
+  test("applyChanges (ivf): update replaces across lists, delete vanishes, re-insert revives") {
+    val root = tmpDir("ann-mut-ivf")
+    AnnIndex.buildIvf(clustered, root, nLists = 4, iters = 3)
+    // gen 1: update id 1 to a CLUSTER-2 vector (its replacement lands in a
+    // DIFFERENT list than its dead gen-0 row — the cross-list LWW case),
+    // delete ids 2 and 26, insert a new id 200
+    val m1 = AnnIndex.applyChanges(spark, root, Seq(
+      (1L, vecOf(51), "update"),
+      (2L, null.asInstanceOf[Seq[Float]], "delete"),
+      (26L, null.asInstanceOf[Seq[Float]], "delete"),
+      (200L, vecOf(50), "insert")).toDF("vec_id", "embedding", "change_type"))
+    assert(m1.gen == 1L && m1.corpusCount == 99L) // 100 + 1 ins − 2 del
+    // gen 2: re-insert a deleted id with a third (cluster-3) vector — it
+    // must outlive its own older tombstone
+    val m2 = AnnIndex.applyChanges(spark, root,
+      Seq((2L, vecOf(80), "insert")).toDF("vec_id", "embedding", "change_type"))
+    assert(m2.gen == 2L && m2.corpusCount == 100L)
+
+    val finalCorpus = clustered.filter(!$"vec_id".isin(1L, 2L, 26L))
+      .unionByName(Seq((1L, vecOf(51)), (200L, vecOf(50)), (2L, vecOf(80)))
+        .toDF("vec_id", "embedding"))
+      .localCheckpoint(true)
+    val queries = finalCorpus.filter($"vec_id".isin(0L, 1L, 2L, 200L))
+    val got = AnnIndex.searchIvf(spark, root, queries, k = 5, nProbe = 4)
+      .collect().map(key).toSet
+    val bf = Similarity.bruteForceTopK(finalCorpus, queries, k = 5)
+      .collect().map(key).toSet
+    assert(got == bf)
+    // the deleted-forever id must not surface even when k admits everyone
+    val everyone = AnnIndex.searchIvf(spark, root,
+      finalCorpus.filter($"vec_id" === 0L), k = 1000, nProbe = 4).collect()
+    assert(everyone.length == finalCorpus.count() - 1) // all minus self
+    assert(!everyone.exists(_.getAs[Long]("vec_id") == 26L))
+    // and the updated id appears exactly once (its dead row stayed dead)
+    assert(everyone.count(_.getAs[Long]("vec_id") == 1L) == 1)
+  }
+
+  test("applyChanges (ivfpq): same LWW semantics over the coded index") {
+    val root = tmpDir("ann-mut-ivfpq")
+    AnnIndex.buildIvfPq(clustered, root, nLists = 4, m = 8, codes = 16,
+      iters = 2)
+    AnnIndex.applyChanges(spark, root, Seq(
+      (1L, vecOf(51), "update"),
+      (26L, null.asInstanceOf[Seq[Float]], "delete"))
+      .toDF("vec_id", "embedding", "change_type"))
+    val finalCorpus = clustered.filter(!$"vec_id".isin(1L, 26L))
+      .unionByName(Seq((1L, vecOf(51))).toDF("vec_id", "embedding"))
+      .localCheckpoint(true)
+    // the ivfpq re-rank joins the PRIMARY store — hand it the final state,
+    // exactly what a consistent pipeline serves
+    val queries = finalCorpus.filter($"vec_id".isin(0L, 1L, 75L))
+    val got = AnnIndex.searchIvfPq(spark, root, finalCorpus, queries, k = 5,
+      nProbe = 4, refine = Int.MaxValue).collect().map(key).toSet
+    val bf = Similarity.bruteForceTopK(finalCorpus, queries, k = 5)
+      .collect().map(key).toSet
+    assert(got == bf)
+  }
+
+  test("applyChanges guards: unknown change type fails loudly; no tombstones ⇒ no filter cost") {
+    val root = tmpDir("ann-mut-guards")
+    AnnIndex.buildIvf(clustered, root, nLists = 4, iters = 3)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.applyChanges(spark, root,
+        Seq((1L, vecOf(1), "upsert")).toDF("vec_id", "embedding", "change_type"))
+    }
+    assert(e.getMessage.contains("change type"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "tombstones")))
+    // pure-insert batches never create the tombstone dataset
+    AnnIndex.applyChanges(spark, root,
+      Seq((300L, vecOf(0), "insert")).toDF("vec_id", "embedding", "change_type"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "tombstones")))
+  }
+
   test("in-memory ivfPqTopK defaults to auto refine and stays well-formed") {
     val queries = clustered.filter($"vec_id" % 25 === 0)
     val out = Similarity.ivfPqTopK(clustered, queries, k = 5, nLists = 4,

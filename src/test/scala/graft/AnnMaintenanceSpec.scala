@@ -12,9 +12,9 @@ import java.sql.Timestamp
 
 /** Streaming ANN-index maintenance: the index FOLLOWS a lake table's change
   * feed. Proofs: exact search parity after multi-batch catch-up, exactly-once
-  * across checkpoint replay AND a torn (crashed mid-append) batch, the
-  * insert-only contract (loud by default, skip-with-consent), and null-vector
-  * hygiene.
+  * across checkpoint replay AND a torn (crashed mid-append) batch, the three
+  * mutation policies (fail loudly / skip / LWW-apply via generation-tagged
+  * tombstones), and null-vector hygiene.
   */
 class AnnMaintenanceSpec extends SparkSpecBase {
   import Model.changeEventEncoder
@@ -28,17 +28,18 @@ class AnnMaintenanceSpec extends SparkSpecBase {
     ids.map(i => ChangeEvent(f"c$i%04d", 0, "user", s"doc $i", None, ts(t), op,
       seqBase + i))
 
-  /** Deterministic 16-dim embedding derived from conv_id — no RNG, so the
+  /** Deterministic 16-dim embedding derived from conv_id (+ salt, so an
+    * UPDATE can carry a genuinely different vector) — no RNG, so the
     * brute-force oracle and the index see identical vectors by construction.
     */
-  private def withEmbedding(df: DataFrame): DataFrame =
+  private def withEmbedding(df: DataFrame, salt: Int = 0): DataFrame =
     df.withColumn("embedding", expr(
-      "transform(sequence(0, 15), d -> " +
-        "cast(pmod(hash(conv_id, d), 19) / 19.0 + 0.05 as float))"))
+      s"transform(sequence(0, 15), d -> " +
+        s"cast(pmod(hash(conv_id, d, $salt), 19) / 19.0 + 0.05 as float))"))
 
   private def applyEvents(table: LakeTable, evs: Seq[ChangeEvent],
-      batchId: Long): Long = {
-    val df = withEmbedding(spark.createDataset(evs).toDF())
+      batchId: Long, salt: Int = 0): Long = {
+    val df = withEmbedding(spark.createDataset(evs).toDF(), salt)
     MergeApplier.applyBatch(spark, table, df, "w", batchId)
     table.currentSnapshot().get.version
   }
@@ -98,12 +99,58 @@ class AnnMaintenanceSpec extends SparkSpecBase {
     assert(indexRows(indexRoot) == 40L)
   }
 
+  test("mutations=apply: updates replace, deletes vanish, re-insert revives") {
+    val tableRoot = tmpDir("annm-mut-table")
+    val table = new LakeTable(tableRoot, numBuckets = 4)
+    applyEvents(table, events(0 until 24, "2025-01-01 00:00:00"), 0L)
+    val v0 = table.currentSnapshot().get.version
+
+    val indexRoot = tmpDir("annm-mut-idx")
+    AnnIndex.buildIvf(corpus(table), indexRoot, nLists = 4, iters = 3,
+      idCol = "conv_id")
+
+    // one commit: UPDATE ids 0-5 with genuinely different vectors (salt 7),
+    // DELETE ids 6-11, INSERT ids 24-29
+    applyEvents(table,
+      events(0 until 6, "2025-01-01 00:01:00", seqBase = 100) ++
+        events(6 until 12, "2025-01-01 00:01:00", op = "delete", seqBase = 200) ++
+        events(24 until 30, "2025-01-01 00:01:00", seqBase = 300),
+      1L, salt = 7)
+    // a later commit RE-INSERTS a deleted id with a third vector (salt 9)
+    applyEvents(table, events(6 until 7, "2025-01-01 00:02:00", seqBase = 400),
+      2L, salt = 9)
+
+    val ckpt = tmpDir("annm-mut-ckpt")
+    AnnMaintenance.runAvailableNow(spark, tableRoot, indexRoot, ckpt,
+      idCol = "conv_id", startingVersion = v0.toString,
+      maxVersionsPerTrigger = 1, mutations = "apply")
+
+    // the index answers from the FINAL table state: an updated id must rank
+    // by its NEW vector, deleted ids never appear, the revived id is back
+    val full = corpus(table).localCheckpoint(true)
+    assert(full.count() == 25L) // 24 - 6 deleted + 6 inserted + 1 revived
+    val queries = full.filter(col("conv_id").isin("c0000", "c0003", "c0006",
+      "c0024"))
+    val got = AnnIndex.searchIvf(spark, indexRoot, queries, k = 5, nProbe = 4,
+      idCol = "conv_id").collect()
+    val bf = Similarity.bruteForceTopK(full, queries, k = 5, idCol = "conv_id")
+      .collect().map(key).toSet
+    assert(got.map(key).toSet == bf)
+    val deadIds = (7 until 12).map(i => f"c$i%04d").toSet
+    assert(!got.exists(r => deadIds(r.getAs[String]("vec_id"))),
+      "a deleted id surfaced in search results")
+    // the revived id is live in the final state (parity above proves the
+    // index ranks it by its THIRD vector, not a resurrected older one)
+    assert(full.filter(col("conv_id") === "c0006").count() == 1L)
+  }
+
   /** A micro-batch DF shaped like the cdf feed (only the columns applyBatch
     * touches: change_type, id, vector).
     */
-  private def feedBatch(ids: Seq[Int], changeType: String = "insert"): DataFrame =
+  private def feedBatch(ids: Seq[Int], changeType: String = "insert",
+      salt: Int = 0): DataFrame =
     withEmbedding(ids.map(i => (f"c$i%04d", changeType))
-      .toDF("conv_id", "change_type"))
+      .toDF("conv_id", "change_type"), salt)
 
   private def freshIndex(n: Int): String = {
     val root = tmpDir("annm-fresh")
@@ -116,40 +163,51 @@ class AnnMaintenanceSpec extends SparkSpecBase {
     val root = freshIndex(10)
     val batch = feedBatch(10 until 14)
     AnnMaintenance.applyBatch(spark, root, batch, 0L, "conv_id", "embedding",
-      allowNonInsert = false)
+      mutations = "fail")
     assert(AnnIndex.readMeta(root).corpusCount == 14L)
     // the checkpoint replays batch 0 after a downstream crash: no-op
     AnnMaintenance.applyBatch(spark, root, batch, 0L, "conv_id", "embedding",
-      allowNonInsert = false)
+      mutations = "fail")
     assert(AnnIndex.readMeta(root).corpusCount == 14L)
     assert(indexRows(root) == 14L)
   }
 
-  test("torn append is rolled back on recovery, then re-applied exactly once") {
+  test("torn batch is rolled back on recovery, then re-applied exactly once") {
     val root = freshIndex(10)
-    val preFiles = AnnMaintenance.listVectorFiles(root)
-    val preCount = AnnIndex.readMeta(root).corpusCount
+    val preFiles = AnnMaintenance.listIndexFiles(root)
+    val preMeta = AnnIndex.readMeta(root)
+    // the torn batch carries an UPDATE too, so the rollback must also sweep
+    // the tombstone file and restore gen
     val batch = feedBatch(10 until 16)
+      .unionByName(feedBatch(Seq(3), changeType = "update", salt = 5))
 
-    // simulate the crash window: the append's files LANDED (and corpusCount
-    // moved) but the ledger still says the batch is inflight — exactly the
-    // state a kill between appendIvf and the ledger commit leaves behind
-    AnnIndex.appendIvf(spark, root,
-      batch.select(col("conv_id"), col("embedding")), idCol = "conv_id")
+    // simulate the crash window: the apply's files LANDED (vectors AND a
+    // tombstone; corpusCount/gen moved) but the ledger still says the batch
+    // is inflight — exactly the state a kill before the ledger commit leaves
+    AnnIndex.applyChanges(spark, root,
+      batch.select(col("conv_id"), col("embedding"), col("change_type")),
+      idCol = "conv_id")
     AnnMaintenance.writeLedger(root, AnnMaintenance.Ledger(-1L,
-      Some(AnnMaintenance.Inflight(0L, preFiles, preCount))))
+      Some(AnnMaintenance.Inflight(0L, preFiles, preMeta.corpusCount,
+        preMeta.gen))))
     assert(AnnIndex.readMeta(root).corpusCount == 16L) // torn state visible
+    assert(AnnIndex.readMeta(root).gen == 1L)
 
-    // recovery: roll back the torn files, restore the count, re-apply
+    // recovery: roll back the torn files, restore the counters, re-apply
     AnnMaintenance.applyBatch(spark, root, batch, 0L, "conv_id", "embedding",
-      allowNonInsert = false)
+      mutations = "apply")
     assert(AnnIndex.readMeta(root).corpusCount == 16L)
-    assert(indexRows(root) == 16L, "a torn append must never double-admit")
+    assert(AnnIndex.readMeta(root).gen == 1L)
+    assert(indexRows(root) == 17L, // 10 built + 6 inserted + 1 replacement
+      "a torn batch must never double-admit")
 
-    // and the recovered index answers exactly
-    val full = withEmbedding((0 until 16).map(i => f"c$i%04d").toDF("conv_id"))
+    // and the recovered index answers exactly against the expected state:
+    // ids 0-9 with id 3 replaced by its salt-5 vector, plus 10-15
+    val full = withEmbedding(
+        (0 until 16).filter(_ != 3).map(i => f"c$i%04d").toDF("conv_id"))
+      .unionByName(withEmbedding(Seq("c0003").toDF("conv_id"), salt = 5))
       .localCheckpoint(true)
-    val queries = full.filter(col("conv_id") === "c0012")
+    val queries = full.filter(col("conv_id").isin("c0003", "c0012"))
     val got = AnnIndex.searchIvf(spark, root, queries, k = 3, nProbe = 2,
       idCol = "conv_id").collect().map(key).toSet
     val bf = Similarity.bruteForceTopK(full, queries, k = 3, idCol = "conv_id")
@@ -157,14 +215,14 @@ class AnnMaintenanceSpec extends SparkSpecBase {
     assert(got == bf)
   }
 
-  test("non-insert changes fail loudly; allowNonInsert skips them; null vectors dropped") {
+  test("non-insert changes fail loudly; skip drops them; null vectors dropped") {
     val root = freshIndex(8)
     val mixed = feedBatch(8 until 10)
       .unionByName(feedBatch(Seq(3), changeType = "update"))
       .unionByName(feedBatch(Seq(4), changeType = "delete"))
     val e = intercept[IllegalArgumentException] {
       AnnMaintenance.applyBatch(spark, root, mixed, 0L, "conv_id", "embedding",
-        allowNonInsert = false)
+        mutations = "fail")
     }
     assert(e.getMessage.contains("append-only"))
     assert(AnnIndex.readMeta(root).corpusCount == 8L) // nothing landed
@@ -175,7 +233,7 @@ class AnnMaintenanceSpec extends SparkSpecBase {
       Seq(("c0099", "insert")).toDF("conv_id", "change_type")
         .withColumn("embedding", lit(null).cast("array<float>")))
     AnnMaintenance.applyBatch(spark, root, withNull, 0L, "conv_id", "embedding",
-      allowNonInsert = true)
+      mutations = "skip")
     assert(AnnIndex.readMeta(root).corpusCount == 10L)
     assert(indexRows(root) == 10L)
   }
