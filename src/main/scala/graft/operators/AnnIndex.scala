@@ -124,6 +124,7 @@ object AnnIndex {
     indexed
       .repartition(col("list")) // one task (→ one file) per list
       .write.mode("overwrite").partitionBy("list").parquet(s"$root/vectors")
+    clearTombstones(root) // they number the OLD generations; poison after gen→0
     val meta = Meta("ivf", dim, nLists, 0, 0, c.count(), indexed.schema.json)
     writeMeta(root, meta)
     meta
@@ -250,6 +251,20 @@ object AnnIndex {
     updated
   }
 
+  /** An in-place rebuild is the LSM major compaction: the new index re-
+    * encodes the SURVIVING corpus and renumbers every row gen=0, so the
+    * tombstones — which kill by OLD generation numbers — must die with the
+    * generation they numbered. Leaving them would be worse than stale: a
+    * surviving tombstone (gen ≥ 1) outranks every rebuilt row (gen = 0)
+    * and would hide exactly the ids that were ever updated — the ones a
+    * live table is most likely to still contain.
+    */
+  private def clearTombstones(root: String): Unit = {
+    val dir = Paths.get(root, "tombstones")
+    if (Files.exists(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   /** Filter stored rows against the tombstone dataset: a row dies iff some
     * tombstone for its id carries a strictly newer gen. No tombstone dir =
     * no cost (the pure append-only lifecycle never pays for mutations).
@@ -307,6 +322,7 @@ object AnnIndex {
     wide
       .repartition(col("list"))
       .write.mode("overwrite").partitionBy("list").parquet(s"$root/vectors")
+    clearTombstones(root) // they number the OLD generations; poison after gen→0
     val meta = Meta("ivfpq", model.dim, nLists, m, codes, model.corpusCount,
       wide.schema.json)
     writeMeta(root, meta)

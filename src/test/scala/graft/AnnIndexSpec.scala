@@ -309,6 +309,56 @@ class AnnIndexSpec extends SparkSpecBase {
       java.nio.file.Paths.get(root, "tombstones")))
   }
 
+  test("in-place rebuild compacts tombstones away — mutated ids stay visible at gen 0") {
+    val root = tmpDir("ann-mut-rebuild")
+    AnnIndex.buildIvf(clustered, root, nLists = 4, iters = 3)
+    // mutate: update id 1 (tombstone gen 1 + replacement), delete id 26
+    AnnIndex.applyChanges(spark, root, Seq(
+      (1L, vecOf(51), "update"),
+      (26L, null.asInstanceOf[Seq[Float]], "delete"))
+      .toDF("vec_id", "embedding", "change_type"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "tombstones")))
+    // the periodic rebuild re-encodes the SURVIVING corpus in place. The
+    // tombstones number the OLD generations; if they survived the gen→0
+    // renumbering, the gen-1 tombstone for id 1 would outrank id 1's
+    // rebuilt gen-0 row and hide exactly the ids that were ever updated.
+    val surviving = clustered.filter($"vec_id" =!= 26L && $"vec_id" =!= 1L)
+      .unionByName(Seq((1L, vecOf(51))).toDF("vec_id", "embedding"))
+      .localCheckpoint(true)
+    val m = AnnIndex.buildIvf(surviving, root, nLists = 4, iters = 3)
+    assert(m.gen == 0L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "tombstones")))
+    val everyone = AnnIndex.searchIvf(spark, root,
+      surviving.filter($"vec_id" === 0L), k = 1000, nProbe = 4).collect()
+    assert(everyone.count(_.getAs[Long]("vec_id") == 1L) == 1) // visible again
+    assert(!everyone.exists(_.getAs[Long]("vec_id") == 26L))
+    val got = AnnIndex.searchIvf(spark, root,
+      surviving.filter($"vec_id".isin(0L, 1L)), k = 5, nProbe = 4)
+      .collect().map(key).toSet
+    val bf = Similarity.bruteForceTopK(surviving,
+      surviving.filter($"vec_id".isin(0L, 1L)), k = 5)
+      .collect().map(key).toSet
+    assert(got == bf)
+    // same closure for the coded index
+    val rootPq = tmpDir("ann-mut-rebuild-pq")
+    AnnIndex.buildIvfPq(clustered, rootPq, nLists = 4, m = 8, codes = 16,
+      iters = 2)
+    AnnIndex.applyChanges(spark, rootPq,
+      Seq((1L, vecOf(51), "update")).toDF("vec_id", "embedding", "change_type"))
+    AnnIndex.buildIvfPq(surviving, rootPq, nLists = 4, m = 8, codes = 16,
+      iters = 2)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(rootPq, "tombstones")))
+    val gotPq = AnnIndex.searchIvfPq(spark, rootPq, surviving,
+      surviving.filter($"vec_id" === 1L), k = 5, nProbe = 4,
+      refine = Int.MaxValue).collect().map(key).toSet
+    val bfPq = Similarity.bruteForceTopK(surviving,
+      surviving.filter($"vec_id" === 1L), k = 5).collect().map(key).toSet
+    assert(gotPq == bfPq)
+  }
+
   test("in-memory ivfPqTopK defaults to auto refine and stays well-formed") {
     val queries = clustered.filter($"vec_id" % 25 === 0)
     val out = Similarity.ivfPqTopK(clustered, queries, k = 5, nLists = 4,
