@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
 
 /** PERSISTED ANN index — the index lifecycle [[Similarity]]'s in-memory
   * operators deliberately leave out. `ivfTopK`/`ivfPqTopK` train + encode
@@ -123,8 +124,13 @@ object AnnIndex {
       .withColumn("gen", lit(0L))
     indexed
       .repartition(col("list")) // one task (→ one file) per list
-      .write.mode("overwrite").partitionBy("list").parquet(s"$root/vectors")
+      // static overwrite ALWAYS: under the session's dynamic mode a rebuild
+      // on a shrunk corpus would keep any list the new assignment leaves
+      // empty — stale rows whose tombstones clearTombstones is about to drop
+      .write.option("partitionOverwriteMode", "static")
+      .mode("overwrite").partitionBy("list").parquet(s"$root/vectors")
     clearTombstones(root) // they number the OLD generations; poison after gen→0
+    Files.deleteIfExists(inflightPath(root)) // rebuild supersedes any torn batch
     val meta = Meta("ivf", dim, nLists, 0, 0, c.count(), indexed.schema.json)
     writeMeta(root, meta)
     meta
@@ -155,15 +161,18 @@ object AnnIndex {
     */
   def appendIvf(spark: SparkSession, root: String, newVectors: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): Meta = {
+    recoverInflight(root)
     val meta = readMeta(root)
     require(meta.variant == "ivf", s"index at $root is ${meta.variant}")
     val c = newVectors.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .localCheckpoint(true)
     requireDim(c, meta.dim)
+    beginInflight(root, meta)
     appendRowsIvf(spark, root, meta, c, meta.gen + 1)
     val updated = meta.copy(corpusCount = meta.corpusCount + c.count(),
       gen = meta.gen + 1)
     writeMeta(root, updated)
+    commitInflight(root)
     updated
   }
 
@@ -204,33 +213,58 @@ object AnnIndex {
     *     update's replacement outlives its own tombstone, and a re-insert
     *     after a delete outlives the delete.
     *
-    * The caller supplies at most one change per id per batch (a net
-    * endpoint diff — exactly what the lake change feed emits per
-    * micro-batch); two changes for one id in one batch would tie on gen.
+    * AT MOST ONE change per id per batch — ENFORCED, not assumed: a second
+    * change for one id would tie on gen (two live versions, or a masked
+    * delete), so duplicate ids fail loudly. The lake change feed satisfies
+    * this per table key automatically (each micro-batch is a net endpoint
+    * diff); an id column COARSER than the table key (e.g. indexing one
+    * vector per conv_id over a (conv_id, turn_idx)-keyed table) must be
+    * collapsed to one change per id by the caller first.
     * An update whose vector is null degrades to a delete (tombstone, no
-    * append). Tombstones are written BEFORE appends: a batch torn between
-    * the two halves leaves updated ids looking deleted until the retry —
-    * never two live versions. `corpusCount` (auto-refine sizing) tracks
-    * inserts − deletes, approximate under deletes of absent ids; the
-    * periodic rebuild re-exacts it and compacts tombstones away.
+    * append). CRASH-SAFE on its own: the pre-batch file listing + counters
+    * are journaled to `<root>/apply_inflight.json` before any write, and a
+    * retry first rolls a torn attempt back — so a crash anywhere inside the
+    * batch can never leave two live versions or double-admit a row (the
+    * same rollback unit [[graft.streaming.AnnMaintenance]]'s ledger uses;
+    * its cost is O(index files), bounded by the periodic rebuild).
+    * `corpusCount` (auto-refine sizing) tracks appended − deleted rows
+    * (null-vector inserts are no-ops and not counted), approximate under
+    * deletes of absent ids; the periodic rebuild re-exacts it and compacts
+    * tombstones away.
     */
   def applyChanges(spark: SparkSession, root: String, changes: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       typeCol: String = "change_type"): Meta = {
+    recoverInflight(root)
     val meta = readMeta(root)
     val gen = meta.gen + 1
     val ch = changes.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
       col(typeCol).as("ct")).localCheckpoint(true)
     val n = ch.agg(
-      count(when(col("ct") === "insert", 1)).as("i"),
+      count(when(col("ct") === "insert" && col("cv").isNotNull, 1)).as("iLive"),
       count(when(col("ct") === "update", 1)).as("u"),
+      count(when(col("ct") === "update" && col("cv").isNull, 1)).as("uNull"),
       count(when(col("ct") === "delete", 1)).as("d"),
-      count(when(!col("ct").isin("insert", "update", "delete"), 1)).as("x"))
+      count(when(!col("ct").isin("insert", "update", "delete"), 1)).as("x"),
+      count(lit(1)).as("tot"),
+      countDistinct(col("vec_id")).as("ids"))
       .first()
-    val (nIns, nUpd, nDel, nOther) =
-      (n.getLong(0), n.getLong(1), n.getLong(2), n.getLong(3))
+    val (nInsLive, nUpd, nUpdNull, nDel, nOther, nTot, nIds) =
+      (n.getLong(0), n.getLong(1), n.getLong(2), n.getLong(3), n.getLong(4),
+        n.getLong(5), n.getLong(6))
     require(nOther == 0L,
       s"applyChanges: $nOther row(s) with change type outside insert|update|delete")
+    if (nTot != nIds) {
+      val dups = ch.groupBy("vec_id").count().filter(col("count") > 1)
+        .limit(5).collect().map(_.get(0)).mkString(", ")
+      throw new IllegalArgumentException(
+        s"applyChanges: ${nTot - nIds} extra change(s) for already-changed id(s) " +
+          s"in one batch (e.g. $dups) — two changes for one id would tie on " +
+          "generation. If the id column is coarser than the table key " +
+          "(e.g. conv_id over a (conv_id, turn_idx) table), collapse the batch " +
+          "to one net change per id before applying")
+    }
+    beginInflight(root, meta)
     if (nUpd + nDel > 0)
       ch.filter(col("ct").isin("update", "delete"))
         .select(col("vec_id"), lit(gen).as("gen"))
@@ -238,16 +272,20 @@ object AnnIndex {
         .write.mode("append").parquet(s"$root/tombstones")
     val adds = ch.filter(col("ct").isin("insert", "update") && col("cv").isNotNull)
       .select(col("vec_id"), col("cv"))
-    if (nIns + nUpd > 0) {
+    if (nInsLive + (nUpd - nUpdNull) > 0) {
       requireDim(adds, meta.dim)
       meta.variant match {
         case "ivf" => appendRowsIvf(spark, root, meta, adds, gen)
         case _ => appendRowsIvfPq(spark, root, meta, adds, gen)
       }
     }
+    // appended − deleted rows: null-vector inserts never land, a null-vector
+    // update removes its row (tombstone with no replacement)
     val updated = meta.copy(
-      corpusCount = math.max(0L, meta.corpusCount + nIns - nDel), gen = gen)
+      corpusCount = math.max(0L, meta.corpusCount + nInsLive - nDel - nUpdNull),
+      gen = gen)
     writeMeta(root, updated)
+    commitInflight(root)
     updated
   }
 
@@ -263,6 +301,82 @@ object AnnIndex {
     val dir = Paths.get(root, "tombstones")
     if (Files.exists(dir))
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  /** Drop `<root>/tombstones` if a rollback emptied it: [[liveRows]] keys
+    * its fast path on the DIRECTORY existing, so an empty husk left by a
+    * torn first-ever mutation batch would tax every future search on an
+    * otherwise append-only index with a pointless scan + join.
+    */
+  private[graft] def pruneEmptyTombstoneDir(root: String): Unit = {
+    val dir = Paths.get(root, "tombstones")
+    if (!Files.exists(dir)) return
+    val s = Files.walk(dir)
+    val hasFiles = try s.iterator().asScala.exists(Files.isRegularFile(_))
+      finally s.close()
+    if (!hasFiles)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  /** All data files under `<root>/vectors` and `<root>/tombstones`, root-
+    * relative — the rollback unit shared with
+    * [[graft.streaming.AnnMaintenance]]'s ledger. O(index files), which the
+    * periodic rebuild bounds the same way compaction bounds a manifest.
+    */
+  private[graft] def listIndexFiles(root: String): Set[String] = {
+    def walk(sub: String): Set[String] = {
+      val base = Paths.get(root, sub)
+      if (!Files.exists(base)) return Set.empty
+      val s = Files.walk(base)
+      try s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => s"$sub/${base.relativize(p)}").toSet
+      finally s.close()
+    }
+    walk("vectors") ++ walk("tombstones")
+  }
+
+  // --- bare-mutation crash safety --------------------------------------------
+  //
+  // appendIvf / appendIvfPq / applyChanges journal the pre-batch state to
+  // <root>/apply_inflight.json BEFORE writing anything; the next mutation
+  // (or an explicit retry of the same one) first rolls a torn attempt back
+  // — files not in the pre-listing deleted, corpusCount/gen restored — so a
+  // crash anywhere in the batch can never double-admit a row or leave a
+  // half-applied generation, with or without the streaming ledger above it.
+
+  private def inflightPath(root: String): java.nio.file.Path =
+    Paths.get(root, "apply_inflight.json")
+
+  private def beginInflight(root: String, meta: Meta): Unit = {
+    val om = new ObjectMapper()
+    val node = om.createObjectNode()
+    node.put("preCorpusCount", meta.corpusCount)
+    node.put("preGen", meta.gen)
+    val arr = node.putArray("preFiles")
+    listIndexFiles(root).toSeq.sorted.foreach(arr.add)
+    Files.write(inflightPath(root),
+      om.writerWithDefaultPrettyPrinter().writeValueAsBytes(node),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  private def commitInflight(root: String): Unit =
+    Files.deleteIfExists(inflightPath(root))
+
+  private def recoverInflight(root: String): Unit = {
+    val p = inflightPath(root)
+    if (!Files.exists(p)) return
+    val n = new ObjectMapper().readTree(Files.readAllBytes(p))
+    val pre = n.get("preFiles").elements().asScala.map(_.asText()).toSet
+    val base = Paths.get(root)
+    (listIndexFiles(root) -- pre).foreach { rel =>
+      Files.deleteIfExists(base.resolve(rel))
+    }
+    pruneEmptyTombstoneDir(root)
+    val meta = readMeta(root)
+    val (cc, g) = (n.get("preCorpusCount").asLong(), n.get("preGen").asLong())
+    if (meta.corpusCount != cc || meta.gen != g)
+      writeMeta(root, meta.copy(corpusCount = cc, gen = g))
+    Files.delete(p)
   }
 
   /** Filter stored rows against the tombstone dataset: a row dies iff some
@@ -321,8 +435,12 @@ object AnnIndex {
     val wide = pivotCodes(model.encoded).withColumn("gen", lit(0L))
     wide
       .repartition(col("list"))
-      .write.mode("overwrite").partitionBy("list").parquet(s"$root/vectors")
+      // static overwrite ALWAYS — see buildIvf: dynamic mode would keep
+      // lists the new assignment leaves empty, resurrecting dead rows
+      .write.option("partitionOverwriteMode", "static")
+      .mode("overwrite").partitionBy("list").parquet(s"$root/vectors")
     clearTombstones(root) // they number the OLD generations; poison after gen→0
+    Files.deleteIfExists(inflightPath(root)) // rebuild supersedes any torn batch
     val meta = Meta("ivfpq", model.dim, nLists, m, codes, model.corpusCount,
       wide.schema.json)
     writeMeta(root, meta)
@@ -355,15 +473,18 @@ object AnnIndex {
     */
   def appendIvfPq(spark: SparkSession, root: String, newVectors: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): Meta = {
+    recoverInflight(root)
     val meta = readMeta(root)
     require(meta.variant == "ivfpq", s"index at $root is ${meta.variant}")
     val c = newVectors.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .localCheckpoint(true)
     requireDim(c, meta.dim)
+    beginInflight(root, meta)
     appendRowsIvfPq(spark, root, meta, c, meta.gen + 1)
     val updated = meta.copy(corpusCount = meta.corpusCount + c.count(),
       gen = meta.gen + 1)
     writeMeta(root, updated)
+    commitInflight(root)
     updated
   }
 
@@ -396,26 +517,21 @@ object AnnIndex {
     val cbs = spark.read.parquet(s"$root/codebooks")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .localCheckpoint(true)
-    // probe ranking is L2-to-centroid (the coarse quantizer's metric), same
-    // as the in-memory path — reuse searchPqCore's probing by handing it the
-    // PRUNED long-shape encoded frame
-    val pw = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("__sc").desc)
-    import graft.functions.expressions.TextExprs.l2SqCol
-    val probedDf = q.join(broadcast(coarse))
-      .withColumn("__sc",
-        struct((-l2SqCol(col("qv"), col("centroid"))).as("s"), col("list").as("list")))
-      .withColumn("__pn", org.apache.spark.sql.functions.row_number().over(pw))
-      .filter(col("__pn") <= nProbe)
-      .select(col("list").cast("int"))
-    val probed = probedDf.distinct().collect().map(_.getInt(0)).toSeq
+    // ONE probe assignment (L2-to-centroid, the coarse quantizer's metric)
+    // serves both the partition-pruning literal and the ADC scoring join —
+    // computed by the same code the in-memory path uses, so pruning can
+    // never diverge from scoring
+    val probes = Similarity.probeListsL2(q, coarse, nProbe)
+      .localCheckpoint(true) // probed twice: pruning literal + scoring join
+    val probed = probes.select(col("list").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq
     val wide = spark.read.schema(meta.schema).parquet(s"$root/vectors")
       .filter(col("list").isin(probed: _*))
     val encoded = liveRows(spark, root, meta, wide)
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("g", "code")),
         col("list"), col("nv"))
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
-    Similarity.searchPqCore(encoded, coarse, cbs, c, q, k, nProbe, refine,
+    Similarity.searchPqCore(encoded, probes, cbs, c, q, k, nProbe, refine,
       meta.m, meta.dim / meta.m, meta.nLists, meta.corpusCount)
   }
 }

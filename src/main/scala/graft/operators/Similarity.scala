@@ -310,7 +310,8 @@ object Similarity {
     val model = buildPqModel(corpus, nLists, m, codes, iters, trainSample,
       idCol, vecCol)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    searchPqCore(model.encoded, model.coarse, model.cbs, model.c, q, k,
+    searchPqCore(model.encoded, probeListsL2(q, model.coarse, nProbe),
+      model.cbs, model.c, q, k,
       nProbe, refine, model.m, model.dim / model.m, model.nLists, model.corpusCount)
   }
 
@@ -443,29 +444,41 @@ object Similarity {
       .localCheckpoint(true)
   }
 
-  /** IVF-PQ search over an (already pruned, for the persisted path) encoded
-    * corpus: probe → broadcast-LUT ADC scoring → top-`refine` → exact
-    * cosine re-rank against `c` (vec_id, cv). `refine` ≤ 0 = auto
-    * ([[effectiveRefine]]).
+  /** Query → its nProbe nearest lists by L2-to-centroid (the coarse
+    * quantizer's metric), each carrying the exact query·centroid dot term
+    * the ADC score adds back per probed list. THE probe assignment for
+    * IVF-PQ — [[searchPqCore]] consumes it, and [[AnnIndex.searchIvfPq]]
+    * collects its distinct lists as the partition-pruning literal, so
+    * pruning and scoring can never rank probes differently. Returns
+    * (query_id, list, qc).
     */
-  private[operators] def searchPqCore(encoded: DataFrame, coarse: DataFrame,
-      cbs: DataFrame, c: DataFrame, q: DataFrame, k: Int, nProbe: Int,
-      refine: Int, m: Int, sub: Int, nLists: Int, corpusCount: Long): DataFrame = {
+  private[operators] def probeListsL2(q: DataFrame, coarse: DataFrame,
+      nProbe: Int): DataFrame = {
     import graft.functions.expressions.TextExprs.{dotCol, l2SqCol}
-    val eff = effectiveRefine(refine, k, nProbe, nLists, corpusCount)
-    def subRows(r: DataFrame, id: String, v: String): DataFrame =
-      r.select(col(id), posexplode(transform(sequence(lit(0), lit(m - 1)),
-        s => slice(col(v), s * sub + 1, lit(sub)))).as(Seq("g", "v")))
-    // queries: probed lists (carrying the exact query·centroid term) + the
-    // broadcast ADC lookup table over residual codewords
     val pw = Window.partitionBy("query_id").orderBy(col("__sc").desc)
-    val probes = q.join(broadcast(coarse))
+    q.join(broadcast(coarse))
       .withColumn("__sc",
         struct((-l2SqCol(col("qv"), col("centroid"))).as("s"), col("list").as("list")))
       .withColumn("qc", dotCol(col("qv"), col("centroid")))
       .withColumn("__pn", row_number().over(pw))
       .filter(col("__pn") <= nProbe)
       .select(col("query_id"), col("list"), col("qc"))
+  }
+
+  /** IVF-PQ search over an (already pruned, for the persisted path) encoded
+    * corpus, given the probe assignment from [[probeListsL2]]: broadcast-LUT
+    * ADC scoring → top-`refine` → exact cosine re-rank against `c`
+    * (vec_id, cv). `refine` ≤ 0 = auto ([[effectiveRefine]]).
+    */
+  private[operators] def searchPqCore(encoded: DataFrame, probes: DataFrame,
+      cbs: DataFrame, c: DataFrame, q: DataFrame, k: Int, nProbe: Int,
+      refine: Int, m: Int, sub: Int, nLists: Int, corpusCount: Long): DataFrame = {
+    import graft.functions.expressions.TextExprs.dotCol
+    val eff = effectiveRefine(refine, k, nProbe, nLists, corpusCount)
+    def subRows(r: DataFrame, id: String, v: String): DataFrame =
+      r.select(col(id), posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col(v), s * sub + 1, lit(sub)))).as(Seq("g", "v")))
+    // the broadcast ADC lookup table over residual codewords
     val lut = subRows(q, "query_id", "qv")
       .join(broadcast(cbs), Seq("g"))
       .select(col("query_id"), col("g"), col("cid").as("code"),

@@ -35,7 +35,12 @@ import scala.jdk.CollectionConverters._
   *     tombstones, replacement vectors are quantized against the stored
   *     model and appended with the same generation, and search kills
   *     strictly-older rows — no rebuild, no staleness window beyond the
-  *     trigger cadence.
+  *     trigger cadence. The feed nets changes per TABLE key; if `idCol` is
+  *     coarser (e.g. one vector per conv_id over a (conv_id, turn_idx)
+  *     table), one batch can carry several changes for one index id —
+  *     applyChanges REJECTS that loudly (same-gen ties would corrupt LWW);
+  *     collapse to one net change per id upstream, or key the index by the
+  *     full table key.
   *   - EXACTLY-ONCE across restarts via a write-ahead ledger
   *     (`<indexRoot>/stream_ledger.json`): a replayed foreachBatch id is
   *     skipped; a batch that CRASHED mid-apply is ROLLED BACK on recovery
@@ -191,30 +196,26 @@ object AnnMaintenance {
   }
 
   /** All data files under `<root>/vectors` AND `<root>/tombstones`,
-    * root-relative — the rollback unit. O(index files); see the class doc
-    * for why that is bounded.
+    * root-relative — the rollback unit, shared with [[AnnIndex]]'s own
+    * bare-mutation crash safety. O(index files); see the class doc for why
+    * that is bounded.
     */
-  private[streaming] def listIndexFiles(root: String): Set[String] = {
-    def walk(sub: String): Set[String] = {
-      val base = Paths.get(root, sub)
-      if (!Files.exists(base)) return Set.empty
-      val s = Files.walk(base)
-      try s.iterator().asScala.filter(Files.isRegularFile(_))
-        .map(p => s"$sub/${base.relativize(p)}").toSet
-      finally s.close()
-    }
-    walk("vectors") ++ walk("tombstones")
-  }
+  private[streaming] def listIndexFiles(root: String): Set[String] =
+    AnnIndex.listIndexFiles(root)
 
   /** Undo a torn batch: delete every index file the inflight record does
     * not list (only our writes land there — the recovery owns the index
     * the same way the streaming query does), restore corpusCount and gen.
+    * A tombstones/ directory the rollback emptied is dropped too, or its
+    * husk would defeat [[AnnIndex]]'s no-tombstone-dir search fast path
+    * forever on an otherwise append-only index.
     */
   private def rollback(root: String, inf: Inflight): Unit = {
     val base = Paths.get(root)
     (listIndexFiles(root) -- inf.preFiles).foreach { rel =>
       Files.deleteIfExists(base.resolve(rel))
     }
+    AnnIndex.pruneEmptyTombstoneDir(root)
     val meta = AnnIndex.readMeta(root)
     if (meta.corpusCount != inf.preCorpusCount || meta.gen != inf.preGen)
       AnnIndex.writeMetaFor(root,

@@ -446,6 +446,15 @@ object LakeProcedures {
       val (idCol, vecCol) = (str(input, 6, "vec_id"), str(input, 7, "embedding"))
       val ranked = graft.operators.AnnIndex.readMeta(root).variant match {
         case "ivf" =>
+          // loud, not silent: refine/corpus only exist for ivfpq's re-rank —
+          // accepting them here would let a user believe they widened a
+          // window that does not apply to this index
+          require(refine == 0,
+            s"ann_topk: refine => $refine is an ivfpq re-rank knob; this index " +
+              "is ivf (full vectors, exact ranking — there is no refine window)")
+          require(input.isNullAt(5),
+            "ann_topk: corpus is only used for an ivfpq index's exact re-rank; " +
+              "this index is ivf and carries its own full vectors")
           graft.operators.AnnIndex.searchIvf(spark, root, queries, k, nProbe,
             idCol, vecCol)
         case _ =>
@@ -530,11 +539,17 @@ object LakeProcedures {
       val mutations = str(input, 5, "fail")
       val (idCol, vecCol) = (str(input, 6, "conv_id"), str(input, 7, "embedding"))
       val spark = SparkSession.active
+      // capture the version BEFORE the catch-up runs: the stream fences at
+      // least this high, so it is a sound "index contains everything through
+      // v" guarantee — reading AFTER would report a concurrent writer's
+      // commit the run never saw, telling a cron consumer the lag is zero
+      // when it is not
+      val guaranteedVersion = table.currentSnapshot().get.version
       graft.streaming.AnnMaintenance.runAvailableNow(spark, tableRoot, root,
         ckpt, idCol, vecCol, startingVersion, maxVersions, mutations)
       val meta = graft.operators.AnnIndex.readMeta(root)
       oneRow(outSchema, Array(UTF8String.fromString(meta.variant),
-        meta.corpusCount, table.currentSnapshot().get.version))
+        meta.corpusCount, guaranteedVersion))
     }
   }
 

@@ -359,6 +359,148 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(gotPq == bfPq)
   }
 
+  test("applyChanges rejects two changes for one id in one batch, loudly") {
+    val root = tmpDir("ann-dup-id")
+    AnnIndex.buildIvf(clustered, root, nLists = 4, iters = 3)
+    val pre = AnnIndex.readMeta(root)
+    // an update AND a delete for id 1 in one batch would tie on generation
+    // (masked delete / duplicate live rows) — the contract is enforced, not
+    // assumed, because a conv_id-keyed index over a (conv_id, turn_idx)
+    // table hits exactly this through the change feed
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.applyChanges(spark, root, Seq(
+        (1L, vecOf(51), "update"),
+        (1L, null.asInstanceOf[Seq[Float]], "delete"),
+        (7L, vecOf(52), "update"))
+        .toDF("vec_id", "embedding", "change_type"))
+    }
+    assert(e.getMessage.contains("tie on") && e.getMessage.contains("1"))
+    // rejected BEFORE any write: no tombstones, counters untouched
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "tombstones")))
+    val m = AnnIndex.readMeta(root)
+    assert(m.gen == pre.gen && m.corpusCount == pre.corpusCount)
+  }
+
+  test("null-vector changes: insert is a no-op, update degrades to delete — corpusCount stays exact") {
+    val root = tmpDir("ann-null-vec")
+    AnnIndex.buildIvf(clustered, root, nLists = 4, iters = 3)
+    val m = AnnIndex.applyChanges(spark, root, Seq(
+      (200L, null.asInstanceOf[Seq[Float]], "insert"), // embedding not yet computed upstream
+      (2L, null.asInstanceOf[Seq[Float]], "update"),   // replacement without a vector = delete
+      (201L, vecOf(50), "insert"),
+      (26L, null.asInstanceOf[Seq[Float]], "delete"))
+      .toDF("vec_id", "embedding", "change_type"))
+    // 100 + 1 landed insert − 1 delete − 1 null update; the null insert
+    // never landed so it must not inflate auto-refine's sizing input
+    assert(m.corpusCount == 99L)
+    val surviving = clustered.filter(!$"vec_id".isin(2L, 26L))
+      .unionByName(Seq((201L, vecOf(50))).toDF("vec_id", "embedding"))
+      .localCheckpoint(true)
+    val everyone = AnnIndex.searchIvf(spark, root,
+      surviving.filter($"vec_id" === 0L), k = 1000, nProbe = 4).collect()
+    assert(everyone.length == surviving.count() - 1)
+    assert(!everyone.exists(r => Set(2L, 26L, 200L)(r.getAs[Long]("vec_id"))))
+    assert(everyone.count(_.getAs[Long]("vec_id") == 201L) == 1)
+  }
+
+  private def writeInflightByHand(root: String, preFiles: Set[String],
+      preCorpusCount: Long, preGen: Long): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.createObjectNode()
+    node.put("preCorpusCount", preCorpusCount)
+    node.put("preGen", preGen)
+    val arr = node.putArray("preFiles")
+    preFiles.toSeq.sorted.foreach(arr.add)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "apply_inflight.json"),
+      om.writeValueAsBytes(node))
+  }
+
+  test("bare applyChanges is crash-safe: a torn attempt rolls back on retry — no double-admit") {
+    val root = tmpDir("ann-torn-bare")
+    AnnIndex.buildIvf(clustered, root, nLists = 4, iters = 3)
+    val preFiles = AnnIndex.listIndexFiles(root)
+    val pre = AnnIndex.readMeta(root)
+    val batch = Seq((1L, vecOf(51), "update"), (200L, vecOf(50), "insert"))
+      .toDF("vec_id", "embedding", "change_type").localCheckpoint(true)
+    // simulate the worst crash window — files landed but meta never moved
+    // (a retry would recompute the SAME gen and double-admit the update's
+    // replacement): run the batch fully, then restore meta and re-arm the
+    // inflight journal exactly as a kill before writeMeta leaves them
+    AnnIndex.applyChanges(spark, root, batch)
+    AnnIndex.writeMetaFor(root, pre)
+    writeInflightByHand(root, preFiles, pre.corpusCount, pre.gen)
+    // the retry must first roll the torn attempt back, then apply cleanly
+    val m = AnnIndex.applyChanges(spark, root, batch)
+    assert(m.gen == pre.gen + 1 && m.corpusCount == pre.corpusCount + 1)
+    val stored = spark.read.schema(m.schema).parquet(s"$root/vectors")
+    assert(stored.filter($"vec_id" === 1L).count() == 2L) // gen-0 dead + ONE replacement
+    assert(stored.filter($"vec_id" === 200L).count() == 1L)
+    val ts = spark.read.parquet(s"$root/tombstones")
+    assert(ts.filter($"vec_id" === 1L).count() == 1L) // one tombstone, not two
+    val surviving = clustered.filter($"vec_id" =!= 1L)
+      .unionByName(Seq((1L, vecOf(51)), (200L, vecOf(50)))
+        .toDF("vec_id", "embedding")).localCheckpoint(true)
+    val everyone = AnnIndex.searchIvf(spark, root,
+      surviving.filter($"vec_id" === 0L), k = 1000, nProbe = 4).collect()
+    assert(everyone.count(_.getAs[Long]("vec_id") == 1L) == 1)
+  }
+
+  test("torn delete-only rollback prunes the emptied tombstones dir — the fast path survives") {
+    val root = tmpDir("ann-torn-del")
+    AnnIndex.buildIvf(clustered, root, nLists = 4, iters = 3)
+    val preFiles = AnnIndex.listIndexFiles(root)
+    val pre = AnnIndex.readMeta(root)
+    AnnIndex.applyChanges(spark, root,
+      Seq((26L, null.asInstanceOf[Seq[Float]], "delete"))
+        .toDF("vec_id", "embedding", "change_type"))
+    AnnIndex.writeMetaFor(root, pre)
+    writeInflightByHand(root, preFiles, pre.corpusCount, pre.gen)
+    // recovery runs at the NEXT mutation: an insert-only batch rolls the
+    // torn delete back; the emptied tombstones/ husk must go with it or
+    // every future search on this append-only index pays the tombstone
+    // scan + join forever
+    AnnIndex.applyChanges(spark, root,
+      Seq((200L, vecOf(50), "insert")).toDF("vec_id", "embedding", "change_type"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "tombstones")))
+    // the rolled-back delete never happened: id 26 is visible again
+    val corpus = clustered.unionByName(
+      Seq((200L, vecOf(50))).toDF("vec_id", "embedding")).localCheckpoint(true)
+    val everyone = AnnIndex.searchIvf(spark, root,
+      corpus.filter($"vec_id" === 0L), k = 1000, nProbe = 4).collect()
+    assert(everyone.count(_.getAs[Long]("vec_id") == 26L) == 1)
+    assert(everyone.count(_.getAs[Long]("vec_id") == 200L) == 1)
+  }
+
+  test("rebuild is stale-proof under a dynamic partitionOverwriteMode session") {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      val root = tmpDir("ann-dyn-rebuild")
+      AnnIndex.buildIvf(clustered, root, nLists = 4, iters = 3)
+      // retuned rebuild: fewer lists on half the corpus — under DYNAMIC
+      // overwrite semantics the old list=2/list=3 directories would get no
+      // new files and their rows (whole clusters of deleted vectors) would
+      // resurrect silently
+      val shrunk = clustered.filter($"vec_id" < 50L).localCheckpoint(true)
+      val m = AnnIndex.buildIvf(shrunk, root, nLists = 2, iters = 3)
+      val stored = spark.read.schema(m.schema).parquet(s"$root/vectors")
+      assert(stored.count() == 50L, "stale pre-rebuild lists survived the overwrite")
+      val everyone = AnnIndex.searchIvf(spark, root,
+        shrunk.filter($"vec_id" === 0L), k = 1000, nProbe = 2).collect()
+      assert(everyone.length == 49)
+      assert(everyone.forall(_.getAs[Long]("vec_id") < 50L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("in-memory ivfPqTopK defaults to auto refine and stays well-formed") {
     val queries = clustered.filter($"vec_id" % 25 === 0)
     val out = Similarity.ivfPqTopK(clustered, queries, k = 5, nLists = 4,

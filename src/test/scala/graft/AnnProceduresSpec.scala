@@ -121,6 +121,22 @@ class AnnProceduresSpec extends SparkSpecBase {
         """CALL apc3.system.ann_topk(index => 'idx/nowhere',
           |  queries => 'apc3_vectors')""".stripMargin).collect()
     }
+
+    // ivfpq-only knobs against an ivf index fail loudly instead of being
+    // silently dropped — a user who "widened the refine window" must learn
+    // it does not exist on this index
+    val badRefine = intercept[Exception] {
+      spark.sql(
+        """CALL apc3.system.ann_topk(index => 'idx/x', queries => 'apc3_vectors',
+          |  k => 5, refine => 500)""".stripMargin).collect()
+    }
+    assert(badRefine.getMessage.contains("refine"))
+    val badCorpus = intercept[Exception] {
+      spark.sql(
+        """CALL apc3.system.ann_topk(index => 'idx/x', queries => 'apc3_vectors',
+          |  k => 5, corpus => 'apc3_vectors')""".stripMargin).collect()
+    }
+    assert(badCorpus.getMessage.contains("corpus"))
   }
 
   test("CALL ann_maintain catches the index up to the table; re-CALL is a no-op") {
