@@ -477,6 +477,79 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "ts", "seq", "dtext")
     }),
 
+    // C6 stateful LWW change feed as an ORACLE gate (was spec-only): the
+    // flatMapGroupsWithState winner store (StatefulLww — the reference's
+    // Redis max-version CAS re-expressed over the Spark state store) driven
+    // over the changelog in THREE seq-sharded micro-batches (seq % 3 — each
+    // batch carries out-of-ts-order events, exercising cross-batch LWW).
+    // The FULL emission set is compared, not just final winners: a key
+    // emits at batch k iff that batch's (ts,seq)-max candidate strictly
+    // beats the stored winner and the new winner is not a delete — mirrored
+    // relationally by the oracle's per-(key, chunk) candidate + running-max
+    // + lag filter. Deletes update state silently (no emission) and stale
+    // later arrivals cannot resurrect them; both behaviors fall out of the
+    // same filter.
+    "cdc_stateful_lww" -> ((s, dir) => {
+      import graft.model.{ChangeEvent, Model}
+      // NTZ → LTZ (UTC identity): the Dataset encoder's ts is TimestampType
+      val cl = changelog(s, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .localCheckpoint(true)
+      val base = gateDir("cdc_stateful_lww")
+      val chunks = java.nio.file.Files.createDirectories(base.resolve("chunks"))
+      (0 until 3).foreach(i => writeChunk(cl.filter(pmod(col("seq"), lit(3)) === i),
+        chunks, s"c$i.parquet", (i + 1) * 1000000L))
+      val sdf = s.readStream.schema(cl.schema)
+        .option("maxFilesPerTrigger", 1).parquet(chunks.toString)
+      val feed = graft.streaming.StatefulLww.changeFeed(
+        sdf.as[ChangeEvent](Model.changeEventEncoder))
+      runAvailableNowToParquet(feed.toDF(), base.resolve("out").toString,
+        base.resolve("ckpt").toString)
+      s.read.parquet(base.resolve("out").toString)
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+          col("tool"), col("ts").cast("timestamp_ntz").as("ts"), col("seq"))
+    }),
+
+    // C7 event-time windows as an ORACLE gate (was spec-only): tumbling
+    // 1-hour op counts under a 2-hour watermark (WindowedStats), driven over
+    // THREE ts-range-ordered chunks plus a far-future sentinel whose
+    // watermark advance FINALIZES every real window (append mode emits only
+    // closed windows; the sentinel's own window stays open and is excluded
+    // by op). Chunks are ts-range partitioned, so no real event is ever
+    // late — the oracle is the plain tumbling GROUP BY over the changelog.
+    "cdc_windowed_counts" -> ((s, dir) => {
+      val cl = changelog(s, dir)
+        .select(col("conv_id"), col("op"), col("ts").cast("timestamp").as("ts"))
+        .withColumn("tsMicros", unix_micros(col("ts")))
+        .localCheckpoint(true)
+      val Array(t1, t2) = cl.stat.approxQuantile("tsMicros", Array(0.33, 0.66), 0.001)
+      val mx = cl.agg(max("tsMicros")).head.getLong(0)
+      val base = gateDir("cdc_windowed_counts")
+      val chunks = java.nio.file.Files.createDirectories(base.resolve("chunks"))
+      writeChunk(cl.filter(col("tsMicros") <= t1).drop("tsMicros"),
+        chunks, "c1.parquet", 1000000L)
+      writeChunk(cl.filter(col("tsMicros") > t1 && col("tsMicros") <= t2).drop("tsMicros"),
+        chunks, "c2.parquet", 2000000L)
+      writeChunk(cl.filter(col("tsMicros") > t2).drop("tsMicros"),
+        chunks, "c3.parquet", 3000000L)
+      val sentinel = s.range(1).select(lit("zz").as("conv_id"),
+        lit("sentinel").as("op"),
+        timestamp_micros(lit(mx + 365L * 24 * 3600 * 1000000L)).as("ts"))
+      writeChunk(sentinel, chunks, "c4.parquet", 4000000L)
+      val sdf = s.readStream.schema(sentinel.schema)
+        .option("maxFilesPerTrigger", 1).parquet(chunks.toString)
+      val agg = graft.streaming.WindowedStats.opCountsPerWindow(sdf)
+        .select(col("window.start").as("window_start"),
+          col("window.end").as("window_end"), col("op"), col("n_events"))
+      runAvailableNowToParquet(agg, base.resolve("out").toString,
+        base.resolve("ckpt").toString)
+      s.read.parquet(base.resolve("out").toString)
+        .filter(col("op") =!= "sentinel")
+        .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+          col("window_end").cast("timestamp_ntz").as("window_end"),
+          col("op"), col("n_events"))
+    }),
+
     // Conversation fetch — THE point read of a transcript store: the exact
     // bucket set for turn_idx < bound is driver-computed (no scan outside
     // it), and the result must equal the plain filtered fold.
@@ -1189,6 +1262,36 @@ object SparkEntry {
            |      ORDER BY ts, seq) AS rn
            |  FROM changelog)
            |SELECT conv_id, turn_idx, ts, seq, dtext FROM feed WHERE rn = 1""".stripMargin,
+      // stateful LWW feed: the expected EMISSION SET — per (key, chunk) the
+      // (ts,seq)-max candidate, emitted iff it strictly beats the running
+      // winner of earlier chunks and is not a delete (ver packs (ts, seq)
+      // into one HUGEINT so running-max works; seq < 10^12 by construction)
+      "cdc_stateful_lww" ->
+        s"""$C , ev AS (
+           |  SELECT *, seq % 3 AS chunk,
+           |    (CAST(epoch_us(ts) AS HUGEINT) * 1000000000000 + seq) AS ver
+           |  FROM changelog),
+           |cand AS (
+           |  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+           |    PARTITION BY conv_id, turn_idx, chunk ORDER BY ts DESC, seq DESC) AS rn
+           |  FROM ev) t WHERE rn = 1),
+           |run AS (
+           |  SELECT *, MAX(ver) OVER (PARTITION BY conv_id, turn_idx ORDER BY chunk
+           |    ROWS UNBOUNDED PRECEDING) AS wver
+           |  FROM cand),
+           |lagged AS (
+           |  SELECT *, LAG(wver) OVER (PARTITION BY conv_id, turn_idx ORDER BY chunk) AS pver
+           |  FROM run)
+           |SELECT conv_id, turn_idx, role, text, tool, ts, seq FROM lagged
+           |WHERE ver = wver AND (pver IS NULL OR wver > pver) AND op <> 'delete'""".stripMargin,
+      // tumbling windows: epoch-aligned 1-hour buckets (Spark's window()
+      // alignment), every real window finalized by the sentinel's watermark
+      "cdc_windowed_counts" ->
+        s"""$C
+           |SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+           |  make_timestamp((epoch_us(ts) // 3600000000) * 3600000000 + 3600000000) AS window_end,
+           |  op, COUNT(*) AS n_events
+           |FROM changelog GROUP BY 1, 2, 3""".stripMargin,
       "cdc_table_incremental" -> oracleSqlBase("cdc_replay_final"),
       "cdc_table_mor_read" -> oracleSqlBase("cdc_replay_final"),
       "cdc_spill_fold" -> oracleSqlBase("cdc_replay_final"),
