@@ -89,6 +89,25 @@ object SparkEntry {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  /** Split `df` into three ts-range chunks on `tsCol` with increasing mtimes
+    * (one micro-batch each under maxFilesPerTrigger=1). Equal event times
+    * always share a chunk, so cross-chunk arrival respects event-time order —
+    * the invariant that keeps every real event ahead of the watermark in the
+    * windowed gates. Returns the EXACT max of `tsCol` (quantile 1.0 is exact
+    * in Spark's Greenwald-Khanna sketch; micros < 2^53 so the Double is
+    * lossless). `drop` strips the helper column before writing.
+    */
+  private def writeTsChunks(df: DataFrame, chunks: java.nio.file.Path,
+      tsCol: String, drop: Boolean): Long = {
+    val Array(t1, t2, mx) = df.stat.approxQuantile(tsCol, Array(0.33, 0.66, 1.0), 0.001)
+    def strip(d: DataFrame) = if (drop) d.drop(tsCol) else d
+    writeChunk(strip(df.filter(col(tsCol) <= t1)), chunks, "c1.parquet", 1000000L)
+    writeChunk(strip(df.filter(col(tsCol) > t1 && col(tsCol) <= t2)),
+      chunks, "c2.parquet", 2000000L)
+    writeChunk(strip(df.filter(col(tsCol) > t2)), chunks, "c3.parquet", 3000000L)
+    mx.toLong
+  }
+
   /** Drain a streaming frame to parquet via Trigger.AvailableNow. */
   private def runAvailableNowToParquet(sdf: DataFrame, outDir: String,
       ckpt: String): Unit = {
@@ -410,15 +429,9 @@ object SparkEntry {
           unix_micros(col("ts").cast("timestamp")).as("tsMicros"),
           col("event_type").as("step"))
         .localCheckpoint(true)
-      // ts-threshold chunking: equal event times always land in the same
-      // chunk, so the cross-chunk arrival order respects event-time order
-      val Array(t1, t2) = ev.stat.approxQuantile("tsMicros", Array(0.33, 0.66), 0.001)
       val base = gateDir("q_funnel_stream")
       val chunks = java.nio.file.Files.createDirectories(base.resolve("chunks"))
-      writeChunk(ev.filter(col("tsMicros") <= t1), chunks, "c1.parquet", 1000000L)
-      writeChunk(ev.filter(col("tsMicros") > t1 && col("tsMicros") <= t2),
-        chunks, "c2.parquet", 2000000L)
-      writeChunk(ev.filter(col("tsMicros") > t2), chunks, "c3.parquet", 3000000L)
+      writeTsChunks(ev, chunks, "tsMicros", drop = false)
       val sdf = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(chunks.toString)
       implicit val evEnc = org.apache.spark.sql.Encoders.product[StatefulFunnel.FunnelEvent]
@@ -522,20 +535,17 @@ object SparkEntry {
         .select(col("conv_id"), col("op"), col("ts").cast("timestamp").as("ts"))
         .withColumn("tsMicros", unix_micros(col("ts")))
         .localCheckpoint(true)
-      val Array(t1, t2) = cl.stat.approxQuantile("tsMicros", Array(0.33, 0.66), 0.001)
-      val mx = cl.agg(max("tsMicros")).head.getLong(0)
       val base = gateDir("cdc_windowed_counts")
       val chunks = java.nio.file.Files.createDirectories(base.resolve("chunks"))
-      writeChunk(cl.filter(col("tsMicros") <= t1).drop("tsMicros"),
-        chunks, "c1.parquet", 1000000L)
-      writeChunk(cl.filter(col("tsMicros") > t1 && col("tsMicros") <= t2).drop("tsMicros"),
-        chunks, "c2.parquet", 2000000L)
-      writeChunk(cl.filter(col("tsMicros") > t2).drop("tsMicros"),
-        chunks, "c3.parquet", 3000000L)
+      val mx = writeTsChunks(cl, chunks, "tsMicros", drop = true)
       val sentinel = s.range(1).select(lit("zz").as("conv_id"),
         lit("sentinel").as("op"),
         timestamp_micros(lit(mx + 365L * 24 * 3600 * 1000000L)).as("ts"))
       writeChunk(sentinel, chunks, "c4.parquet", 4000000L)
+      // the sentinel's watermark advance only flushes the real windows if a
+      // post-sentinel no-data micro-batch runs — pin the default explicitly
+      // so a session-level override cannot silently starve the gate
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
       val sdf = s.readStream.schema(sentinel.schema)
         .option("maxFilesPerTrigger", 1).parquet(chunks.toString)
       val agg = graft.streaming.WindowedStats.opCountsPerWindow(sdf)
