@@ -81,8 +81,12 @@ final class LakeCatalog extends TableCatalog with FunctionCatalog
           .toDF("bucket", "path", "bytes", "bucket_rows")
       })
     val root = rootFor(ident)
-    if (!isLakeTable(root)) throw new NoSuchTableException(ident)
-    new LakeSourceTable(root, CaseInsensitiveStringMap.empty())
+    // one snapshot resolution for existence probe + pinned snap + handle —
+    // loadTable runs once per table REFERENCE during analysis, so tripling
+    // the meta-directory probes multiplies real I/O on remote storage
+    val t = LakeTable.open(root)
+    val snap = t.currentSnapshot().getOrElse(throw new NoSuchTableException(ident))
+    new LakeSourceTable(root, CaseInsensitiveStringMap.empty(), Some((t, snap)))
   }
 
   /** SQL time travel: `VERSION AS OF v`. */
@@ -184,7 +188,13 @@ private final class LakeMetaTable(root: String, kind: String,
   private def metaDf = df(LakeTable.open(root))
 
   override def name(): String = s"lake(`$root`$$$kind)"
-  override def schema(): StructType = metaDf.schema
+  // Spark calls schema() repeatedly during analysis; rebuilding the full
+  // metadata frame (for $history: one JSON read per retained snapshot) on
+  // every call multiplies metadata I/O by the resolution count. The schema
+  // is fixed per kind, so one build per table load suffices — the scan
+  // still pins FRESH rows at build time.
+  private lazy val tableSchema: StructType = metaDf.schema
+  override def schema(): StructType = tableSchema
   override def capabilities()
       : java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
     java.util.EnumSet.of(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)

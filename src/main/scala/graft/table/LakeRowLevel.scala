@@ -163,7 +163,10 @@ private final class LakeReplaceDataWrite(
       base ++ tomb ++ extra
     }
     val writerId = Option(info.options().get("writerId")).getOrElse("sql-rlo")
-    val tombRows = tombFiles.map { case (b, fs) => b -> table.footerRowCount(fs.map(_.path)) }
+    // one parallel pass sharing one Hadoop Configuration — a per-bucket
+    // footerRowCount call rebuilds the ~20 ms Configuration per bucket and
+    // turns a wide MERGE's commit into seconds of serial driver time
+    val tombRows = table.footerRowCounts(tombFiles)
 
     def candidate(cur: Snapshot, rebasedFrom: Option[Long]): Snapshot = {
       val mine = refsFor(cur.version + 1)

@@ -271,7 +271,9 @@ private object LakeSource {
   }
 }
 
-private[table] final class LakeSourceTable(root: String, tableOptions: CaseInsensitiveStringMap)
+private[table] final class LakeSourceTable(root: String,
+    tableOptions: CaseInsensitiveStringMap,
+    preResolved: Option[(LakeTable, Snapshot)] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
@@ -296,9 +298,15 @@ private[table] final class LakeSourceTable(root: String, tableOptions: CaseInsen
       s"cannot modify a time-travel handle of lake table at $root")
     new LakeRowLevelOperationBuilder(root, info)
   }
-  // pin once per handle: schema, stats and partition planning all agree
-  private val snap = LakeSource.snapshot(root, tableOptions)
-  private val table = LakeTable.open(root)
+  // pin once per handle: schema, stats and partition planning all agree.
+  // The catalog hands in its already-resolved (handle, snapshot), so a
+  // catalog table load costs ONE snapshot resolution instead of three
+  // (existence probe + pinned snap + handle) — sound only without a
+  // time-travel option, whose resolution depends on the option value.
+  require(preResolved.isEmpty || tableOptions.get("asOfVersion") == null,
+    "preResolved snapshot cannot be combined with asOfVersion")
+  private val (table, snap) = preResolved.getOrElse(
+    (LakeTable.open(root), LakeSource.snapshot(root, tableOptions)))
 
   override def name(): String = s"lake(`$root`, v${snap.version})"
   override def schema(): StructType = LakeSource.outputSchema(snap.schema)
@@ -711,8 +719,16 @@ private[table] final class LakeSourceScan(table: LakeTable, snap: Snapshot,
     // _bucket is not a stored column: it is the partition's identity,
     // injected per-partition by the reader factory
     val readSchema = StructType(snap.schema.fields.filter(f => needed.contains(f.name)))
+    // oversized-bucket degradation policy, same contract as the programmatic
+    // fold paths (LakeTable.spillFoldBytes): a bucket whose file bytes exceed
+    // the threshold folds via spilling sort + O(1)-row streaming fold instead
+    // of the whole-bucket hash map. Session conf overrides the handle default
+    // (the DSv2 path opens its own handle, so the var is not reachable).
+    val spillBytes = Option(SparkSession.active.conf
+        .get("graft.lake.spillFoldBytes", null))
+      .map(_.toLong).getOrElse(table.spillFoldBytes)
     new LakeReaderFactory(ScanBridge.parquetReader(SparkSession.active, readSchema),
-      readSchema, required, snap.morDeltas)
+      readSchema, required, snap.morDeltas, spillBytes)
   }
 }
 
@@ -728,7 +744,8 @@ private final class LakeReaderFactory(
     reader: PartitionedFile => Iterator[InternalRow],
     readSchema: StructType,
     outputSchema: StructType,
-    fold: Boolean) extends PartitionReaderFactory {
+    fold: Boolean,
+    spillFoldBytes: Long) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LakeInputPartition]
@@ -739,11 +756,19 @@ private final class LakeReaderFactory(
     }
     // delta-carrying bucket: in-task LWW fold (the writer's associative
     // rule) so readers see exactly one version per key; compacted bucket:
-    // stream through (buckets are key-unique in steady state)
+    // stream through (buckets are key-unique in steady state). A bucket
+    // whose file bytes exceed the spill threshold (manifest sizes — zero
+    // I/O, same policy as every programmatic fold) degrades to the spilling
+    // sort + O(1)-row streaming fold instead of OOMing the hash map — the
+    // recovery contract must hold on the SQL surface too.
     val resolved =
       if (fold) {
         val (convI, turnI, tsI, seqI) = BucketLocal.keyIdx(readSchema)
-        BucketLocal.foldWinners(rows, convI, turnI, tsI, seqI)
+        if (p.files.iterator.map(_._2).sum > spillFoldBytes) {
+          val sorted = org.apache.spark.sql.graftbridge.SortBridge.sortedAscNullsFirst(
+            readSchema, Seq("conv_id", "turn_idx", "ts", "seq"), rows)
+          BucketLocal.foldWinnersSorted(sorted, convI, turnI)
+        } else BucketLocal.foldWinners(rows, convI, turnI, tsI, seqI)
       } else rows
     val live = resolved.filter(r => r.getUTF8String(opI) != deleteOp)
     val proj = UnsafeProjection.create(

@@ -49,6 +49,30 @@ private[table] final class LakeStreamingWrite(
   require(mode.forall(_ == "mor"),
     "the lake streaming sink is the delta-append (mor) path; omit `mode` or pass mor " +
       "— use CdcStream/foreachBatch for COW micro-batches")
+  // Plan-time schema contract: every read fold accesses the key/version
+  // columns positionally (BucketLocal.keyIdx), so a stream missing one —
+  // e.g. a seq-less upsert feed — would COMMIT fine (the task writer only
+  // hashes conv_id/turn_idx) and then fail every subsequent read, compaction
+  // and DSv2 scan until manual metadata surgery. Fail the query at plan
+  // time instead, and pin the types (on a fresh table there is no snapshot
+  // merge to reject a retyped key column at commit).
+  locally {
+    val pinned = Model.changeEventSchema.fields
+      .filter(f => (Model.KeyCols ++ Model.VersionCols).contains(f.name))
+    val byName = info.schema().fields.map(f => f.name -> f.dataType).toMap
+    pinned.foreach { f =>
+      byName.get(f.name) match {
+        case None => throw new IllegalArgumentException(
+          s"lake streaming sink requires column '${f.name}' (${f.dataType.simpleString}) " +
+            s"— the table's key/version columns are ${(Model.KeyCols ++ Model.VersionCols).mkString(", ")}")
+        case Some(dt) if dt != f.dataType => throw new IllegalArgumentException(
+          s"lake streaming sink column '${f.name}' must be ${f.dataType.simpleString} " +
+            s"(got ${dt.simpleString}): key/version columns never retype")
+        case _ => ()
+      }
+    }
+  }
+
   // unique per query RUN: a replayed epoch post-resume must not overwrite
   // the COMMITTED files its first incarnation wrote
   private val runDir = table.attemptDir(0L, writerId, 0L)

@@ -512,9 +512,32 @@ final class LakeTable(val root: String, val numBuckets: Int) {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           if (lockIsStale()) {
-            // break a crashed holder's lock; racing breakers are harmless
-            // (deleteIfExists + the CREATE_NEW retry re-serialize them)
-            try Files.deleteIfExists(lockPath) catch { case _: Exception => () }
+            // Break a crashed holder's lock ATOMICALLY: rename it aside —
+            // one winner per lock instance, so two breakers cannot both
+            // proceed — then verify the MOVED file really is the stale
+            // instance. A blind deleteIfExists here had a TOCTOU: a rival
+            // could break the stale lock and CREATE_NEW its own fresh lock
+            // between our staleness check and our delete, and we would
+            // steal the fresh lock (two "holders" at once, fairness gone
+            // exactly in the two-starved-writers case the lock exists for).
+            // A fresh rival lock caught in the gap is put back, not stolen;
+            // if the put-back collides with a third racer's CREATE_NEW, the
+            // displaced holder's release is a token-checked no-op and the
+            // commit CAS still serializes correctness — that residual costs
+            // fairness only and needs a triple interleaving. The .tmp-
+            // prefix keeps a crash-leaked aside file sweepable by vacuum.
+            val aside = metaDir.resolve(
+              s".tmp-lock-break-${java.util.UUID.randomUUID()}")
+            try {
+              Files.move(lockPath, aside)
+              if (System.currentTimeMillis() -
+                  Files.getLastModifiedTime(aside).toMillis > lockStaleMs) {
+                Files.deleteIfExists(aside)
+              } else {
+                try Files.move(aside, lockPath)
+                catch { case _: Exception => Files.deleteIfExists(aside) }
+              }
+            } catch { case _: Exception => () } // rival breaker won: retry
           } else Thread.sleep(25)
       }
     }
@@ -1190,6 +1213,11 @@ final class LakeTable(val root: String, val numBuckets: Int) {
     * no writer can be live (tests, decommission).
     */
   def vacuum(keepLast: Int = 1, graceMs: Long = 3600000L): Int = {
+    // keepLast = 0 would expire EVERY untagged snapshot (takeRight(0) keeps
+    // nothing) and orphan the whole table — there is no legitimate use, so
+    // the typo fails loudly instead of destroying the snapshot log
+    require(keepLast >= 1, s"vacuum keepLast must be >= 1 (got $keepLast): " +
+      "keeping zero snapshots would expire the entire snapshot log")
     val names = snapshotFiles()
     if (names.isEmpty) return 0
     val cutoff = System.currentTimeMillis() - graceMs

@@ -153,4 +153,20 @@ class SpillFoldSpec extends SparkSpecBase {
     assert(convRows.map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"))).toSet ==
       oracle.keys.filter(_._1 == conv).toSet)
   }
+
+  test("DSv2 read honors the spill policy: forced in-reader sort fold == hash fold == oracle") {
+    // the SQL surface's MOR fold previously ALWAYS used the whole-bucket
+    // hash map, so the oversized-bucket recovery contract did not hold on
+    // the table's primary read path — the reader now degrades to the
+    // spilling sort + O(1)-row streaming fold past the same byte threshold
+    val (table, oracle) = buildMor("spill-dsv2")
+    val readLake = () => spark.read.format("lake").option("path", table.root).load()
+    val defaultRows = readLake().collect().map(_.toSeq).toSet
+    spark.conf.set("graft.lake.spillFoldBytes", "1") // every bucket "oversized"
+    try {
+      val spillDf = readLake()
+      assert(finalState(spillDf) == oracle)
+      assert(spillDf.collect().map(_.toSeq).toSet == defaultRows)
+    } finally spark.conf.unset("graft.lake.spillFoldBytes")
+  }
 }

@@ -167,4 +167,45 @@ class StreamSinkSpec extends SparkSpecBase {
       s"clustered epoch must write one file per touched bucket: added=$added touched=$touched")
     assert(t.read(spark).count() == 65L) // 64 sink rows + seed
   }
+
+  test("sink rejects a stream missing or retyping a key/version column at plan time") {
+    // a seq-less stream would COMMIT fine (the task writer never touches
+    // seq) and then fail EVERY read/compaction on BucketLocal.keyIdx — the
+    // sink must fail the query at plan time, before any file lands
+    def startSink(df: org.apache.spark.sql.DataFrame, src: String, root: String,
+        ckpt: String): Throwable = {
+      df.write.parquet(src)
+      val q = spark.readStream.schema(df.schema).parquet(src)
+        .writeStream.format("lake").option("path", root)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination()
+      }
+    }
+    val base = spark.createDataset(Seq(
+      ev("c1", 0, "x", "2025-01-01 00:00:00", 1L))).toDF().drop("op")
+    def seeded(name: String): LakeTable = {
+      val t = new LakeTable(s"${tmpDir(name)}/t", numBuckets = 2)
+      MergeApplier.applyBatch(spark, t, spark.createDataset(Seq(
+        ev("seed", 0, "v0", "2025-01-01 00:00:00", 1))).toDF(), "seed", 0L)
+      t
+    }
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+
+    val tA = seeded("sink-noseq")
+    val vA = tA.currentSnapshot().get.version
+    val eA = startSink(base.drop("seq"), s"${tmpDir("sink-noseq-src")}/src", tA.root,
+      tmpDir("sink-noseq-ckpt"))
+    assert(msgChain(eA).contains("seq"), msgChain(eA))
+    assert(tA.currentSnapshot().get.version == vA, "nothing may commit")
+
+    val tB = seeded("sink-retype")
+    val vB = tB.currentSnapshot().get.version
+    val eB = startSink(base.withColumn("turn_idx", col("turn_idx").cast("long")),
+      s"${tmpDir("sink-retype-src")}/src", tB.root, tmpDir("sink-retype-ckpt"))
+    assert(msgChain(eB).contains("turn_idx"), msgChain(eB))
+    assert(tB.currentSnapshot().get.version == vB, "nothing may commit")
+  }
 }

@@ -94,6 +94,17 @@ class TableOpsSpec extends SparkSpecBase {
     assert(state(table) == Map(("c1", 0) -> (("keep", 1L))))
   }
 
+  test("vacuum rejects keepLast < 1: keeping zero snapshots would destroy the log") {
+    val table = new LakeTable(tmpDir("ops-vacuum-zero"), numBuckets = 2)
+    MergeApplier.applyBatch(spark, table, spark.createDataset(Seq(
+      ev("c1", 0, "live", "2025-01-01 00:00:00", "insert", 1))).toDF(), "w", 0L)
+    val e = intercept[IllegalArgumentException](table.vacuum(keepLast = 0, graceMs = 0L))
+    assert(e.getMessage.contains("keepLast"))
+    intercept[IllegalArgumentException](table.vacuum(keepLast = -3, graceMs = 0L))
+    // the table survived the rejected calls intact
+    assert(state(table) == Map(("c1", 0) -> (("live", 1L))))
+  }
+
   test("lookupTurn: COW point read opens only the key's bucket; filters push to parquet") {
     val table = new LakeTable(tmpDir("ops-lookup"), numBuckets = 8)
     val base = (0 until 64).map(i =>
