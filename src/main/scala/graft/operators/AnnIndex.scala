@@ -245,7 +245,11 @@ object AnnIndex {
       count(when(col("ct") === "update", 1)).as("u"),
       count(when(col("ct") === "update" && col("cv").isNull, 1)).as("uNull"),
       count(when(col("ct") === "delete", 1)).as("d"),
-      count(when(!col("ct").isin("insert", "update", "delete"), 1)).as("x"),
+      // isNull checked explicitly: `!isin(...)` is NULL (not true) for a
+      // null change type, which would let the row slip past this guard and
+      // then vanish from both the tombstone and append filters silently
+      count(when(col("ct").isNull ||
+        !col("ct").isin("insert", "update", "delete"), 1)).as("x"),
       count(lit(1)).as("tot"),
       countDistinct(col("vec_id")).as("ids"))
       .first()
@@ -264,16 +268,20 @@ object AnnIndex {
           "(e.g. conv_id over a (conv_id, turn_idx) table), collapse the batch " +
           "to one net change per id before applying")
     }
+    val adds = ch.filter(col("ct").isin("insert", "update") && col("cv").isNotNull)
+      .select(col("vec_id"), col("cv"))
+    // validate BEFORE the first write: requireDim is read-only, and a
+    // failure after the tombstones land would leave a half-applied
+    // generation that hides the mutated ids from every search (searches
+    // never run recoverInflight) until the next mutation call rolls it back
+    if (nInsLive + (nUpd - nUpdNull) > 0) requireDim(adds, meta.dim)
     beginInflight(root, meta)
     if (nUpd + nDel > 0)
       ch.filter(col("ct").isin("update", "delete"))
         .select(col("vec_id"), lit(gen).as("gen"))
         .coalesce(1) // tombstones are tiny; one file per batch
         .write.mode("append").parquet(s"$root/tombstones")
-    val adds = ch.filter(col("ct").isin("insert", "update") && col("cv").isNotNull)
-      .select(col("vec_id"), col("cv"))
     if (nInsLive + (nUpd - nUpdNull) > 0) {
-      requireDim(adds, meta.dim)
       meta.variant match {
         case "ivf" => appendRowsIvf(spark, root, meta, adds, gen)
         case _ => appendRowsIvfPq(spark, root, meta, adds, gen)

@@ -54,29 +54,33 @@ object AsofJoin {
     require(!rightCols.exists(keys.contains),
       s"asofJoin: rightCols must not include join keys $keys")
     val leftCols = left.columns.toSeq
-    // one merged frame: keys, event time, side tag, carried right payload
-    // (null on left rows), left payload struct (null on right rows)
-    val l = left.select(
-      keys.map(col) ++
-        Seq(col(leftTs).as("__t"), lit(1).as("__side"),
-          struct(leftCols.map(col): _*).as("__l")) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    // one merged frame: keys, event time, side tag, carried right payload as
+    // ONE struct (null on left rows), left payload struct (null on right
+    // rows). The payload must travel as a single struct so `last(...,
+    // ignoreNulls)` picks the whole matched right ROW atomically: per-column
+    // carries would skip a null VALUE in the matched row and back-fill it
+    // from an older row — emitting a mix of right rows that never coexisted.
+    // A right row whose carried values are all null still forms a non-null
+    // struct, so it correctly shadows older rows with nulls.
     val r = right.select(
       keys.map(col) ++
         Seq(col(rightTs).as("__t"), lit(0).as("__side"),
-          lit(null).cast(l.schema("__l").dataType).as("__l")) ++
-        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+          struct(rightCols.map(col): _*).as("__r")): _*)
+    val l = left.select(
+      keys.map(col) ++
+        Seq(col(leftTs).as("__t"), lit(1).as("__side"),
+          struct(leftCols.map(col): _*).as("__l"),
+          lit(null).cast(r.schema("__r").dataType).as("__r")): _*)
+    val rTagged = r.withColumn("__l", lit(null).cast(l.schema("__l").dataType))
     // right-before-left at equal __t ⇒ inclusive asof (<=)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = l.unionByName(r)
-      .select(
-        col("__side") +: col("__l") +:
-          rightCols.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w)
-            .as(s"$prefix$c")): _*)
+    val filled = l.unionByName(rTagged)
+      .select(col("__side"), col("__l"),
+        last(col("__r"), ignoreNulls = true).over(w).as("__rm"))
     filled.filter(col("__side") === 1)
       .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
-        rightCols.map(c => col(s"$prefix$c")): _*)
+        rightCols.map(c => col(s"__rm.$c").as(s"$prefix$c")): _*)
   }
 }

@@ -290,6 +290,39 @@ object BucketLocal {
       }
   }
 
+  private def keyComparator(convI: Int, turnI: Int): java.util.Comparator[InternalRow] =
+    new java.util.Comparator[InternalRow] {
+      override def compare(a: InternalRow, b: InternalRow): Int = {
+        val c = a.getUTF8String(convI).compareTo(b.getUTF8String(convI))
+        if (c != 0) c else Integer.compare(a.getInt(turnI), b.getInt(turnI))
+      }
+    }
+
+  /** The shared in-task tail of every clustered rewrite (compaction's hash
+    * path, rebucket, SQL overwrite): buffer the partition, CLUSTER by
+    * (conv_id, turn_idx), observe write-side [[CompactStats]], tag rows with
+    * the bucket id (= partition id). `copyRows = false` only when the input
+    * rows are already safe copies (e.g. a hash fold's map values).
+    */
+  private def clusterStatsTag(rows: Iterator[InternalRow], copyRows: Boolean,
+      convI: Int, turnI: Int, tsI: Int, opI: Int, textI: Int, textIndex: Boolean,
+      statsAcc: Option[CollectionAccumulator[(Int, FileStats, Long, Long)]])
+      : Iterator[InternalRow] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[InternalRow]
+    rows.foreach(r => buf += (if (copyRows) r.copy() else r))
+    val arr = buf.toArray
+    java.util.Arrays.sort(arr, keyComparator(convI, turnI))
+    statsAcc.foreach { acc =>
+      val st = new CompactStats(convI, turnI, textI, textIndex, opI, tsI)
+      arr.foreach(st.observe)
+      st.report(acc)
+    }
+    val bucketRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.TaskContext.getPartitionId()))
+    val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+    arr.iterator.map(r => joined(r, bucketRow): InternalRow)
+  }
+
   /** Rebucket write support: `state` arrives already repartitioned by the
     * NEW bucket function, so partition id == new bucket id (the same
     * alignment every apply path uses). Each partition is clustered by key
@@ -304,22 +337,9 @@ object BucketLocal {
     val (convI, turnI, tsI, _) = keyIdx(schema)
     val opI = schema.fieldIndex("op")
     val tagged = ScanBridge.toInternalRdd(state).mapPartitions { rows =>
-      val buf = new scala.collection.mutable.ArrayBuffer[InternalRow]
-      rows.foreach(r => buf += r.copy()) // rows reuse upstream buffers
-      val arr = buf.toArray
-      java.util.Arrays.sort(arr, new java.util.Comparator[InternalRow] {
-        override def compare(a: InternalRow, b: InternalRow): Int = {
-          val c = a.getUTF8String(convI).compareTo(b.getUTF8String(convI))
-          if (c != 0) c else Integer.compare(a.getInt(turnI), b.getInt(turnI))
-        }
-      })
-      val st = new CompactStats(convI, turnI, -1, textIndex = false, opI, tsI)
-      arr.foreach(st.observe)
-      st.report(statsAcc)
-      val bucketRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](org.apache.spark.TaskContext.getPartitionId()))
-      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-      arr.iterator.map(r => joined(r, bucketRow): InternalRow)
+      // rows reuse upstream buffers → copy
+      clusterStatsTag(rows, copyRows = true, convI, turnI, tsI, opI,
+        textI = -1, textIndex = false, Some(statsAcc))
     }
     val outSchema = StructType(schema.fields :+
       org.apache.spark.sql.types.StructField("bucket",
@@ -387,25 +407,10 @@ object BucketLocal {
       .mapPartitions { rows =>
         val resolved =
           if (fold) foldWinners(rows, convI, turnI, tsI, seqI) else rows
-        // cluster by key: fold-path rows are already safe copies (map
-        // values); raw-scan rows reuse the reader's buffer and must be
-        // copied to be held for the sort
-        val buf = new scala.collection.mutable.ArrayBuffer[InternalRow]
-        resolved.filter(r => !expired(r))
-          .foreach(r => buf += (if (fold) r else r.copy()))
-        val arr = buf.toArray
-        java.util.Arrays.sort(arr, new java.util.Comparator[InternalRow] {
-          override def compare(a: InternalRow, b: InternalRow): Int = {
-            val c = a.getUTF8String(convI).compareTo(b.getUTF8String(convI))
-            if (c != 0) c else Integer.compare(a.getInt(turnI), b.getInt(turnI))
-          }
-        })
-        statsAcc.foreach { acc =>
-          val st = new CompactStats(convI, turnI, textI, textIndex, opI, tsI)
-          arr.foreach(st.observe)
-          st.report(acc)
-        }
-        tag(arr.iterator)
+        // fold-path rows are already safe copies (map values); raw-scan rows
+        // reuse the reader's buffer and must be copied to be held for the sort
+        clusterStatsTag(resolved.filter(r => !expired(r)), copyRows = !fold,
+          convI, turnI, tsI, opI, textI, textIndex, statsAcc)
       }
     val outSchema = StructType(schema.fields :+
       org.apache.spark.sql.types.StructField("bucket",

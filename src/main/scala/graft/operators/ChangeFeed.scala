@@ -97,12 +97,65 @@ object ChangeFeed {
       BucketLocal.bucketArray(table, sFrom, Some(changed)))
     val toRdd = ScanBridge.bucketFilesRdd(spark, schema,
       BucketLocal.bucketArray(table, sTo, Some(changed)))
-    val diffed = fromRdd.zipPartitions(toRdd, preservesPartitioning = false)(
-      diffPartition(convI, turnI, tsI, seqI, opI, withUpdatePreImages))
+    // oversized-bucket degradation, same policy (and threshold) as every
+    // fold path: per bucket, a side whose manifest bytes exceed
+    // spillFoldBytes diffs via spilling sort + streaming fold + merge-diff
+    // (O(1) task rows) instead of the two whole-bucket hash maps
+    def bytesOf(fs: Map[Int, Seq[graft.table.FileEntry]]): Array[Long] = {
+      val a = new Array[Long](n)
+      fs.foreach { case (b, l) => a(b) = l.iterator.map(_.bytes).sum }
+      a
+    }
+    val fromBytes = bytesOf(filesFrom)
+    val toBytes = bytesOf(filesTo)
+    val spillBytes = table.spillFoldBytes
+    lastDiffWasSpill = changed.exists(b =>
+      math.max(fromBytes(b), toBytes(b)) > spillBytes)
+    val preImages = withUpdatePreImages
+    val diffed = fromRdd.zipPartitions(toRdd, preservesPartitioning = false) {
+      (f, t) =>
+        val b = org.apache.spark.TaskContext.getPartitionId()
+        diffPartitionAuto(schema, convI, turnI, tsI, seqI, opI, preImages,
+          deleteTombstones = false, spillBytes,
+          math.max(fromBytes(b), toBytes(b)))(f, t)
+    }
     val outSchema = StructType(schema.fields :+
       StructField(ChangeTypeCol, StringType, nullable = false))
     ScanBridge.internalDf(spark, diffed, outSchema).drop("op")
   }
+
+  /** Test observability only (driver-side mirror of the per-bucket decision
+    * the tasks make): whether the last [[changesBetween]] had any bucket on
+    * the spill path.
+    */
+  @volatile private[graft] var lastDiffWasSpill: Boolean = false
+
+  /** Per-bucket policy switch between [[diffPartition]] (two in-task hash
+    * maps — fast while the bucket fits the executor-sized contract) and the
+    * spill-safe sorted merge-diff (each side: SortBridge's spilling sort →
+    * O(1)-row streaming fold; then [[diffSortedWinners]] holds one row per
+    * side). The threshold is the SAME `spillFoldBytes` every other fold path
+    * honors, so the feed — and the incremental view refresh riding on it —
+    * keeps working on exactly the oversized bucket the degradation contract
+    * exists for, instead of OOMing at 2× the bucket-sized memory unit.
+    */
+  private[graft] def diffPartitionAuto(schema: StructType,
+      convI: Int, turnI: Int, tsI: Int, seqI: Int, opI: Int,
+      preImages: Boolean, deleteTombstones: Boolean,
+      spillBytes: Long, bucketBytes: Long)(
+      from: Iterator[InternalRow], to: Iterator[InternalRow]): Iterator[InternalRow] =
+    if (!from.hasNext && !to.hasNext) Iterator.empty // skipped bucket: no sorters
+    else if (bucketBytes <= spillBytes)
+      diffPartition(convI, turnI, tsI, seqI, opI, preImages, deleteTombstones)(from, to)
+    else {
+      val sortCols = Seq("conv_id", "turn_idx", "ts", "seq")
+      def winners(rows: Iterator[InternalRow]): Iterator[InternalRow] =
+        BucketLocal.foldWinnersSorted(
+          org.apache.spark.sql.graftbridge.SortBridge.sortedAscNullsFirst(
+            schema, sortCols, rows), convI, turnI)
+      diffSortedWinners(convI, turnI, tsI, seqI, opI, preImages,
+        deleteTombstones)(winners(from), winners(to))
+    }
 
   /** In-task diff of one bucket's two folded states. Memory: the two winner
     * maps — bounded by the bucket's contents at each version, the same unit
@@ -128,12 +181,8 @@ object ChangeFeed {
       preImages: Boolean, deleteTombstones: Boolean = false)(
       from: Iterator[InternalRow], to: Iterator[InternalRow]): Iterator[InternalRow] = {
     if (!from.hasNext && !to.hasNext) return Iterator.empty // skipped bucket
-    val deleteOp = UTF8String.fromString(Model.OpDelete)
-    def isDelete(r: InternalRow): Boolean =
-      !r.isNullAt(opI) && r.getUTF8String(opI).equals(deleteOp)
-    def sameVersion(a: InternalRow, b: InternalRow): Boolean =
-      BucketLocal.ver(a, tsI) == BucketLocal.ver(b, tsI) &&
-        BucketLocal.ver(a, seqI) == BucketLocal.ver(b, seqI)
+    val sem = new DiffSemantics(opI, tsI, seqI)
+    import sem.{isDelete, sameVersion, tDelete, tInsert, tUpdate, tUpdatePre}
     val fromMap = BucketLocal.foldWinnersMap(from, convI, turnI, tsI, seqI)
     val toMap = BucketLocal.foldWinnersMap(to, convI, turnI, tsI, seqI)
     val joined = new JoinedRow
@@ -141,9 +190,6 @@ object ChangeFeed {
     // emitting two rows from one flatMap element materializes both joins
     // before the consumer copies either, so they cannot share a buffer
     val joinedPre = new JoinedRow
-    def tag(t: String) = new GenericInternalRow(Array[Any](UTF8String.fromString(t)))
-    val tInsert = tag("insert"); val tUpdate = tag("update"); val tDelete = tag("delete")
-    val tUpdatePre = tag("update_preimage")
     import scala.jdk.CollectionConverters._
     val changes = toMap.entrySet().iterator().asScala.flatMap { e =>
       val toRow = e.getValue
@@ -172,6 +218,92 @@ object ChangeFeed {
       fromMap.values().iterator().asScala
         .filter(r => !isDelete(r))
         .map(r => joined(r, tDelete): InternalRow)
+    }
+  }
+
+  /** The change-classification vocabulary the hash diff and the sorted
+    * merge-diff share: tombstone detection, version equality, and the
+    * constant change-type tag rows.
+    */
+  private final class DiffSemantics(opI: Int, tsI: Int, seqI: Int)
+      extends Serializable {
+    private val deleteOp = UTF8String.fromString(Model.OpDelete)
+    def isDelete(r: InternalRow): Boolean =
+      !r.isNullAt(opI) && r.getUTF8String(opI).equals(deleteOp)
+    def sameVersion(a: InternalRow, b: InternalRow): Boolean =
+      BucketLocal.ver(a, tsI) == BucketLocal.ver(b, tsI) &&
+        BucketLocal.ver(a, seqI) == BucketLocal.ver(b, seqI)
+    private def tag(t: String) =
+      new GenericInternalRow(Array[Any](UTF8String.fromString(t)))
+    val tInsert: GenericInternalRow = tag("insert")
+    val tUpdate: GenericInternalRow = tag("update")
+    val tDelete: GenericInternalRow = tag("delete")
+    val tUpdatePre: GenericInternalRow = tag("update_preimage")
+  }
+
+  /** Merge-diff of two winner streams already SORTED ascending by
+    * (conv_id, turn_idx) — the spill-safe twin of [[diffPartition]]'s map
+    * diff, emitting the SAME change rows (row order differs: key order here,
+    * hash order there). Holds ONE row per side (winner iterators hand out
+    * copies), so task memory is O(1) regardless of bucket size; the memory
+    * work moved into the upstream spilling sorts. Emitted rows ride two
+    * mutable JoinedRows (pre/post of one update pair may be alive together),
+    * the standard reused-buffer contract — downstream copies.
+    */
+  private[graft] def diffSortedWinners(convI: Int, turnI: Int, tsI: Int,
+      seqI: Int, opI: Int, preImages: Boolean, deleteTombstones: Boolean)(
+      fromW: Iterator[InternalRow], toW: Iterator[InternalRow]): Iterator[InternalRow] = {
+    val sem = new DiffSemantics(opI, tsI, seqI)
+    import sem.{isDelete, sameVersion, tDelete, tInsert, tUpdate, tUpdatePre}
+    val f = fromW.buffered
+    val t = toW.buffered
+    val joined = new JoinedRow
+    val joinedPre = new JoinedRow
+    new Iterator[InternalRow] {
+      private var out: InternalRow = null
+      private var pendingOut: InternalRow = null // the update half of a pre/post pair
+      private def cmp(a: InternalRow, b: InternalRow): Int = {
+        val c = a.getUTF8String(convI).compareTo(b.getUTF8String(convI))
+        if (c != 0) c else Integer.compare(a.getInt(turnI), b.getInt(turnI))
+      }
+      private def advance(): Unit = {
+        if (out != null) return
+        if (pendingOut != null) { out = pendingOut; pendingOut = null; return }
+        while (out == null && (f.hasNext || t.hasNext)) {
+          if (!t.hasNext || (f.hasNext && cmp(f.head, t.head) < 0)) {
+            // key only at `from`: a vanished live row is a delete (pre-image
+            // fallback — no tombstone exists at `to` to emit); a vanished
+            // tombstone is not a visible change
+            val fr = f.next()
+            if (!isDelete(fr)) out = joined(fr, tDelete)
+          } else if (!f.hasNext || cmp(f.head, t.head) > 0) {
+            // key only at `to`: live ⇒ insert; a fresh tombstone with no
+            // prior row is nothing visible
+            val tr = t.next()
+            if (!isDelete(tr)) out = joined(tr, tInsert)
+          } else {
+            val fr = f.next()
+            val tr = t.next()
+            val fromLive = !isDelete(fr)
+            val toLive = !isDelete(tr)
+            if (!fromLive && toLive) out = joined(tr, tInsert)
+            else if (fromLive && !toLive)
+              out = joined(if (deleteTombstones) tr else fr, tDelete)
+            else if (fromLive && toLive && !sameVersion(fr, tr)) {
+              if (preImages) {
+                out = joinedPre(fr, tUpdatePre)
+                pendingOut = joined(tr, tUpdate)
+              } else out = joined(tr, tUpdate)
+            } // else: unchanged winner or tombstone→tombstone
+          }
+        }
+      }
+      override def hasNext: Boolean = { advance(); out != null }
+      override def next(): InternalRow = {
+        advance()
+        if (out == null) throw new NoSuchElementException("exhausted diff")
+        val o = out; out = null; o
+      }
     }
   }
 }

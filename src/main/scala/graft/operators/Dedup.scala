@@ -253,6 +253,38 @@ object Dedup {
   def minhashSignature(text: Column, n: Int = 3, numHashes: Int = 64): Column =
     graft.functions.expressions.TextExprs.minhashSigCol(text, n, numHashes)
 
+  /** The banded-LSH candidate step every near-dup variant shares: size the
+    * (band, bucket) groups, drop singleton buckets (no pair) AND buckets
+    * above `maxBucket` (a boilerplate flood collides m near-identical items
+    * on one key → O(m²) pairs from that single bucket), then self-join the
+    * survivors into canonical `id_a < id_b` candidate pairs. The bucket-stats
+    * relation grows with the corpus (up to items × bands rows), so the
+    * left_semi stays a SHUFFLE join — a forced driver broadcast here would
+    * be a scale bomb; AQE may still pick a broadcast at runtime when the
+    * filtered side is actually small. Recall cost of the cap: only pairs ALL
+    * of whose shared band keys are flooded are lost — raise `maxBucket` (or
+    * pre-dedup exactly) on flood-heavy corpora.
+    *
+    * `keyed` must carry `id` + `bucketCols` (+ any `carry` columns); output
+    * is (id_a, id_b [, c_a, c_b per carry]), deduplicated across bands.
+    */
+  private[operators] def cappedBucketPairs(keyed: DataFrame,
+      bucketCols: Seq[String], maxBucket: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val bucketSizes = keyed.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket && col("bsz") > 1)
+    val survivors = keyed.join(bucketSizes.select(bucketCols.map(col): _*),
+      bucketCols, "left_semi")
+    val cond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a.id") < col("b.id")
+    survivors.as("a").join(survivors.as("b"), cond)
+      .select(col("a.id").as("id_a") +: col("b.id").as("id_b") +:
+        carry.flatMap(c =>
+          Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b"))): _*)
+      .distinct()
+  }
+
   /** MinHash+LSH near-dup pairs: band the signature (bands × rowsPerBand =
     * numHashes), join docs sharing any band bucket, then VERIFY candidates
     * with exact Jaccard — output precision is exact; banding only affects
@@ -262,6 +294,10 @@ object Dedup {
       textCol: String = "text", n: Int = 3, numHashes: Int = 64,
       bands: Int = 16, minJaccard: Double = 0.7,
       maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands): integer " +
+        "division would silently drop the trailing hashes from every band " +
+        "and change the recall curve the parameters promise")
     val rowsPerBand = numHashes / bands
     // Materialize (shingles, signature) ONCE: the plan below consumes this
     // relation from 4 branches (bucket sizing, both sides of the candidate
@@ -278,20 +314,8 @@ object Dedup {
           transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
             v => v.cast("string")), "_"), b))).as(Seq("band", "bucket")))
       .localCheckpoint(true)
-    // skew guard: drop pathological buckets (near-identical boilerplate floods).
-    // left_semi SHUFFLE join on (band, bucket) — the bucket-stats relation
-    // grows with the corpus (up to docs × bands rows), so a forced driver
-    // broadcast here would be the same scale bomb removed from shingleIndex;
-    // AQE may still pick a broadcast at runtime when the filtered side is
-    // actually small.
-    val bucketSizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucket && col("bsz") > 1)
-    val survivors = banded.join(bucketSizes.select("band", "bucket"),
-      Seq("band", "bucket"), "left_semi")
-    val cand = survivors.as("a").join(survivors.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    // skew guard + canonical candidate pairs: see [[cappedBucketPairs]]
+    val cand = cappedBucketPairs(banded, Seq("band", "bucket"), maxBucket)
     // exact verification of candidates
     val sh = sig.select(col("id"), col("sh"))
     cand
@@ -356,15 +380,10 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFF))).as(Seq("band", "key")))
       .localCheckpoint(true)
-    val bucketSizes = banded.groupBy("band", "key").agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucket && col("bsz") > 1)
-    val survivors = banded.join(bucketSizes.select("band", "key"),
-      Seq("band", "key"), "left_semi")
-    val cand = survivors.as("a").join(survivors.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("a.sig").as("sig_a"),
-        col("b.id").as("id_b"), col("b.sig").as("sig_b")).distinct()
+    // skew guard + canonical candidate pairs, carrying the signatures so the
+    // Hamming verification needs no re-join: see [[cappedBucketPairs]]
+    val cand = cappedBucketPairs(banded, Seq("band", "key"), maxBucket,
+      carry = Seq("sig"))
     cand.withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

@@ -83,9 +83,17 @@ object IncrementalAgg {
 
   /** [[maintain]] with the deltas already aggregated. Zero-turn rows are
     * RETAINED here — the table-backed refresh turns them into tombstones.
+    *
+    * `joinType`: `full_outer` produces the FULL new state ([[maintain]]'s
+    * contract — untouched conversations must survive in the returned frame);
+    * `right_outer` produces only the CHANGED rows (the table-backed refresh's
+    * contract — untouched rows already sit in the table, and re-upserting
+    * them would turn an O(Δ) MERGE into an O(state) rewrite every time the
+    * window exceeds `pruneCap`).
     */
-  private def maintainFromDeltas(prev: DataFrame, deltas: DataFrame): DataFrame =
-    prev.join(deltas, Seq("conv_id"), "full_outer")
+  private def maintainFromDeltas(prev: DataFrame, deltas: DataFrame,
+      joinType: String = "full_outer"): DataFrame =
+    prev.join(deltas, Seq("conv_id"), joinType)
       .select(
         col("conv_id"),
         (coalesce(col("turns"), lit(0L)) + coalesce(col("d_turns"), lit(0L))).as("turns"),
@@ -180,7 +188,10 @@ object IncrementalAgg {
           view.read(spark).select(statCols: _*)
       }
 
-      val batch = maintainFromDeltas(prev, deltas)
+      // right_outer: only conversations WITH a delta are written — above the
+      // cap `prev` is the whole view, and a full_outer here would re-upsert
+      // every unchanged row (O(state) write amplification per refresh)
+      val batch = maintainFromDeltas(prev, deltas, "right_outer")
         .withColumn("turn_idx", lit(0))
         .withColumn("op",
           when(col("turns") > 0, lit(Model.OpInsert)).otherwise(lit(Model.OpDelete)))

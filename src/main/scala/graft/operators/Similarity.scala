@@ -552,14 +552,8 @@ object Similarity {
     val keyed = corpus.select(col(idCol).as("id"),
       posexplode(srpKeys(col(vecCol), bands, bitsPerBand)).as(Seq("band", "bucket")))
       .localCheckpoint(true)
-    val bucketSizes = keyed.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucket && col("bsz") > 1)
-    val survivors = keyed.join(bucketSizes.select("band", "bucket"),
-      Seq("band", "bucket"), "left_semi")
-    val cand = survivors.as("a").join(survivors.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    // skew guard + canonical candidate pairs: Dedup.cappedBucketPairs
+    val cand = Dedup.cappedBucketPairs(keyed, Seq("band", "bucket"), maxBucket)
     val e = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     cand
       .join(e.select(col("id").as("id_a"), col("v").as("va")), "id_a")

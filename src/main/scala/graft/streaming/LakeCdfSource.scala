@@ -167,9 +167,15 @@ private final class LakeCdfScan(root: String, tableSchema: StructType,
     // change classification only reads key/version/op)
     val needed = LakeCdf.FoldCols ++ required.fieldNames
     val readSchema = StructType(tableSchema.fields.filter(f => needed.contains(f.name)))
+    // oversized-bucket degradation, same contract (and conf override) as the
+    // lake DSv2 reader: a bucket side whose bytes exceed the threshold diffs
+    // via spilling sort + streaming merge-diff instead of two hash maps
+    val spillBytes = Option(SparkSession.active.conf
+        .get("graft.lake.spillFoldBytes", null))
+      .map(_.toLong).getOrElse(LakeTable.open(root).spillFoldBytes)
     new CdfReaderFactory(
       ScanBridge.parquetReader(SparkSession.active, readSchema),
-      readSchema, required, preImages, deleteTombstones)
+      readSchema, required, preImages, deleteTombstones, spillBytes)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -296,7 +302,8 @@ private final class CdfReaderFactory(
     readSchema: StructType,
     outputSchema: StructType,
     preImages: Boolean,
-    deleteTombstones: Boolean) extends PartitionReaderFactory {
+    deleteTombstones: Boolean,
+    spillFoldBytes: Long) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CdfInputPartition]
@@ -319,8 +326,11 @@ private final class CdfReaderFactory(
           BoundReference(i, readSchema.fields(i).dataType, readSchema.fields(i).nullable)
         }
       })
-    val diffed = ChangeFeed.diffPartition(convI, turnI, tsI, seqI, opI,
-      preImages, deleteTombstones)(files(p.fromFiles), files(p.toFiles))
+    def bytesOf(fs: Array[(String, Long)]): Long = fs.iterator.map(_._2).sum
+    val diffed = ChangeFeed.diffPartitionAuto(readSchema, convI, turnI, tsI,
+      seqI, opI, preImages, deleteTombstones, spillFoldBytes,
+      math.max(bytesOf(p.fromFiles), bytesOf(p.toFiles)))(
+      files(p.fromFiles), files(p.toFiles))
 
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _

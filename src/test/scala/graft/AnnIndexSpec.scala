@@ -302,6 +302,32 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(e.getMessage.contains("change type"))
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(root, "tombstones")))
+    // a NULL change type is just as invalid — `!isin` alone is NULL-silent
+    // and would drop the row from both the tombstone and append filters
+    val eNull = intercept[IllegalArgumentException] {
+      AnnIndex.applyChanges(spark, root,
+        Seq((1L, vecOf(1), null.asInstanceOf[String]))
+          .toDF("vec_id", "embedding", "change_type"))
+    }
+    assert(eNull.getMessage.contains("change type"))
+    // a dimension mismatch must fail BEFORE any tombstone lands: the batch
+    // below tombstones id 1 (update) — if validation ran after the write,
+    // id 1 would be silently hidden from every search until the next
+    // mutation's rollback
+    val eDim = intercept[IllegalArgumentException] {
+      AnnIndex.applyChanges(spark, root, Seq(
+        (1L, Seq(0.5f, 0.5f), "update"),
+        (26L, null.asInstanceOf[Seq[Float]], "delete"))
+        .toDF("vec_id", "embedding", "change_type"))
+    }
+    assert(eDim.getMessage.contains("dimension"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "tombstones")),
+      "failed validation must not leave a half-applied generation")
+    val stillThere = AnnIndex.searchIvf(spark, root,
+      clustered.filter($"vec_id" === 0L), k = 1000, nProbe = 4).collect()
+    assert(stillThere.exists(_.getAs[Long]("vec_id") == 1L) &&
+      stillThere.exists(_.getAs[Long]("vec_id") == 26L))
     // pure-insert batches never create the tombstone dataset
     AnnIndex.applyChanges(spark, root,
       Seq((300L, vecOf(0), "insert")).toDF("vec_id", "embedding", "change_type"))

@@ -249,6 +249,32 @@ class ChangeFeedSpec extends SparkSpecBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("oversized bucket: spilling merge-diff output == hash diff, batch and CDF source") {
+    val table = new LakeTable(tmpDir("feed-spill"), numBuckets = 4)
+    val all = Generator.events(spark, 2000, numConvs = 14, turnsPerConv = 5, seed = 83)
+      .as[ChangeEvent].collect().toSeq
+    val (h1, h2) = all.partition(_.seq % 2 == 0)
+    val v1 = apply(table, h1, 0L)
+    val v2 = apply(table, h2, 1L)
+    def rows(t: LakeTable) = ChangeFeed.changesBetween(spark, t, v1, v2,
+      withUpdatePreImages = true).collect().map(_.toString).sorted.toSeq
+    val hash = rows(table)
+    assert(!ChangeFeed.lastDiffWasSpill, "healthy buckets must take the hash diff")
+    table.spillFoldBytes = 1L
+    val spill = rows(table)
+    assert(ChangeFeed.lastDiffWasSpill, "1-byte threshold must force the spill diff")
+    assert(spill == hash, "spill merge-diff must emit exactly the hash diff's rows")
+    // the DSv2 CDF source honors the same session-conf override
+    def cdf() = spark.read.format("lake-cdf").option("path", table.root)
+      .option("fromVersion", v1).option("toVersion", v2).load()
+      .collect().map(_.toString).sorted.toSeq
+    val cdfHash = cdf()
+    spark.conf.set("graft.lake.spillFoldBytes", "1")
+    try assert(cdf() == cdfHash,
+      "CDF reader's spill diff must emit exactly the hash diff's rows")
+    finally spark.conf.unset("graft.lake.spillFoldBytes")
+  }
+
   test("guard rails: unknown versions and reversed ranges fail loudly") {
     val table = new LakeTable(tmpDir("feed-guards"), numBuckets = 2)
     val v1 = apply(table, Seq(

@@ -122,6 +122,31 @@ class IncrementalAggSpec extends SparkSpecBase {
     refreshAndCheck()
   }
 
+  test("above pruneCap the refresh still writes only O(Δ) rows, not the whole view") {
+    val base = new LakeTable(tmpDir("cap-base"), numBuckets = 4)
+    val view = new LakeTable(tmpDir("cap-view"), numBuckets = 4)
+    val boot = (0 until 24).map(i =>
+      ev(s"conv$i", 0, s"t$i", "2025-01-01 00:00:00", "insert", i.toLong))
+    apply(base, boot, 0L)
+    var from = IncrementalAgg.refreshIntoTable(spark, base, view, 0L)
+    val vBefore = view.currentSnapshot().get.version
+
+    // delta touches ONE conversation; pruneCap = 0 forces the full-view-read
+    // branch — the refresh must still MERGE only the changed row, never
+    // re-upsert the 23 untouched ones (O(state) write amplification)
+    apply(base, Seq(ev("conv3", 1, "xx", "2025-01-01 00:01:00", "insert", 100L)), 1L)
+    from = IncrementalAgg.refreshIntoTable(spark, base, view, from, pruneCap = 0)
+    val vAfter = view.currentSnapshot().get.version
+    val written = ChangeFeed.changesBetween(spark, view, vBefore, vAfter)
+      .select("conv_id").collect().map(_.getString(0)).toSeq
+    assert(written == Seq("conv3"),
+      s"full-read refresh must write only delta conversations, wrote: $written")
+    // and the view state is still exactly the base's stats
+    val viewState = statsMap(view.read(spark)
+      .select("conv_id", "turns", "total_chars", "user_turns"))
+    assert(viewState == statsMap(IncrementalAgg.convStats(base.read(spark))))
+  }
+
   test("refresh prunes: the view read opens only affected conversations' buckets") {
     val base = new LakeTable(tmpDir("prune-base"), numBuckets = 8)
     val view = new LakeTable(tmpDir("prune-view"), numBuckets = 8)

@@ -43,6 +43,24 @@ class TemporalJoinSpec extends SparkSpecBase {
       Seq("uid", "ts", "tag", "asof_v"))
   }
 
+  test("asof join: matched row's nulls survive; multi-column payload from ONE right row") {
+    // right at 10:00:07 carries (v=null, w="late"): the as-of match for a
+    // left row at 10:00:08 is THAT row, so asof_v must be null — never
+    // back-filled from the older (v=1.0, w="early") row — and asof_w must be
+    // "late" (both carried columns from the same matched row, not a mix)
+    val left = Seq(("u1", ts("2025-01-01 10:00:08"), "probe")).toDF("uid", "ts", "tag")
+    val right = Seq(
+      ("u1", ts("2025-01-01 10:00:00"), Some(1.0), "early"),
+      ("u1", ts("2025-01-01 10:00:07"), None: Option[Double], "late")
+    ).toDF("uid", "ts", "v", "w")
+    val row = AsofJoin.asofJoin(left, right, Seq("uid"), "ts", "ts", Seq("v", "w"))
+      .collect().head
+    assert(row.isNullAt(row.fieldIndex("asof_v")),
+      "null value in the matched right row must NOT be back-filled from a stale row")
+    assert(row.getAs[String]("asof_w") == "late",
+      "all carried columns must come from the single matched right row")
+  }
+
   test("asof join: equals a per-row max-ts subquery on random data; plan has no NL join") {
     val n = 2000
     val left = spark.range(n).select(
