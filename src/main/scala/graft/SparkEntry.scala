@@ -793,6 +793,30 @@ object SparkEntry {
       table(s, dir, "documents").select(
         col("doc_id"), Text.fingerprint(col("text"), 3).as("fingerprint"))),
 
+    // Gopher-style INTRA-document repetition stats + keep decision:
+    // duplicate word/2-gram/3-gram fractions as pure per-row expressions
+    // (shuffle-free; the filter cross-document dedup cannot express).
+    "text_repetition" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        round(Text.dupNgramFrac(col("text"), 1), 6).as("dup_word_frac"),
+        round(Text.dupNgramFrac(col("text"), 2), 6).as("dup_2gram_frac"),
+        round(Text.dupNgramFrac(col("text"), 3), 6).as("dup_3gram_frac"),
+        Text.repetitionKeep(col("text")).as("keep"))),
+
+    // Benchmark decontamination (GPT-3/Llama eval-overlap): docs sharing any
+    // word 4-gram with the benchmark slice (doc_id % 25 == 0) are flagged
+    // with their distinct-overlap count. Benchmark grams broadcast; corpus
+    // side never shuffles before the per-doc count agg. Production n is
+    // 8–13; n=4 matches the synthetic corpus' ~50-token documents.
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.operators.Dedup.contamination(
+          docs.filter(col("doc_id") % 25 =!= 0),
+          docs.filter(col("doc_id") % 25 === 0), n = 4)
+        .select(col("id").as("doc_id"), col("n_overlap"))
+    }),
+
     // Exact interpolated percentiles of document length (the curation
     // length-cutoff picker). Spark `percentile` and DuckDB `quantile_cont`
     // share the (n-1)·p linear-interpolation definition — library parity.
@@ -1733,6 +1757,48 @@ object SparkEntry {
         |  ROUND(CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
         |    GREATEST(LENGTH(text), 1), 6) AS alpha_ratio
         |FROM documents""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, w AS g1,
+        |    list_transform(range(1, greatest(len(w), 1)),
+        |      i -> w[i] || ' ' || w[i+1]) AS g2,
+        |    list_transform(range(1, greatest(len(w)-1, 1)),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(g1)=0 THEN 0.0
+        |      ELSE CAST(len(g1)-len(list_distinct(g1)) AS DOUBLE)/len(g1) END AS f1,
+        |    CASE WHEN len(g2)=0 THEN 0.0
+        |      ELSE CAST(len(g2)-len(list_distinct(g2)) AS DOUBLE)/len(g2) END AS f2,
+        |    CASE WHEN len(g3)=0 THEN 0.0
+        |      ELSE CAST(len(g3)-len(list_distinct(g3)) AS DOUBLE)/len(g3) END AS f3
+        |  FROM g)
+        |SELECT doc_id,
+        |  ROUND(f1, 6) AS dup_word_frac,
+        |  ROUND(f2, 6) AS dup_2gram_frac,
+        |  ROUND(f3, 6) AS dup_3gram_frac,
+        |  (f2 <= 0.20 AND f3 <= 0.18) AS keep
+        |FROM f""".stripMargin,
+
+    "text_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(w)-2, 1)),
+        |    i -> array_to_string(w[i:i+3], ' '))) AS grams
+        |  FROM t),
+        |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 25 = 0),
+        |dg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 25 <> 0)
+        |SELECT dg.doc_id, COUNT(*) AS n_overlap
+        |FROM dg JOIN bg USING (gram)
+        |GROUP BY dg.doc_id""".stripMargin,
 
     "text_langid" ->
       """WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),

@@ -103,6 +103,45 @@ object Text {
   def fingerprint(text: Column, n: Int = 3): Column =
     array_min(transform(wordShingles(text, n), s => md5(s)))
 
+  /** Fraction of word n-gram occurrences that repeat an earlier occurrence
+    * within the same document — `1 - distinct/total` over [[wordShingles]]
+    * (0 for docs with fewer than n tokens). The Gopher repetition-filter
+    * family (Rae et al. 2021, appendix A1.1) restated over whitespace
+    * tokens; n=1 is the duplicate-word fraction. Pure per-row expressions:
+    * runs shuffle-free inside the scan's codegen stage at any scale.
+    */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val grams = wordShingles(text, n)
+    when(size(grams) <= 0, lit(0.0))
+      .otherwise((size(grams) - size(array_distinct(grams))).cast("double") /
+        size(grams).cast("double"))
+  }
+
+  /** Names of the repetition rules a document FAILS (empty array = keep):
+    * Gopher-style thresholds on the duplicate 2-gram / 3-gram fractions —
+    * the intra-document repetition filter that catches boilerplate and
+    * degenerate generations exact/near dedup cannot (those compare ACROSS
+    * documents; this one looks inside a single document).
+    */
+  def repetitionFailReasons(text: Column,
+      maxDup2gramFrac: Double = 0.20,
+      maxDup3gramFrac: Double = 0.18): Column = {
+    val rules: Seq[(String, Column)] = Seq(
+      "high_dup_2grams" -> (dupNgramFrac(text, 2) > maxDup2gramFrac),
+      "high_dup_3grams" -> (dupNgramFrac(text, 3) > maxDup3gramFrac))
+    filter(
+      array(rules.map { case (name, failed) =>
+        when(failed, lit(name)).otherwise(lit(null).cast("string"))
+      }: _*),
+      x => x.isNotNull)
+  }
+
+  /** Keep/drop decision: true iff no repetition rule fails. */
+  def repetitionKeep(text: Column,
+      maxDup2gramFrac: Double = 0.20,
+      maxDup3gramFrac: Double = 0.18): Column =
+    size(repetitionFailReasons(text, maxDup2gramFrac, maxDup3gramFrac)) === 0
+
   /** PII redaction for training-data scrubbing: emails → `<EMAIL>`, IPv4
     * literals → `<IP>`, phone-like digit runs → `<PHONE>`. Pure codegen'd
     * regexp_replace chain; patterns stay inside the RE2 ∩ java.util.regex

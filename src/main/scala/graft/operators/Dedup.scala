@@ -388,4 +388,34 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Benchmark DECONTAMINATION — the n-gram overlap test every serious
+    * training-data pipeline runs before training (the GPT-3 appendix-C /
+    * Llama eval-overlap procedure): flag corpus documents that share any
+    * word n-gram with a benchmark/eval set, so evaluation data can be
+    * excluded from the training corpus. Returns one row per CONTAMINATED
+    * document: (id, n_overlap) where n_overlap counts the DISTINCT
+    * benchmark n-grams the document contains; clean documents are absent.
+    *
+    * Direction matters: the benchmark side is eval-suite-sized (MBs even
+    * for a full eval harness) while the corpus is the 100-TB side — so the
+    * distinct benchmark gram set is BROADCAST and the corpus side streams
+    * through the join with no shuffle before the per-doc count aggregation
+    * (map-side combinable, keyed by id). Production n is 8–13 tokens
+    * (GPT-3 used 13); the gate uses a smaller n matched to the synthetic
+    * corpus' short documents.
+    */
+  def contamination(docs: DataFrame, bench: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val benchGrams = bench
+      .select(explode(array_distinct(Text.wordShingles(col(textCol), n))).as("gram"))
+      .distinct()
+    docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(Text.wordShingles(col(textCol), n))).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      // both sides are distinct gram sets, so rows are unique per (id, gram)
+      // and a plain count IS the distinct-overlap count
+      .groupBy("id").agg(count(lit(1)).as("n_overlap"))
+  }
 }

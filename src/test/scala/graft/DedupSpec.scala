@@ -140,4 +140,27 @@ class DedupSpec extends SparkSpecBase {
     // reaches jaccard 0.1 from the remaining unique shingles
     assert(withCap.count() == 0)
   }
+
+  test("decontamination: n-gram overlap vs benchmark flags exactly the leaking docs") {
+    val bench = Seq(
+      (100L, "what is the capital of france paris obviously"),
+      (101L, "select the best answer from the options below")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // carries bench 100's 8-gram verbatim inside longer text → contaminated
+      (0L, "trivia time what is the capital of france paris obviously says the quiz"),
+      // shares only short fragments (< n tokens contiguous) → clean
+      (1L, "the capital markets of france are in paris"),
+      // verbatim copy of bench 101 → contaminated
+      (2L, "select the best answer from the options below"),
+      (3L, "a completely unrelated document about spark shuffles")).toDF("doc_id", "text")
+    val got = Dedup.contamination(corpus, bench, n = 8).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_overlap")).toMap
+    assert(got.keySet == Set(0L, 2L))
+    // doc 0 contains exactly one benchmark 8-gram window; doc 2 (8 tokens)
+    // IS one 8-gram
+    assert(got(0L) == 1L && got(2L) == 1L)
+    // a doc shorter than n tokens can never be flagged (no 8-gram exists)
+    val short = Seq((9L, "too short to hold any gram")).toDF("doc_id", "text")
+    assert(Dedup.contamination(short, bench, n = 8).count() == 0)
+  }
 }

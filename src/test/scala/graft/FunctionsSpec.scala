@@ -243,6 +243,28 @@ class FunctionsSpec extends SparkSpecBase {
     assert(ch.head == "the" && ch.forall(_.length == 3))
   }
 
+  test("repetition stats: duplicate n-gram fractions and the keep decision") {
+    val df = Seq(
+      "a a a b",            // words: 3 dup of 4 = ... g1: [a,a,a,b] → (4-2)/4 = 0.5
+      "spam spam spam spam", // fully degenerate: g1 0.75, g2 ["spam spam"×3] → 2/3
+      "one two three four",  // all distinct → 0 everywhere
+      "",                    // empty → 0 everywhere (no grams)
+      "xy"                   // single token: no 2/3-grams → 0
+    ).toDF("t")
+    def fracs(n: Int): Seq[Double] =
+      df.select(Text.dupNgramFrac($"t", n)).collect().map(_.getDouble(0)).toSeq
+    assert(fracs(1) == Seq(0.5, 0.75, 0.0, 0.0, 0.0))
+    assert(fracs(2)(0) == 1.0 / 3) // [a a, a a, a b] → 1 dup of 3
+    assert(fracs(2)(1) == 2.0 / 3)
+    assert(fracs(2).drop(2) == Seq(0.0, 0.0, 0.0))
+    val keep = df.select(Text.repetitionKeep($"t")).collect().map(_.getBoolean(0)).toSeq
+    assert(keep == Seq(false, false, true, true, true))
+    val why = df.select(Text.repetitionFailReasons($"t")).collect()
+      .map(_.getSeq[String](0)).toSeq
+    assert(why(1) == Seq("high_dup_2grams", "high_dup_3grams"))
+    assert(why(2).isEmpty)
+  }
+
   test("langid heuristic picks obvious languages") {
     val df = Seq(
       "the cat and the dog is with us",
