@@ -7,10 +7,17 @@ import org.apache.spark.sql.functions._
   * `binary` columns with a typed metadata struct, and run decode /
   * feature-extract / frame-sample stages as partition-local batch transforms.
   *
-  * The actual codec step is STUBBED ([[FakeCodec]] — image/audio libraries
-  * are not available in this environment); everything Spark-cares-about is
-  * real and tested: schema, binary column handling, partition-local batched
-  * execution (`mapPartitions` over a typed Dataset — the Scala analog of
+  * The codec layer is split by what this environment can honestly do:
+  *   - [[RealCodec]] REALLY decodes the pure-byte-layout formats (WAV/PCM
+  *     audio → duration/RMS/peak/per-window frame RMS; PPM + 24-bit BMP
+  *     images → dimensions/channel means/nearest-neighbor thumbnail
+  *     resize) with zero native libraries — [[decodeMedia]] is the stage;
+  *   - compressed codecs (JPEG/MP3/H.264) need libjpeg/ffmpeg-class
+  *     bindings that are absent here and stay behind the deterministic
+  *     [[FakeCodec]] stub (and RealCodec's structured `unsupported` rows).
+  * Everything Spark-cares-about is real and tested either way: schema,
+  * binary column handling, partition-local batched execution
+  * (`mapPartitions` over a typed Dataset — the Scala analog of
   * `mapInPandas` batches), deterministic partitioning by content hash, and
   * pushdown-friendly metadata columns kept OUTSIDE the blob so scans that
   * only need width/height/duration never touch bytes.
@@ -98,5 +105,26 @@ object Multimodal {
     balanced.as[MediaRow].mapPartitions { it =>
       it.map(r => FakeCodec.extract(r, frameEveryMs))
     }
+  }
+
+  /** REAL decode stage over (media_id, payload): [[RealCodec]] sniffs each
+    * blob's magic bytes and decodes WAV / PPM / BMP in pure JVM; anything
+    * needing a native codec comes back as a structured `ok = false` row
+    * (one corrupt or unsupported blob costs one row, never a task failure —
+    * the C10 error-routing contract). Same partition-local batch shape as
+    * [[extractFeatures]]; accepts any frame with those two columns
+    * (syntheticCorpus, fromBinaryFiles, or a lake table projection).
+    */
+  def decodeMedia(media: DataFrame, frameEveryMs: Long = 250L,
+      thumbSize: Int = 4, partitions: Int = 0): Dataset[RealCodec.Decoded] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val balanced = if (partitions > 0)
+      media.repartition(partitions, xxhash64(col("media_id"))) else media
+    balanced.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) => RealCodec.decode(id, bytes, frameEveryMs, thumbSize) }
+      }
   }
 }

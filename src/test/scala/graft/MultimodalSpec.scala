@@ -1,8 +1,115 @@
 package graft
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{Multimodal, RealCodec}
 
 class MultimodalSpec extends SparkSpecBase {
+
+  // ---- byte-exact fixtures for the pure-JVM real codec ----
+
+  /** Mono 16-bit PCM WAV at `rate` Hz, every sample = `value`. */
+  private def wav16(rate: Int, nSamples: Int, value: Short,
+      channels: Int = 1): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes); buf.putInt(36 + dataLen); buf.put("WAVE".getBytes)
+    buf.put("fmt ".getBytes); buf.putInt(16)
+    buf.putShort(1) // PCM
+    buf.putShort(channels.toShort)
+    buf.putInt(rate)
+    buf.putInt(rate * channels * 2) // byte rate
+    buf.putShort((channels * 2).toShort) // block align
+    buf.putShort(16) // bits
+    buf.put("data".getBytes); buf.putInt(dataLen)
+    (0 until nSamples).foreach(_ => buf.putShort(value))
+    buf.array()
+  }
+
+  /** 2×2 P6 PPM with a comment line: red, green / blue, white. */
+  private def ppm2x2: Array[Byte] = {
+    val header = "P6\n# test fixture\n2 2\n255\n".getBytes("US-ASCII")
+    val px = Array[Int](255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte)
+    header ++ px
+  }
+
+  /** 3×2 24-bit bottom-up BMP with row padding (rowBytes 12 for 9 data
+    * bytes). Logical top-down pixels: row0 (10,20,30)(40,50,60)(70,80,90),
+    * row1 (1,2,3)(4,5,6)(7,8,9) — stored bottom-up in BGR.
+    */
+  private def bmp3x2: Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(54 + 24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte); buf.put('M'.toByte)
+    buf.putInt(54 + 24); buf.putInt(0); buf.putInt(54) // file size, reserved, pixel offset
+    buf.putInt(40); buf.putInt(3); buf.putInt(2) // info size, width, height (bottom-up)
+    buf.putShort(1); buf.putShort(24); buf.putInt(0) // planes, bpp, BI_RGB
+    buf.putInt(24); buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0)
+    def bgr(r: Int, g: Int, b: Int): Unit = {
+      buf.put(b.toByte); buf.put(g.toByte); buf.put(r.toByte)
+    }
+    // stored first = logical BOTTOM row
+    bgr(1, 2, 3); bgr(4, 5, 6); bgr(7, 8, 9); buf.put(Array[Byte](0, 0, 0))
+    bgr(10, 20, 30); bgr(40, 50, 60); bgr(70, 80, 90); buf.put(Array[Byte](0, 0, 0))
+    buf.array()
+  }
+
+  test("real codec: WAV PCM decode — duration, RMS, peak, frame windows") {
+    // 8000 constant half-scale samples at 8000 Hz = exactly 1 s at RMS 0.5
+    val d = RealCodec.decode(1L, wav16(8000, 8000, 16384), frameEveryMs = 250L)
+    assert(d.ok && d.format == "wav")
+    assert(d.channels == 1 && d.sample_rate == 8000 && d.duration_ms == 1000L)
+    assert(math.abs(d.rms - 0.5) < 1e-9 && math.abs(d.peak - 0.5) < 1e-9)
+    assert(d.frame_rms.length == 4) // 4 × 250 ms windows
+    assert(d.frame_rms.forall(r => math.abs(r - 0.5) < 1e-9))
+    // stereo: 2 channels halve the frame count for the same sample count
+    val st = RealCodec.decode(2L, wav16(4000, 16, 16384, channels = 2))
+    assert(st.ok && st.channels == 2 && st.duration_ms == 8 * 1000L / 4000L)
+    // non-PCM fails structurally, not with an exception
+    val bytes = wav16(8000, 4, 100)
+    bytes(20) = 3 // audioFormat = IEEE float
+    val bad = RealCodec.decode(3L, bytes)
+    assert(!bad.ok && bad.error.contains("non-PCM"))
+  }
+
+  test("real codec: PPM and BMP decode — dimensions, channel means, thumbnail resize") {
+    val p = RealCodec.decode(10L, ppm2x2, thumbSize = 2)
+    assert(p.ok && p.format == "ppm" && p.width == 2 && p.height == 2)
+    assert(p.mean_r == 127.5 && p.mean_g == 127.5 && p.mean_b == 127.5)
+    // NN thumbnail at 2×2 over a 2×2 source is the grayscale of each pixel
+    assert(p.thumb.toSeq == Seq(85, 85, 85, 255).map(_.toByte))
+
+    val b = RealCodec.decode(11L, bmp3x2, thumbSize = 4)
+    assert(b.ok && b.format == "bmp" && b.width == 3 && b.height == 2)
+    assert(b.mean_r == 22.0 && b.mean_g == 27.5 && b.mean_b == 33.0)
+    // bottom-up storage normalized: top logical row grays (20,50,80) first
+    assert(b.thumb.toSeq == Seq(20, 50, 50, 80, 20, 50, 50, 80, 2, 5, 5, 8, 2, 5, 5, 8)
+      .map(_.toByte))
+
+    // corrupt/unsupported blobs return structured errors
+    assert(!RealCodec.decode(12L, ppm2x2.take(10)).ok)
+    assert(!RealCodec.decode(13L, Array[Byte](0xFF.toByte, 0xD8.toByte, 0, 0)).ok) // JPEG magic
+    val trunc = bmp3x2.take(60)
+    assert(!RealCodec.decode(14L, trunc).ok)
+  }
+
+  test("real codec: distributed decode stage over binaryFile source") {
+    val dir = tmpDir("mm-real")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "tone.wav"), wav16(8000, 8000, 16384))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "pix.ppm"), ppm2x2)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "pic.bmp"), bmp3x2)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "blob.jpg"),
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 1, 2, 3))
+    val decoded = Multimodal.decodeMedia(
+      Multimodal.fromBinaryFiles(spark, dir), frameEveryMs = 250L, thumbSize = 2,
+      partitions = 2).collect()
+    assert(decoded.length == 4)
+    val byFormat = decoded.groupBy(_.format)
+    assert(byFormat("wav").head.ok && byFormat("wav").head.duration_ms == 1000L)
+    assert(byFormat("ppm").head.ok && byFormat("ppm").head.width == 2)
+    assert(byFormat("bmp").head.ok && byFormat("bmp").head.mean_b == 33.0)
+    // the compressed format degrades to a structured row, not a task failure
+    assert(!byFormat("unsupported").head.ok)
+  }
 
   test("binary payload plumbing: schema, partition-local extract, determinism") {
     val corpus = Multimodal.syntheticCorpus(spark, "/root/testdata/sf0.001")
