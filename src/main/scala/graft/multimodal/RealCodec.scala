@@ -1,33 +1,42 @@
 package graft.multimodal
 
-/** REAL media decoding for the formats decodable in pure JVM with zero
-  * native libraries — the honest upgrade of [[Multimodal.FakeCodec]]'s
-  * environment-blocked stub. Compressed codecs (JPEG/PNG/MP3/H.264) need
-  * libjpeg/ffmpeg-class bindings this environment does not have, and those
-  * stay behind the stub boundary; but the CONTAINER formats are plain byte
-  * layouts:
+/** REAL media decoding in pure JVM with zero EXTERNAL libraries — the
+  * honest replacement of [[Multimodal.FakeCodec]]'s environment-blocked
+  * stub for everything the JDK itself can decode:
   *
-  *   - WAV (RIFF/PCM, 8-bit unsigned + 16-bit signed LE): sample rate,
-  *     channels, exact duration, peak + RMS amplitude, per-window RMS
-  *     frame sampling (the audio "frame-sample" stage);
-  *   - PPM (P6 binary, maxval ≤ 255): width/height, per-channel means,
-  *     nearest-neighbor grayscale thumbnail (the image "resize" stage);
-  *   - BMP (BITMAPINFOHEADER, uncompressed 24-bit, bottom-up or top-down):
-  *     same features as PPM, including 4-byte row padding and row-order
-  *     normalization.
+  *   - WAV (RIFF/PCM, 8-bit unsigned + 16-bit signed LE) via a from-scratch
+  *     chunk parser: sample rate, channels, exact duration, peak + RMS
+  *     amplitude, per-window RMS frame sampling (the audio "frame-sample"
+  *     stage);
+  *   - PPM (P6 binary, maxval ≤ 255) and BMP (uncompressed 24-bit, bottom-
+  *     up or top-down incl. 4-byte row padding) via from-scratch parsers:
+  *     width/height, per-channel means, nearest-neighbor grayscale
+  *     thumbnail (the image "resize" stage);
+  *   - COMPRESSED images — PNG, JPEG, GIF, and BMP variants the custom
+  *     parser declines (8/32-bit, RLE) — via the JDK's own `javax.imageio`
+  *     (java.desktop ships PNG/JPEG/GIF/BMP/WBMP readers in every standard
+  *     JDK, headless-safe): same image features, REAL inflate/IDCT decode.
   *
-  * Dispatch is by CONTENT (magic bytes), not by file extension — a
-  * mislabeled blob decodes by what it is. Every failure mode (truncated
-  * header, unsupported bit depth, short pixel data) returns a structured
-  * `ok = false` row with the reason instead of throwing: one corrupt blob
-  * in a 100-TB corpus must cost one bad row, not a task retry storm —
-  * the same error-routing contract as the text sources (C10).
+  * What remains stubbed is only what the JDK truly cannot decode: video
+  * (H.264/VP9) and compressed audio (MP3/AAC/FLAC) need ffmpeg-class
+  * native bindings absent from this environment.
+  *
+  * Dispatch is by CONTENT (magic bytes → custom parser; otherwise probe
+  * ImageIO's reader registry), not by file extension — a mislabeled blob
+  * decodes by what it is. Every failure mode (truncated header,
+  * unsupported bit depth, short pixel data, codec error) returns a
+  * structured `ok = false` row with the reason instead of throwing: one
+  * corrupt blob in a 100-TB corpus must cost one bad row, not a task retry
+  * storm — the same error-routing contract as the text sources (C10).
   *
   * All decoding is allocation-light and partition-local: the decoder holds
   * no state between blobs, so [[Multimodal.decodeMedia]] runs it inside
   * `mapPartitions` exactly like a native codec binding would be run.
   */
 object RealCodec {
+
+  // executors have no display; ImageIO only needs headless AWT
+  java.lang.System.setProperty("java.awt.headless", "true")
 
   /** One decoded blob. `ok = false` rows carry `error` and zeros elsewhere.
     * Arrays (not Seq) for state-store/encoder friendliness, same as
@@ -73,9 +82,45 @@ object RealCodec {
     if (payload.length >= 12 && ascii(payload, 0, 4) == "RIFF" &&
       ascii(payload, 8, 4) == "WAVE") decodeWav(id, payload, frameEveryMs)
     else if (payload(0) == 'P' && payload(1) == '6') decodePpm(id, payload, thumbSize)
-    else if (payload(0) == 'B' && payload(1) == 'M') decodeBmp(id, payload, thumbSize)
-    else bad(id, "unsupported",
-      "unrecognized magic (compressed codecs require native libs — stubbed)")
+    else if (payload(0) == 'B' && payload(1) == 'M') {
+      // custom fast path for the common uncompressed-24-bit layout; BMP
+      // variants it declines (8/32-bit, RLE) fall through to the JDK reader
+      val d = decodeBmp(id, payload, thumbSize)
+      if (d.ok) d else {
+        val via = decodeImageIO(id, payload, thumbSize)
+        if (via.ok) via else d // keep the structural parser's error
+      }
+    }
+    else decodeImageIO(id, payload, thumbSize) // PNG/JPEG/GIF via the JDK
+  }
+
+  /** JDK `javax.imageio` path: probes the reader registry by content. The
+    * JDK ships real PNG (inflate), JPEG (IDCT), GIF (LZW), BMP and WBMP
+    * decoders in java.desktop — no external libraries. A payload no
+    * registered reader claims (video, compressed audio) reports the honest
+    * stub boundary.
+    */
+  private def decodeImageIO(id: Long, b: Array[Byte], thumbSize: Int): Decoded = {
+    import javax.imageio.ImageIO
+    val in = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(b))
+    try {
+      val readers = ImageIO.getImageReaders(in)
+      if (!readers.hasNext)
+        return bad(id, "unsupported",
+          "no JDK decoder for this payload (video / compressed audio need native libs — stubbed)")
+      val reader = readers.next()
+      val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+      try {
+        reader.setInput(in)
+        val img = reader.read(0)
+        imageFeatures(id, fmt, img.getWidth, img.getHeight, thumbSize) { (x, y) =>
+          val rgb = img.getRGB(x, y)
+          (((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF))
+        }
+      } catch {
+        case e: Exception => bad(id, fmt, s"decode failed: ${e.getMessage}")
+      } finally reader.dispose()
+    } finally if (in != null) in.close()
   }
 
   // ---------------------------------------------------------------- WAV --

@@ -87,9 +87,45 @@ class MultimodalSpec extends SparkSpecBase {
 
     // corrupt/unsupported blobs return structured errors
     assert(!RealCodec.decode(12L, ppm2x2.take(10)).ok)
-    assert(!RealCodec.decode(13L, Array[Byte](0xFF.toByte, 0xD8.toByte, 0, 0)).ok) // JPEG magic
+    val jpegStub = RealCodec.decode(13L, Array[Byte](0xFF.toByte, 0xD8.toByte, 0, 0))
+    assert(!jpegStub.ok && jpegStub.format == "jpeg") // claimed by the JDK reader, fails structurally
     val trunc = bmp3x2.take(60)
     assert(!RealCodec.decode(14L, trunc).ok)
+    // genuinely undecodable payloads name the honest stub boundary
+    val mp3ish = RealCodec.decode(15L, Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 0))
+    assert(!mp3ish.ok && mp3ish.error.contains("native libs"))
+  }
+
+  test("real codec: compressed images decode through the JDK's ImageIO (PNG exact, JPEG lossy)") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // 2×2 PNG with known pixels — PNG is lossless, so means are exact
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00)
+    img.setRGB(0, 1, 0x0000FF); img.setRGB(1, 1, 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    val p = RealCodec.decode(20L, bos.toByteArray, thumbSize = 2)
+    assert(p.ok && p.format == "png" && p.width == 2 && p.height == 2)
+    assert(p.mean_r == 127.5 && p.mean_g == 127.5 && p.mean_b == 127.5)
+    assert(p.thumb.toSeq == Seq(85, 85, 85, 255).map(_.toByte)) // same as the PPM twin
+
+    // JPEG: lossy DCT — decode must succeed with plausible (not exact) means
+    val grey = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    (0 until 8).foreach(y => (0 until 8).foreach(x => grey.setRGB(x, y, 0x808080)))
+    val jb = new java.io.ByteArrayOutputStream()
+    ImageIO.write(grey, "jpg", jb)
+    val j = RealCodec.decode(21L, jb.toByteArray, thumbSize = 2)
+    assert(j.ok && j.format == "jpeg" && j.width == 8 && j.height == 8)
+    assert(math.abs(j.mean_r - 128.0) < 4 && math.abs(j.mean_b - 128.0) < 4)
+
+    // GIF (LZW): decoded by the JDK reader, exact for a solid color
+    val argb = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    (0 until 2).foreach(y => (0 until 2).foreach(x => argb.setRGB(x, y, 0x406080)))
+    val gif = new java.io.ByteArrayOutputStream()
+    ImageIO.write(argb, "gif", gif)
+    val g = RealCodec.decode(22L, gif.toByteArray, thumbSize = 2)
+    assert(g.ok && g.format == "gif" && g.mean_r == 64.0 && g.mean_g == 96.0 && g.mean_b == 128.0)
   }
 
   test("real codec: distributed decode stage over binaryFile source") {
@@ -98,17 +134,27 @@ class MultimodalSpec extends SparkSpecBase {
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "pix.ppm"), ppm2x2)
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "pic.bmp"), bmp3x2)
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "blob.jpg"),
-      Array[Byte](0xFF.toByte, 0xD8.toByte, 1, 2, 3))
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 1, 2, 3)) // truncated JPEG
+    val png = {
+      val img = new java.awt.image.BufferedImage(2, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 1, 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "pic2.png"), png)
     val decoded = Multimodal.decodeMedia(
       Multimodal.fromBinaryFiles(spark, dir), frameEveryMs = 250L, thumbSize = 2,
       partitions = 2).collect()
-    assert(decoded.length == 4)
+    assert(decoded.length == 5)
     val byFormat = decoded.groupBy(_.format)
     assert(byFormat("wav").head.ok && byFormat("wav").head.duration_ms == 1000L)
     assert(byFormat("ppm").head.ok && byFormat("ppm").head.width == 2)
     assert(byFormat("bmp").head.ok && byFormat("bmp").head.mean_b == 33.0)
-    // the compressed format degrades to a structured row, not a task failure
-    assert(!byFormat("unsupported").head.ok)
+    assert(byFormat("png").head.ok && byFormat("png").head.width == 2)
+    // a corrupt compressed blob degrades to a structured row, not a task failure
+    assert(!byFormat("jpeg").head.ok)
   }
 
   test("binary payload plumbing: schema, partition-local extract, determinism") {
