@@ -1095,6 +1095,31 @@ object SparkEntry {
       Multimodal.extractFeatures(Multimodal.syntheticCorpus(s, dir))
         .toDF().select("media_id", "kind", "n_bytes", "checksum")),
 
+    // REAL-codec round trip under the oracle: Spark BUILDS a deterministic
+    // PCM WAV per document (constant amplitude derived from doc_id, length
+    // from n_chars) and DECODES it with the from-scratch RIFF parser; the
+    // oracle computes the same features in closed form. Every numeric path
+    // of the codec (header layout, sample normalization, duration math,
+    // RMS/peak fold) is hash-pinned. All arithmetic is exact in IEEE
+    // doubles (dyadic amplitudes, n·v² sums within 53 bits), so the hashes
+    // cannot drift.
+    "mm_decode_wav" -> ((s, dir) => {
+      import s.implicits._
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nChars) =>
+          val nSamples = ((nChars % 100) + 1).toInt * 80
+          val amp = ((id * 7919) % 32768).toShort
+          (id, graft.multimodal.RealCodec.encodeWavPcm16(
+            8000, 1, Array.fill(nSamples)(amp)))
+        }).toDF("media_id", "payload")
+      Multimodal.decodeMedia(media, frameEveryMs = 250L)
+        .toDF().select(col("media_id").as("doc_id"),
+          col("sample_rate"), col("channels"), col("duration_ms"),
+          round(col("rms"), 6).as("rms"), round(col("peak"), 6).as("peak"))
+    }),
+
     // AS-OF join (temporal lookup — an operator core Spark lacks,
     // SPARK-22947): each click joined to the user's latest at-or-before
     // view. Merge formulation: ONE shuffle+sort, no range-pair blowup; the
@@ -1946,6 +1971,18 @@ object SparkEntry {
         |    ELSE 'video' END AS kind,
         |  strlen(text) AS n_bytes,
         |  md5(text) AS checksum
+        |FROM documents""".stripMargin,
+
+    // closed-form twin of the WAV build+decode round trip: duration =
+    // nSamples/8 ms (rate 8000), rms = peak = amp/32768 for a constant-
+    // amplitude signal — exact dyadic doubles on both engines
+    "mm_decode_wav" ->
+      """SELECT doc_id,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  ((n_chars % 100) + 1) * 10 AS duration_ms,
+        |  ROUND(((doc_id * 7919) % 32768) / 32768.0, 6) AS rms,
+        |  ROUND(((doc_id * 7919) % 32768) / 32768.0, 6) AS peak
         |FROM documents""".stripMargin,
 
     // DuckDB's NATIVE ASOF JOIN is the oracle for the merge-formulation

@@ -125,6 +125,34 @@ object RealCodec {
 
   // ---------------------------------------------------------------- WAV --
 
+  /** Minimal PCM16-LE WAV encoder — the write twin of the parser (used by
+    * the synthetic media corpus and the encode→decode round-trip gate;
+    * `samples` are interleaved when channels > 1).
+    */
+  def encodeWavPcm16(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0, "encodeWavPcm16: bad format args")
+    require(samples.length % channels == 0, "encodeWavPcm16: partial sample frame")
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.putInt(36 + dataLen)
+    buf.put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.putInt(16)
+    buf.putShort(1) // PCM
+    buf.putShort(channels.toShort)
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * channels * 2)
+    buf.putShort((channels * 2).toShort)
+    buf.putShort(16)
+    buf.put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+    buf.array()
+  }
+
   private def decodeWav(id: Long, b: Array[Byte], frameEveryMs: Long): Decoded = {
     // RIFF chunk walk: [id:4][size:4][payload:size, word-aligned]
     var fmtOff = -1

@@ -69,6 +69,15 @@ class MultimodalSpec extends SparkSpecBase {
     bytes(20) = 3 // audioFormat = IEEE float
     val bad = RealCodec.decode(3L, bytes)
     assert(!bad.ok && bad.error.contains("non-PCM"))
+    // encoder round trip: decode(encodeWavPcm16(...)) matches an
+    // independent in-memory fold on pseudo-random samples
+    val rnd = new scala.util.Random(7)
+    val samples = Array.fill(1234)(rnd.nextInt(65536).toShort)
+    val rt = RealCodec.decode(4L, RealCodec.encodeWavPcm16(44100, 1, samples))
+    assert(rt.ok && rt.sample_rate == 44100 && rt.duration_ms == 1234L * 1000 / 44100)
+    val vs = samples.map(s => s.toDouble / 32768.0)
+    assert(math.abs(rt.rms - math.sqrt(vs.map(v => v * v).sum / vs.length)) < 1e-12)
+    assert(math.abs(rt.peak - vs.map(math.abs).max) < 1e-12)
   }
 
   test("real codec: PPM and BMP decode — dimensions, channel means, thumbnail resize") {
