@@ -177,6 +177,31 @@ object SparkEntry {
             t => concat_ws(": ", t.getField("role"), t.getField("text"))), "\n")
             .as("transcript"))),
 
+    // TRANSCRIPT-level curation filter (the payload-specific quality gate a
+    // training pipeline runs before export): per conversation — turn count,
+    // user-turn count, tool usage, role-alternation violations (adjacent
+    // same-role turns), turn-index gaps (deleted turns), mean turn length,
+    // keep decision. One windowed pass + one agg on the SAME key: AQE
+    // reuses the window's hash partitioning for the groupBy, no second
+    // exchange.
+    "cdc_conv_quality" -> ((s, dir) => {
+      val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+      replayFinal(s, dir)
+        .withColumn("__same_role",
+          when(col("role") === lag(col("role"), 1).over(w), 1L).otherwise(0L))
+        .groupBy("conv_id")
+        .agg(
+          count(lit(1)).as("n_turns"),
+          sum(when(col("role") === "user", 1L).otherwise(0L)).as("n_user"),
+          bool_or(col("tool").isNotNull).as("has_tool"),
+          sum(col("__same_role")).as("role_violations"),
+          (max("turn_idx") - min("turn_idx") + 1 - count(lit(1)))
+            .cast("long").as("idx_gaps"),
+          round(avg(coalesce(length(col("text")), lit(0))), 4).as("mean_chars"))
+        .withColumn("keep",
+          col("n_turns") >= 2 && col("role_violations") === 0 && col("idx_gaps") === 0)
+    }),
+
     // Sliding context→target pairs (instruction-tuning example mining):
     // each turn with ≥1 predecessor emits (context = up to 3 previous turns
     // joined, target = this turn's text). ONE windowed pass — the frame is
@@ -1408,6 +1433,31 @@ object SparkEntry {
          |  string_agg(concat_ws(': ', role, text), chr(10) ORDER BY turn_idx)
          |    AS transcript
          |FROM winners GROUP BY conv_id""".stripMargin,
+
+    "cdc_conv_quality" ->
+      s"""$C , winners AS (
+         |  SELECT conv_id, turn_idx, role, text, tool FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+         |      ORDER BY ts DESC, seq DESC) AS rn FROM changelog) t
+         |  WHERE rn = 1 AND op <> 'delete'),
+         |flagged AS (
+         |  SELECT conv_id, turn_idx, role, text, tool,
+         |    CASE WHEN role = lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         |      THEN 1 ELSE 0 END AS same_role
+         |  FROM winners),
+         |agg AS (
+         |  SELECT conv_id,
+         |    COUNT(*) AS n_turns,
+         |    CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+         |    bool_or(tool IS NOT NULL) AS has_tool,
+         |    CAST(SUM(same_role) AS BIGINT) AS role_violations,
+         |    CAST(MAX(turn_idx) - MIN(turn_idx) + 1 - COUNT(*) AS BIGINT) AS idx_gaps,
+         |    ROUND(AVG(COALESCE(LENGTH(text), 0)), 4) AS mean_chars
+         |  FROM flagged GROUP BY conv_id)
+         |SELECT conv_id, n_turns, n_user, has_tool, role_violations, idx_gaps,
+         |  mean_chars,
+         |  (n_turns >= 2 AND role_violations = 0 AND idx_gaps = 0) AS keep
+         |FROM agg""".stripMargin,
 
     "cdc_context_pairs" ->
       s"""$C , winners AS (
