@@ -842,6 +842,19 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_overlap"))
     }),
 
+    // CCNet-style LM-perplexity quality filter: a Stupid-Backoff bigram LM
+    // trained on the "clean reference" slice (doc_id % 4 != 0, minCount=2
+    // pruning — the step that makes the model broadcastable), then EVERY
+    // document scored under it (per-token log10 cross-entropy + keep cut).
+    // Train = two gram-count hash aggs; score = broadcast-LM joins + one
+    // per-doc agg — the corpus never shuffles before the final agg.
+    "text_lm_perplexity" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val model = graft.operators.NgramLm.trainBigram(
+        docs.filter(col("doc_id") % 4 =!= 0), minCount = 2)
+      graft.operators.NgramLm.scoreStupidBackoff(docs, model)
+    }),
+
     // Exact interpolated percentiles of document length (the curation
     // length-cutoff picker). Spark `percentile` and DuckDB `quantile_cont`
     // share the (n-1)·p linear-interpolation definition — library parity.
@@ -1832,6 +1845,44 @@ object SparkEntry {
         |  ROUND(CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
         |    GREATEST(LENGTH(text), 1), 6) AS alpha_ratio
         |FROM documents""".stripMargin,
+
+    // Stupid-Backoff mirror: same tokenization, same minCount=2 pruning,
+    // same OOV floor (alpha/N), same first-token-pays-no-backoff rule.
+    "text_lm_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |train AS (SELECT w FROM toks WHERE doc_id % 4 <> 0),
+        |uni_all AS (SELECT unnest(w) AS g FROM train),
+        |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM uni_all),
+        |uni AS (SELECT g, COUNT(*) AS c FROM uni_all GROUP BY g
+        |        HAVING COUNT(*) >= 2),
+        |bi AS (
+        |  SELECT w[i-1] AS p, w[i] AS g, COUNT(*) AS c
+        |  FROM (SELECT w, unnest(generate_series(2, len(w))) AS i FROM train)
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |tk AS (
+        |  SELECT doc_id, CASE WHEN i > 1 THEN w[i-1] END AS p, w[i] AS g
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+        |        FROM toks)),
+        |sc AS (
+        |  SELECT tk.doc_id,
+        |    CASE WHEN bi.c IS NOT NULL THEN CAST(bi.c AS DOUBLE) / up.c
+        |         ELSE (CASE WHEN tk.p IS NOT NULL THEN 0.4 ELSE 1.0 END) *
+        |              (CASE WHEN uc.c IS NOT NULL
+        |                    THEN CAST(uc.c AS DOUBLE) / tot.n
+        |                    ELSE 0.4 / tot.n END)
+        |    END AS s
+        |  FROM tk
+        |  LEFT JOIN bi ON tk.p = bi.p AND tk.g = bi.g
+        |  LEFT JOIN uni up ON tk.p = up.g
+        |  LEFT JOIN uni uc ON tk.g = uc.g
+        |  CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  ROUND(SUM(LOG10(s)), 4) AS log10_prob,
+        |  ROUND(-SUM(LOG10(s)) / COUNT(*), 4) AS ce,
+        |  (ROUND(-SUM(LOG10(s)) / COUNT(*), 4) <= 3.0) AS keep
+        |FROM sc GROUP BY doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (
