@@ -842,6 +842,25 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_overlap"))
     }),
 
+    // BPE tokenizer training, distributed leg: the corpus-sized word-freq
+    // pass + the first merge iteration's weighted adjacent-pair counts
+    // (chars + </w>), hash-matched. The merge LOOP is vocab-sized by
+    // construction and fits in memory behind Bpe.train's deterministic cap.
+    "text_bpe_pairs" -> ((s, dir) =>
+      graft.operators.Bpe.pairCounts(
+        graft.operators.Bpe.wordFreq(table(s, dir, "documents")))),
+
+    // Full trained-tokenizer apply: 50 merges fitted on the corpus, every
+    // document re-tokenized into subwords (exploded, position-stable). The
+    // greedy rank-merge loop is not SQL-expressible -> rows-only driver
+    // check; exactness is pinned by BpeSpec against an independent naive
+    // reference (full recount per iteration) and a round-trip invariant.
+    "text_bpe_tokenize" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val model = graft.operators.Bpe.train(docs, numMerges = 50)
+      graft.operators.Bpe.tokenize(docs, model)
+    }),
+
     // CCNet-style LM-perplexity quality filter: a Stupid-Backoff bigram LM
     // trained on the "clean reference" slice (doc_id % 4 != 0, minCount=2
     // pruning — the step that makes the model broadcastable), then EVERY
@@ -1845,6 +1864,23 @@ object SparkEntry {
         |  ROUND(CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
         |    GREATEST(LENGTH(text), 1), 6) AS alpha_ratio
         |FROM documents""".stripMargin,
+
+    // BPE first-iteration pair counts: same tokenization, chars via substr,
+    // last char pairs with the </w> marker, weights are word frequencies.
+    "text_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |wf AS (SELECT word, COUNT(*) AS freq
+        |       FROM (SELECT unnest(w) AS word FROM toks) GROUP BY word),
+        |p AS (
+        |  SELECT substr(word, i, 1) AS a,
+        |         CASE WHEN i = len(word) THEN '</w>'
+        |              ELSE substr(word, i + 1, 1) END AS b,
+        |         freq
+        |  FROM (SELECT word, freq, unnest(generate_series(1, len(word))) AS i
+        |        FROM wf))
+        |SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM p GROUP BY a, b""".stripMargin,
 
     // Stupid-Backoff mirror: same tokenization, same minCount=2 pruning,
     // same OOV floor (alpha/N), same first-token-pays-no-backoff rule.
