@@ -739,6 +739,18 @@ object SparkEntry {
         Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25), stratumCol = "lang")
         .select("doc_id", "lang")),
 
+    // Target-MIXTURE sampling with upsampling epochs (the Pile/LLaMA
+    // data-mixing step): weights are OUTPUT proportions, rates derived
+    // from the domain histogram; rate > 1 emits whole copies (epoch col)
+    // plus an md5-coin remainder. en/zh at 40% each and de at 20% of a
+    // 600-row budget all land above rate 1 on this corpus -> upsampling is
+    // exercised, not just filtering; es/fr are unweighted -> dropped.
+    "text_mixture_sample" -> ((s, dir) =>
+      graft.operators.Sampling.mixtureSample(table(s, dir, "documents"),
+        Map("en" -> 0.4, "zh" -> 0.4, "de" -> 0.2), totalRows = 600L,
+        domainCol = "lang")
+        .select("doc_id", "lang", "epoch")),
+
     // Balanced per-stratum sampling: exactly min(k, |stratum|) docs per
     // language in deterministic md5 order — the count-budget counterpart of
     // the rate-based stratified sample.
@@ -1716,6 +1728,24 @@ object SparkEntry {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) <
         |  CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.25 END
         |    * 4294967296""".stripMargin,
+
+    // mixture mirror: same histogram-derived rate arithmetic (left-assoc
+    // double ops), same md5 coin, generate_series for the epochs.
+    "text_mixture_sample" ->
+      """WITH cnt AS (SELECT lang, COUNT(*) AS dn FROM documents GROUP BY lang),
+        |rates AS (
+        |  SELECT lang, 600.0 * CASE lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.4
+        |                                 WHEN 'de' THEN 0.2 END / dn AS rate
+        |  FROM cnt WHERE lang IN ('en', 'zh', 'de')),
+        |c AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(FLOOR(r.rate) AS BIGINT) +
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |               AS BIGINT) < (r.rate - FLOOR(r.rate)) * 4294967296
+        |         THEN 1 ELSE 0 END AS copies
+        |  FROM documents d JOIN rates r USING (lang))
+        |SELECT doc_id, lang, CAST(unnest(generate_series(0, copies - 1)) AS BIGINT) AS epoch
+        |FROM c WHERE copies > 0""".stripMargin,
 
     "text_balanced_sample" ->
       """SELECT doc_id, lang, rk FROM (

@@ -54,4 +54,53 @@ object Sampling {
     docs.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
   }
+
+  /** Target-MIXTURE sampling with upsampling epochs — the Pile/LLaMA
+    * data-mixing step: `weights` are proportions of the OUTPUT (not keep
+    * rates), `totalRows` the output budget, and the per-domain rate is
+    * derived from the input histogram: rate(d) = totalRows·w(d)/count(d).
+    * rate > 1 UPSAMPLES — every row emits floor(rate) copies plus one more
+    * iff its md5 coin lands under the fractional remainder (LLaMA runs
+    * Wikipedia ~2 epochs; this is that, made deterministic). Each copy
+    * carries a 0-based `epoch` column so downstream shuffling/packing can
+    * keep copies apart. Domains without a weight are dropped; weight 0
+    * drops the domain exactly.
+    *
+    * Same md5-of-id coin as [[stratifiedSample]] — no RNG, retry-stable,
+    * engine-reproducible row-for-row. The histogram pass is one hash agg
+    * over the corpus; when the histogram is already known (the lake's
+    * metadata COUNT pushdown serves per-table counts O(1), or a catalog
+    * records it), pass it via `knownCounts` and the operator is a pure
+    * per-row filter+explode — zero extra scans, zero joins, zero shuffles.
+    */
+  def mixtureSample(docs: DataFrame, weights: Map[String, Double],
+      totalRows: Long, domainCol: String, idCol: String = "doc_id",
+      knownCounts: Map[String, Long] = Map.empty): DataFrame = {
+    require(weights.nonEmpty, "mixtureSample: weights must be non-empty")
+    require(weights.values.forall(_ >= 0.0), s"weights must be >= 0: $weights")
+    require(totalRows > 0, s"totalRows must be positive: $totalRows")
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double")
+    val w = element_at(typedLit(weights), col(domainCol))
+    val withRate =
+      if (knownCounts.nonEmpty)
+        docs.withColumn("__rate",
+          lit(totalRows.toDouble) * w /
+            element_at(typedLit(knownCounts), col(domainCol)).cast("double"))
+      else {
+        val rates = docs.groupBy(domainCol).agg(count(lit(1)).as("__dn"))
+          .filter(w.isNotNull)
+          .select(col(domainCol),
+            (lit(totalRows.toDouble) * w / col("__dn").cast("double")).as("__rate"))
+        docs.join(broadcast(rates), Seq(domainCol))
+      }
+    withRate
+      .filter(col("__rate").isNotNull)
+      .withColumn("__copies", floor(col("__rate")).cast("long") +
+        when(u < (col("__rate") - floor(col("__rate"))) * lit(4294967296.0), 1L)
+          .otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__rate", "__copies")
+  }
 }

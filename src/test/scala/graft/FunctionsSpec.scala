@@ -322,4 +322,43 @@ class FunctionsSpec extends SparkSpecBase {
     assert(!Sampling.stratifiedSample(mixed, fr, "lang")
       .collect().exists(_.getLong(0) < 100))
   }
+
+  test("mixture sample: rates from histogram, epochs upsample, copies exact") {
+    import graft.operators.Sampling
+    // a: 100 rows, b: 50 rows, c: 30 rows (unweighted -> dropped)
+    val docs = ((0L until 100L).map((_, "a")) ++ (100L until 150L).map((_, "b")) ++
+      (150L until 180L).map((_, "c"))).toDF("doc_id", "lang")
+    val weights = Map("a" -> 0.5, "b" -> 0.5)
+    // total 300 -> rate(a) = 150/100 = 1.5; rate(b) = 150/50 = 3.0 (exact)
+    val got = Sampling.mixtureSample(docs, weights, 300L, "lang")
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def u32(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val want = ((0L until 100L).flatMap { i =>
+      val copies = 1L + (if (u32(i) < 0.5 * 4294967296.0) 1L else 0L)
+      (0L until copies).map(e => (i, e))
+    } ++ (100L until 150L).flatMap(i => (0L until 3L).map(e => (i, e)))).toSet
+    assert(got == want)
+    // c never appears; b is exactly 3 epochs each
+    assert(!got.exists(_._1 >= 150L))
+    assert(got.count(_._1 >= 100L) == 150)
+
+    // knownCounts variant: identical rows, and a SHUFFLE-FREE plan (no
+    // histogram agg, no join — pure per-row filter + explode).
+    val known = Sampling.mixtureSample(docs, weights, 300L, "lang",
+      knownCounts = Map("a" -> 100L, "b" -> 50L, "c" -> 30L))
+    val gotK = known.select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotK == got)
+    val plan = known.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+
+    // weight 0 drops the domain exactly
+    assert(Sampling.mixtureSample(docs, Map("a" -> 0.0, "b" -> 1.0), 50L, "lang")
+      .select("doc_id").collect().forall(_.getLong(0) >= 100L))
+  }
 }
