@@ -177,6 +177,19 @@ object SparkEntry {
             t => concat_ws(": ", t.getField("role"), t.getField("text"))), "\n")
             .as("transcript"))),
 
+    // CONVERSATION-level near-dup (the transcript corpus' retry/fork
+    // dedup): the replayed table assembles into transcripts, then the
+    // inverted-index n-gram Jaccard runs over whole conversations — two
+    // existing operators composed end-to-end, CDC replay feeding curation.
+    // Threshold 0.1 on the synthetic corpus' similarity range (max ~0.15);
+    // production uses 0.8 like the document-level twin.
+    "cdc_conv_neardup" -> ((s, dir) => {
+      val conv = queries("cdc_conv_assembly")(s, dir)
+        .select(col("conv_id"), col("transcript"))
+      graft.operators.Dedup.ngramJaccardPairs(conv, idCol = "conv_id",
+        textCol = "transcript", n = 3, minJaccard = 0.1)
+    }),
+
     // TRANSCRIPT-level curation filter (the payload-specific quality gate a
     // training pipeline runs before export): per conversation — turn count,
     // user-turn count, tool usage, role-alternation violations (adjacent
@@ -1477,6 +1490,39 @@ object SparkEntry {
          |  string_agg(concat_ws(': ', role, text), chr(10) ORDER BY turn_idx)
          |    AS transcript
          |FROM winners GROUP BY conv_id""".stripMargin,
+
+    // conversation near-dup mirror: LWW winners -> ordered transcript
+    // assembly -> the document-level jaccard pattern over conv_id.
+    "cdc_conv_neardup" ->
+      s"""$C , winners AS (
+         |  SELECT conv_id, turn_idx, role, text FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+         |      ORDER BY ts DESC, seq DESC) AS rn FROM changelog) t
+         |  WHERE rn = 1 AND op <> 'delete'),
+         |conv AS (
+         |  SELECT conv_id,
+         |    string_agg(concat_ws(': ', role, text), chr(10) ORDER BY turn_idx)
+         |      AS transcript
+         |  FROM winners GROUP BY conv_id),
+         |words AS (
+         |  SELECT conv_id, regexp_split_to_array(trim(lower(transcript)), '\\s+') AS w
+         |  FROM conv),
+         |idx AS (
+         |  SELECT conv_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+         |  FROM words WHERE len(w) >= 3),
+         |sh AS (SELECT DISTINCT conv_id, array_to_string(w[i:i+2], ' ') AS shingle
+         |       FROM idx),
+         |sizes AS (SELECT conv_id, COUNT(*) AS sz FROM sh GROUP BY conv_id),
+         |inter AS (
+         |  SELECT a.conv_id AS id_a, b.conv_id AS id_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.conv_id < b.conv_id
+         |  GROUP BY a.conv_id, b.conv_id)
+         |SELECT id_a, id_b,
+         |  ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.conv_id = id_a
+         |JOIN sizes sb ON sb.conv_id = id_b
+         |WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.1""".stripMargin,
 
     "cdc_conv_quality" ->
       s"""$C , winners AS (
