@@ -1776,7 +1776,9 @@ object SparkEntry {
         |    * 4294967296""".stripMargin,
 
     // mixture mirror: same histogram-derived rate arithmetic (left-assoc
-    // double ops), same md5 coin, generate_series for the epochs.
+    // double ops), same SALTED md5 coin ("mix:" — independent of the
+    // stratified sampler's unsalted coin so the two compose without
+    // conditional bias), generate_series for the epochs.
     "text_mixture_sample" ->
       """WITH cnt AS (SELECT lang, COUNT(*) AS dn FROM documents GROUP BY lang),
         |rates AS (
@@ -1786,7 +1788,7 @@ object SparkEntry {
         |c AS (
         |  SELECT d.doc_id, d.lang,
         |    CAST(FLOOR(r.rate) AS BIGINT) +
-        |    CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |    CASE WHEN CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
         |               AS BIGINT) < (r.rate - FLOOR(r.rate)) * 4294967296
         |         THEN 1 ELSE 0 END AS copies
         |  FROM documents d JOIN rates r USING (lang))

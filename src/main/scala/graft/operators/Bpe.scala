@@ -114,13 +114,16 @@ object Bpe {
       maxWords: Int = 1000000, minPairCount: Long = 2): BpeModel = {
     require(numMerges >= 0, s"train: numMerges must be >= 0: $numMerges")
     require(maxWords > 0, s"train: maxWords must be positive: $maxWords")
-    val collected = wordFreq(docs, textCol)
+    // fetch one past the cap so an exactly-maxWords vocabulary does not
+    // warn about an exclusion that never happened
+    val fetched = wordFreq(docs, textCol)
       .orderBy(col("freq").desc, col("word"))
-      .limit(maxWords)
+      .limit(if (maxWords < Int.MaxValue) maxWords + 1 else maxWords)
       .collect()
-    if (collected.length == maxWords)
+    if (fetched.length > maxWords)
       System.err.println(s"[Bpe.train] word table hit the maxWords cap " +
         s"($maxWords); rarer words are excluded from merge statistics")
+    val collected = fetched.take(maxWords)
 
     val syms = collected.map(r => initialSyms(r.getString(0)))
     val freqs = collected.map(_.getLong(1))
@@ -193,27 +196,31 @@ object Bpe {
 
   /** Tokenize every document: (idCol, pos, subword) exploded — one row per
     * emitted subword, `pos` the 0-based position in the document's subword
-    * stream. Ranks broadcast; per-partition imperative scan (the greedy
-    * merge loop cannot be an expression).
+    * stream, the id column keeping its input type (string/uuid ids work
+    * like everywhere else in the engine). Ranks broadcast; per-partition
+    * imperative scan (the greedy merge loop cannot be an expression).
     */
   def tokenize(docs: DataFrame, model: BpeModel, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val spark = docs.sparkSession
     val ranksB = spark.sparkContext.broadcast(model.ranks)
     val prep = docs.filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol).cast("long").as("id"),
-        split(lower(trim(col(textCol))), "\\s+").as("words"))
-    implicit val enc = Encoders.product[(Long, Long, String)]
-    prep.as[(Long, Seq[String])](Encoders.product[(Long, Seq[String])])
-      .mapPartitions { rows =>
-        val ranks = ranksB.value
-        rows.flatMap { case (id, words) =>
-          var pos = -1L
-          words.iterator.flatMap(w => encodeWord(w, ranks)).map { sub =>
-            pos += 1; (id, pos, sub)
-          }
+      .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__words"))
+    val outSchema = StructType(Seq(prep.schema.head,
+      StructField("pos", LongType, nullable = false),
+      StructField("subword", StringType, nullable = false)))
+    prep.mapPartitions { rows =>
+      val ranks = ranksB.value
+      rows.flatMap { r =>
+        val id = r.get(0)
+        val words = r.getSeq[String](1)
+        var pos = -1L
+        words.iterator.flatMap(w => encodeWord(w, ranks)).map { sub =>
+          pos += 1; Row(id, pos, sub)
         }
       }
-      .toDF(idCol, "pos", "subword")
+    }(Encoders.row(outSchema))
   }
 }

@@ -20,14 +20,23 @@ import org.apache.spark.sql.functions._
   * selects what was asked for; pass fraction 1.0 to keep a stratum whole.
   */
 object Sampling {
+  /** The deterministic coin: first 32 bits of md5(salt || id), uniform in
+    * [0, 2^32). Distinct salts give INDEPENDENT coins — operators that can
+    * compose in one pipeline must not share a salt, or the downstream coin
+    * is conditionally biased by the upstream filter (a stratified-sample
+    * survivor has a small u by construction and would always win an
+    * unsalted downstream remainder coin).
+    */
+  private def coinU(idCol: String, salt: String): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long").cast("double")
+
   def stratifiedSample(docs: DataFrame, fractions: Map[String, Double],
       stratumCol: String, idCol: String = "doc_id"): DataFrame = {
     require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
       s"fractions must be in [0,1]: $fractions")
-    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long").cast("double")
     val frac = element_at(typedLit(fractions), col(stratumCol))
-    docs.filter(u < frac * lit(4294967296.0))
+    docs.filter(coinU(idCol, "") < frac * lit(4294967296.0))
   }
 
   /** Balanced sample: EXACTLY min(k, |stratum|) rows per stratum, chosen by
@@ -66,8 +75,12 @@ object Sampling {
     * keep copies apart. Domains without a weight are dropped; weight 0
     * drops the domain exactly.
     *
-    * Same md5-of-id coin as [[stratifiedSample]] — no RNG, retry-stable,
-    * engine-reproducible row-for-row. The histogram pass is one hash agg
+    * Same md5-coin mechanism as [[stratifiedSample]] but SALTED ("mix:"),
+    * so the two samplers compose: an unsalted remainder coin would be
+    * conditionally biased on stratified-sample survivors (their u is small
+    * by construction — every survivor would win the remainder copy and the
+    * realized rate would overshoot). No RNG, retry-stable, engine-
+    * reproducible row-for-row. The histogram pass is one hash agg
     * over the corpus; when the histogram is already known (the lake's
     * metadata COUNT pushdown serves per-table counts O(1), or a catalog
     * records it), pass it via `knownCounts` and the operator is a pure
@@ -79,8 +92,17 @@ object Sampling {
     require(weights.nonEmpty, "mixtureSample: weights must be non-empty")
     require(weights.values.forall(_ >= 0.0), s"weights must be >= 0: $weights")
     require(totalRows > 0, s"totalRows must be positive: $totalRows")
-    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long").cast("double")
+    require(!docs.columns.contains("epoch"),
+      "mixtureSample emits its copy index as `epoch`; rename the input's `epoch` column first")
+    require(knownCounts.isEmpty || weights.keySet.subsetOf(knownCounts.keySet),
+      s"knownCounts is missing weighted domains ${weights.keySet -- knownCounts.keySet} — " +
+        "a partial histogram would silently drop them")
+    require(knownCounts.isEmpty ||
+      weights.keySet.forall(d => knownCounts(d) > 0),
+      s"knownCounts must be positive for every weighted domain (a stale zero " +
+        s"count makes the rate infinite): " +
+        s"${weights.keySet.filter(d => knownCounts.getOrElse(d, 1L) <= 0)}")
+    val u = coinU(idCol, "mix:")
     val w = element_at(typedLit(weights), col(domainCol))
     val withRate =
       if (knownCounts.nonEmpty)

@@ -95,6 +95,18 @@ class BpeSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("tokenize keeps the id column's input type (string ids)") {
+    val df = Seq(("conv-a", "low low"), ("conv-b", "newer")).toDF("cid", "text")
+    val model = Bpe.train(corpusDf, numMerges = 10)
+    val got = Bpe.tokenize(df, model, idCol = "cid").orderBy("cid", "pos").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    val want = Seq("conv-a" -> "low low", "conv-b" -> "newer").flatMap { case (id, t) =>
+      t.split(" ").toSeq.flatMap(w => Bpe.encodeWord(w, model.ranks))
+        .zipWithIndex.map { case (s, i) => (id, i.toLong, s) }
+    }
+    assert(got == want)
+  }
+
   test("maxWords cap keeps the most frequent words deterministically") {
     // cap to 2 words: "newer" (7) and "low" (6) survive; merges must equal
     // training the naive reference on just those two.

@@ -333,9 +333,11 @@ class FunctionsSpec extends SparkSpecBase {
     val got = Sampling.mixtureSample(docs, weights, 300L, "lang")
       .select("doc_id", "epoch").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the mixture coin is SALTED ("mix:") — independent of the stratified
+    // sampler's coin so the two compose without conditional bias
     def u32(id: Long): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(id.toString.getBytes("UTF-8"))
+        .digest(s"mix:$id".getBytes("UTF-8"))
       java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
     }
     val want = ((0L until 100L).flatMap { i =>
@@ -360,5 +362,21 @@ class FunctionsSpec extends SparkSpecBase {
     // weight 0 drops the domain exactly
     assert(Sampling.mixtureSample(docs, Map("a" -> 0.0, "b" -> 1.0), 50L, "lang")
       .select("doc_id").collect().forall(_.getLong(0) >= 100L))
+  }
+
+  test("mixture coin is independent of the stratified coin (composition)") {
+    import graft.operators.Sampling
+    // stratified survivors have SMALL unsalted u by construction; an
+    // unsalted mixture remainder coin would therefore fire for ~all of
+    // them (realized rate 2.0 instead of 1.5). With the salted coin the
+    // remainder stays ~0.5 conditioned on survival.
+    val docs = (0L until 8000L).map((_, "a")).toDF("doc_id", "lang")
+    val survivors = Sampling.stratifiedSample(docs, Map("a" -> 0.4), "lang")
+    val n = survivors.count() // ~3200
+    val out = Sampling.mixtureSample(survivors, Map("a" -> 1.0),
+      totalRows = (n * 1.5).toLong, domainCol = "lang")
+    val realized = out.count().toDouble / n
+    assert(math.abs(realized - 1.5) < 0.05,
+      s"conditional bias: realized rate $realized, want ~1.5")
   }
 }
