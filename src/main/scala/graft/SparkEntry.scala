@@ -1266,6 +1266,26 @@ object SparkEntry {
         Text.qualityKeep(col("text")).as("keep"),
         concat_ws(",", Text.qualityFailReasons(col("text"))).as("fail_reasons"))),
 
+    // END-TO-END curation pipeline — the three-stage chain every corpus
+    // build runs, composed from the individual operators and hash-matched
+    // as ONE gate: quality FILTER (scan-stage expressions) → exact-dedup
+    // representatives (one hash agg + a left-semi join) → target-mixture
+    // sample with upsampling epochs. Proves the operators compose without
+    // seams: the dedup join keys on the filter's survivors, the mixture
+    // histogram counts the deduped table, and every stage's semantics stay
+    // bit-identical to its standalone gate.
+    "text_curation_pipeline" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val kept = docs.filter(Text.qualityKeep(col("text")))
+      val reps = graft.operators.Dedup.exact(kept)
+        .select(col("keep_id").as("doc_id"))
+      val dedup = kept.join(reps, Seq("doc_id"), "left_semi")
+      graft.operators.Sampling.mixtureSample(dedup,
+        Map("en" -> 0.5, "de" -> 0.3, "zh" -> 0.2), totalRows = 400L,
+        domainCol = "lang")
+        .select("doc_id", "lang", "epoch")
+    }),
+
     // The SQL curation surface: the same quality filter + score + language
     // ID run ENTIRELY through spark.sql — zero Scala Columns in the query.
     // The functions resolve through LakeCatalog's FunctionCatalog
@@ -2283,6 +2303,56 @@ object SparkEntry {
         |SELECT doc_id, len(reasons) = 0 AS keep,
         |  COALESCE(array_to_string(reasons, ','), '') AS fail_reasons
         |FROM r""".stripMargin,
+
+    // end-to-end pipeline mirror: the quality-keep CTE (same predicate as
+    // text_quality_filter), min-id-per-md5(text) representatives (same as
+    // dedup_exact), then the salted-coin mixture arithmetic (same as
+    // text_mixture_sample) over the deduped survivors' histogram.
+    "text_curation_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN LENGTH(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+        |    CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+        |      GREATEST(CASE WHEN LENGTH(trim(text)) = 0 THEN 0
+        |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1) AS mean_len,
+        |    CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
+        |      GREATEST(LENGTH(text), 1) AS alpha_ratio,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) /
+        |      GREATEST(LENGTH(text), 1) AS punct_ratio,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x IN ('the','a','an','of','to','in','and','is','it','that',
+        |                 'for','on','with','as','at','by','or','be'))) AS DOUBLE) /
+        |      GREATEST(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1) AS stop_ratio
+        |  FROM documents),
+        |keepset AS (
+        |  SELECT doc_id FROM t WHERE len(list_filter([
+        |    CASE WHEN n_tok < 5 THEN 'f' END,
+        |    CASE WHEN n_tok > 5000 THEN 'f' END,
+        |    CASE WHEN mean_len < 2.0 OR mean_len > 12.0 THEN 'f' END,
+        |    CASE WHEN alpha_ratio < 0.5 THEN 'f' END,
+        |    CASE WHEN punct_ratio >= 0.25 THEN 'f' END,
+        |    CASE WHEN stop_ratio <= 0.02 THEN 'f' END],
+        |    x -> x IS NOT NULL)) = 0),
+        |kept AS (
+        |  SELECT d.doc_id, d.lang, d.text FROM documents d
+        |  JOIN keepset USING (doc_id)),
+        |reps AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+        |dedup AS (SELECT k.doc_id, k.lang FROM kept k JOIN reps USING (doc_id)),
+        |cnt AS (SELECT lang, COUNT(*) AS dn FROM dedup GROUP BY lang),
+        |rates AS (
+        |  SELECT lang, 400.0 * CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3
+        |                                 WHEN 'zh' THEN 0.2 END / dn AS rate
+        |  FROM cnt WHERE lang IN ('en', 'de', 'zh')),
+        |c AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(FLOOR(r.rate) AS BIGINT) +
+        |    CASE WHEN CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |               AS BIGINT) < (r.rate - FLOOR(r.rate)) * 4294967296
+        |         THEN 1 ELSE 0 END AS copies
+        |  FROM dedup d JOIN rates r USING (lang))
+        |SELECT doc_id, lang, CAST(unnest(generate_series(0, copies - 1)) AS BIGINT) AS epoch
+        |FROM c WHERE copies > 0""".stripMargin,
 
     // the SQL-catalog curation gate: same keep predicate (CASE-list filter,
     // null conditions don't fail — Spark's filter-on-null semantics), same

@@ -121,6 +121,28 @@ class BpeSpec extends SparkSpecBase {
     assert(Bpe.train(df, numMerges = 10, minPairCount = 1).merges.nonEmpty)
   }
 
+  test("randomized cross-check: trainer == naive reference on seeded corpora") {
+    val rnd = new scala.util.Random(20260820L)
+    (0 until 5).foreach { trial =>
+      val vocabChars = "abcde"
+      val nDocs = 12 + rnd.nextInt(8)
+      val docs = (0 until nDocs).map { i =>
+        val words = (0 to rnd.nextInt(8)).map { _ =>
+          (0 to rnd.nextInt(5)).map(_ => vocabChars(rnd.nextInt(vocabChars.length))).mkString
+        }
+        (i.toLong, words.mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val wf = scala.collection.mutable.HashMap.empty[String, Long]
+      docs.flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
+        .foreach(w => wf(w) = wf.getOrElse(w, 0L) + 1L)
+      val nm = 5 + rnd.nextInt(25)
+      val got = Bpe.train(df, numMerges = nm).merges
+      val want = naiveTrain(wf.toSeq.sortBy(_._1), nm)
+      assert(got == want, s"trial $trial (numMerges=$nm):\ngot:  $got\nwant: $want")
+    }
+  }
+
   test("pairCounts: single-char words pair with EOW; weights are freqs") {
     val words = Seq(("a", 3L), ("ab", 2L)).toDF("word", "freq")
     val got = Bpe.pairCounts(words).collect()
