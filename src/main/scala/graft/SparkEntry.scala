@@ -867,6 +867,18 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_overlap"))
     }),
 
+    // Exact-substring duplicated-span stats (Lee et al. 2021 ExactSubstr):
+    // a k-token window occurring more than once ANYWHERE in the corpus
+    // (within-doc repeats included) marks its span; per doc the covered
+    // spans merge gaps-and-islands style into the covered-token count,
+    // fraction, and keep decision. k=12 sized to the synthetic corpus'
+    // 10-99-token documents (production default is the paper's ~50); at
+    // sf0.01 it flags 45/500 docs, so both branches of the left join and
+    // the island merge are exercised.
+    "text_exact_substr" -> ((s, dir) =>
+      graft.operators.Dedup.exactSubstrStats(
+        table(s, dir, "documents"), k = 12, maxDupFrac = 0.2)),
+
     // BPE tokenizer training, distributed leg: the corpus-sized word-freq
     // pass + the first merge iteration's weighted adjacent-pair counts
     // (chars + </w>), hash-matched. The merge LOOP is vocab-sized by
@@ -2059,6 +2071,36 @@ object SparkEntry {
         |SELECT dg.doc_id, COUNT(*) AS n_overlap
         |FROM dg JOIN bg USING (gram)
         |GROUP BY dg.doc_id""".stripMargin,
+
+    "text_exact_substr" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |b AS (SELECT doc_id, w, len(w) AS n_tokens FROM t),
+        |w0 AS (SELECT doc_id, w, unnest(generate_series(0, n_tokens - 12)) AS pos
+        |       FROM b WHERE n_tokens >= 12),
+        |wins AS (SELECT doc_id, pos,
+        |  array_to_string(w[pos+1:pos+12], ' ') AS gram FROM w0),
+        |dup AS (SELECT gram FROM wins GROUP BY gram HAVING COUNT(*) > 1),
+        |hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (gram)),
+        |isl AS (SELECT doc_id, pos,
+        |  CASE WHEN pos >= COALESCE(MAX(pos + 12) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |    THEN 1 ELSE 0 END AS newi
+        |  FROM hits),
+        |isl2 AS (SELECT doc_id, pos,
+        |  SUM(newi) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+        |spans AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 12 AS e,
+        |  COUNT(*) AS nw FROM isl2 GROUP BY doc_id, island),
+        |agg AS (SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS ndt,
+        |  CAST(SUM(nw) AS BIGINT) AS ndw FROM spans GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |  COALESCE(a.ndw, 0) AS n_dup_windows,
+        |  COALESCE(a.ndt, 0) AS n_dup_tokens,
+        |  ROUND(CAST(COALESCE(a.ndt, 0) AS DOUBLE) / b.n_tokens, 6) AS dup_frac,
+        |  (CAST(COALESCE(a.ndt, 0) AS DOUBLE) / b.n_tokens <= 0.2) AS keep
+        |FROM b LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "text_langid" ->
       """WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),

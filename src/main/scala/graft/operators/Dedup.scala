@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.Text
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for large-scale training-data curation.
@@ -417,5 +418,120 @@ object Dedup {
       // both sides are distinct gram sets, so rows are unique per (id, gram)
       // and a plain count IS the distinct-overlap count
       .groupBy("id").agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** Exact-substring duplicated-span detection (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * ExactSubstr variant, on word tokens): a k-token window is DUPLICATED
+    * when its exact text occurs more than once anywhere in the corpus
+    * (within-document repeats count — any second occurrence is a
+    * duplicate); a token is duplicated when covered by any duplicated
+    * window. Emits one row per document: token count, duplicated-window
+    * count, covered-token count, covered fraction, and the keep decision
+    * (dup_frac <= maxDupFrac).
+    *
+    * This is the intra-corpus EXACT-SPAN counterpart of the document-level
+    * dedup family above: MinHash/SimHash/Jaccard find documents that are
+    * mostly the same; this finds verbatim spans (licenses, boilerplate,
+    * quoted snippets) embedded in otherwise-distinct documents, which
+    * document-level similarity dilutes below any threshold.
+    *
+    * Scale shape — the paper builds a corpus-wide suffix array; the
+    * distributed equivalent is relational and shuffle-bounded:
+    *   1. window extraction is scan-stage (one posexplode per doc);
+    *   2. the duplicate test is ONE hash aggregation keyed by the window
+    *      text (k-token windows are near-unique unless genuinely
+    *      duplicated, so unlike shingle DF stats this key is NOT
+    *      Zipf-skewed — no stop-gram salting needed), and the
+    *      positions join back on the same key partitioning;
+    *   3. per-document coverage is a gaps-and-islands interval merge of
+    *      the [pos, pos+k) hits — a window + two aggregations all sharing
+    *      one id exchange, O(hits log hits) per doc, never O(len·hits).
+    * Production k follows the paper (≈50 tokens); gates size k to the
+    * synthetic corpus' short documents.
+    */
+  def exactSubstrStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 50,
+      maxDupFrac: Double = 0.2): DataFrame = {
+    require(k >= 1, s"k: $k")
+    require(maxDupFrac >= 0.0 && maxDupFrac <= 1.0, s"maxDupFrac: $maxDupFrac")
+    val base = docs.select(col(idCol).as("id"),
+      split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")))
+    val covered = exactSubstrIslands(base, k)
+      .groupBy("id")
+      .agg(sum(col("__e") - col("__s")).as("n_dup_tokens"),
+        sum(col("__nw")).as("n_dup_windows"))
+    val frac = coalesce(col("n_dup_tokens"), lit(0L)).cast("double") /
+      col("n_tokens")
+    base.join(covered, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        round(frac, 6).as("dup_frac"),
+        (frac <= maxDupFrac).as("keep"))
+  }
+
+  /** Exact-substring span REMOVAL (the paper's cut mode): returns the
+    * input plus `text_clean` = the document with every duplicated-window
+    * token removed (remaining tokens re-joined with single spaces).
+    *
+    * The membership test is per-token over the doc's MERGED duplicated
+    * intervals (never the raw hit list), so the per-doc cost is
+    * O(len · islands); a pathological fully-boilerplate document degrades
+    * to O(len²/k) — filter first with [[exactSubstrStats]] (the O(hits log
+    * hits) path) and cut only the keepers, which is the pipeline order the
+    * paper uses.
+    */
+  def exactSubstrCut(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 50): DataFrame = {
+    require(k >= 1, s"k: $k")
+    val base = docs.select(col(idCol).as("id"),
+      split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")))
+    val spans = exactSubstrIslands(base, k)
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("__s"), col("__e")))).as("__spans"))
+    docs.join(
+      base.join(spans, Seq("id"), "left")
+        .select(col("id").as(idCol),
+          array_join(filter(col("__toks"), (tok, t) =>
+            !exists(coalesce(col("__spans"),
+                array().cast("array<struct<__s:int,__e:int>>")),
+              sp => sp("__s") <= t && t < sp("__e"))), " ").as("text_clean")),
+      Seq(idCol))
+  }
+
+  /** Shared core of the exact-substring paths: duplicated window hit
+    * positions per document, merged into disjoint [__s, __e) intervals
+    * (gaps-and-islands over one id-partitioned window), with the per-island
+    * hit count __nw. Interval arithmetic: a hit at pos covers [pos, pos+k);
+    * a new island starts when pos >= the running max exclusive end
+    * (adjacent intervals may split islands — the covered-length sum is
+    * identical either way).
+    */
+  private def exactSubstrIslands(base: DataFrame, k: Int): DataFrame = {
+    val wins = base
+      .filter(col("n_tokens") >= k)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), col("n_tokens") - k),
+        i => array_join(slice(col("__toks"), i + 1, lit(k)), " ")))
+        .as(Seq("pos", "gram")))
+    val dupGrams = wins.groupBy("gram").agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") > 1)
+    val wPrev = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    wins.join(dupGrams.select("gram"), Seq("gram"))
+      .select("id", "pos")
+      .withColumn("__prev_end", max(col("pos") + k).over(wPrev))
+      .withColumn("__new", when(col("__prev_end").isNull ||
+        col("pos") >= col("__prev_end"), 1).otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(wRun))
+      .groupBy("id", "__island")
+      .agg(min(col("pos")).as("__s"), (max(col("pos")) + k).as("__e"),
+        count(lit(1)).as("__nw"))
   }
 }

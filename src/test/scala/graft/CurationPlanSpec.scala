@@ -43,6 +43,21 @@ class CurationPlanSpec extends SparkSpecBase {
     assert(lines.count(_.matches(""".*\bWindow \[.*""")) == 1, lines.mkString("\n"))
   }
 
+  test("text_exact_substr: bounded exchanges (gram agg+join, one shared id lineage), no cartesian") {
+    val lines = planLines("text_exact_substr")
+    // Worst case at scale: 2 gram exchanges (dup agg + window side of the
+    // hit join) and 2 id exchanges (island window; base side of the final
+    // join). The island window, the (id, island) agg and the per-id agg
+    // must all SHARE the window's id partitioning — a 5th exchange means
+    // one of them re-shuffled it. AQE may broadcast the small sides at
+    // test scale (fewer exchanges is fine; more is the regression).
+    assert(exchanges(lines) <= 4, lines.mkString("\n"))
+    // prev-end max and island running-sum are two Window nodes SHARING the
+    // one id partitioning (back to back, no exchange between them)
+    assert(lines.count(_.matches(""".*\bWindow \[.*""")) == 2, lines.mkString("\n"))
+    assert(!lines.exists(_.contains("CartesianProduct")), lines.mkString("\n"))
+  }
+
   test("text_decontaminate: benchmark grams broadcast, corpus never sort-merges") {
     val lines = planLines("text_decontaminate")
     assert(lines.exists(_.contains("BroadcastHashJoin")), lines.mkString("\n"))

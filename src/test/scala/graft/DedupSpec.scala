@@ -6,6 +6,66 @@ import org.apache.spark.sql.functions._
 class DedupSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("exact-substring stats: corpus-duplicated windows, island merge, within-doc repeats, short docs") {
+    // k=3. Duplicated windows across this corpus: "a b c" (d1@0, d2@1,
+    // d4@0), "b c d" (d1@1, d2@2); d7 is pure WITHIN-doc repetition
+    // ("m n o" x3 etc); d8/d9 pin the adjacent-islands arithmetic
+    // ("q1 q2 q3" and "q4 q5 q6" both shared, hits at d8@{0,3} exactly
+    // adjacent); d5 is shorter than k (no windows at all).
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x a b c d y"),
+      (3L, "p q r"),
+      (4L, "A B C"), // lowercases to the duplicated window
+      (5L, "zz"),
+      (7L, "m n o m n o m n o"),
+      (8L, "q1 q2 q3 q4 q5 q6 tail1"),
+      (9L, "q1 q2 q3 zz1 zz2 q4 q5 q6 zz3")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrStats(corpus, k = 3, maxDupFrac = 0.2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_windows"),
+          r.getAs[Long]("n_dup_tokens"), r.getAs[Double]("dup_frac"),
+          r.getAs[Boolean]("keep")))).toMap
+    // d1: hits at 0,1 -> merged [0,4) = 4 tokens covered
+    assert(got(1L) == ((6L, 2L, 4L, 0.666667, false)))
+    // d2: hits at 1,2 -> merged [1,5)
+    assert(got(2L) == ((6L, 2L, 4L, 0.666667, false)))
+    // d3: no duplicated windows
+    assert(got(3L) == ((3L, 0L, 0L, 0.0, true)))
+    // d4: the whole doc is one duplicated window (case-folded)
+    assert(got(4L) == ((3L, 1L, 3L, 1.0, false)))
+    // d5: shorter than k -> zero windows, kept
+    assert(got(5L) == ((1L, 0L, 0L, 0.0, true)))
+    // d7: every window repeats within the doc -> full coverage [0,9)
+    assert(got(7L) == ((9L, 7L, 9L, 1.0, false)))
+    // d8: hits at 0 and 3 -> [0,3) and [3,6) ADJACENT: covered 6 of 7
+    assert(got(8L) == ((7L, 2L, 6L, 0.857143, false)))
+    // d9: hits at 0 and 5 -> [0,3) and [5,8): covered 6 of 9
+    assert(got(9L) == ((9L, 2L, 6L, 0.666667, false)))
+  }
+
+  test("exact-substring cut: duplicated spans removed, canonical tokens, untouched docs intact") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x a b c d y"),
+      (3L, "p q r"),
+      (4L, "A B C"),
+      (5L, "zz")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrCut(corpus, k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text_clean")).toMap
+    assert(got(1L) == "e f")   // [0,4) cut
+    assert(got(2L) == "x y")   // [1,5) cut
+    assert(got(3L) == "p q r") // untouched
+    assert(got(4L) == "")      // fully duplicated
+    assert(got(5L) == "zz")    // shorter than k
+    // original columns survive the join back
+    val cols = Dedup.exactSubstrCut(corpus, k = 3).columns.toSeq
+    assert(cols.contains("text") && cols.contains("text_clean"))
+  }
+
   private lazy val docs = Seq(
     (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
     (1L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 0
