@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Optimization-round measurement harness (guide §1) — SEPARATE from the
+  * frozen Bench: times individual SparkEntry queries with the SAME session
+  * configuration and sweep methodology (warmup pass + 2 timed passes, min),
+  * and additionally counts Spark jobs / stages / tasks per timed pass so the
+  * fixed-overhead structure of each query is visible. Optionally dumps
+  * `.explain("formatted")` plans to a directory.
+  *
+  * Usage: runMain graft.BenchExtra [--plans <dir> <suffix>] [query ...]
+  * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
+  */
+object BenchExtra {
+  private class Counter extends SparkListener {
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0)
+    val stages = new java.util.concurrent.atomic.AtomicLong(0)
+    val tasks = new java.util.concurrent.atomic.AtomicLong(0)
+    override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      stages.incrementAndGet()
+      tasks.addAndGet(s.stageInfo.numTasks)
+    }
+    def snap: (Long, Long, Long) = (jobs.get, stages.get, tasks.get)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    var rest = args.toList
+    var plansDir: Option[String] = None
+    var plansSuffix = "before"
+    if (rest.take(1) == List("--plans")) {
+      plansDir = Some(rest(1)); plansSuffix = rest(2); rest = rest.drop(3)
+    }
+    val names = if (rest.nonEmpty) rest else SparkEntry.queries.keys.toList.sorted
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench-extra")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.shuffle.sort.bypassMergeThreshold", "8")
+      .config("spark.shuffle.file.buffer", "1m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val counter = new Counter
+    spark.sparkContext.addSparkListener(counter)
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    plansDir.foreach(d => java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
+    val results = names.map { name =>
+      spark.sparkContext.setJobDescription(s"warmup $name")
+      val fn = SparkEntry.queries(name)
+      try fn(spark, sfDir).count() catch { case e: Throwable =>
+        System.err.println(s"[extra] $name warmup failed: $e") }
+      plansDir.foreach { d =>
+        try {
+          val plan = fn(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(d, s"${name}_$plansSuffix.txt"), plan)
+        } catch { case e: Throwable =>
+          System.err.println(s"[extra] $name plan failed: $e") }
+      }
+      val (j0, s0, t0) = counter.snap
+      spark.sparkContext.setJobDescription(s"timed1 $name")
+      val (_, sec1) = timed { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }
+      val (j1, s1, t1) = counter.snap
+      spark.sparkContext.setJobDescription(s"timed2 $name")
+      val (_, sec2) = timed { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }
+      val sec = math.min(sec1, sec2)
+      System.err.println(f"[extra] $name%-28s min=$sec%6.3f (p1=$sec1%6.3f p2=$sec2%6.3f) jobs=${j1 - j0} stages=${s1 - s0} tasks=${t1 - t0}")
+      (name, sec, sec1, sec2, j1 - j0, s1 - s0, t1 - t0)
+    }
+    val total = results.map(_._2).sum
+    val qs = results.map { case (n, s, _, _, j, st, tk) =>
+      f""""$n":{"sec":$s%.3f,"jobs":$j,"stages":$st,"tasks":$tk}""" }.mkString("{", ",", "}")
+    println(f"""{"metric":"extra","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
