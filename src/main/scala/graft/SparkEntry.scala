@@ -1199,8 +1199,8 @@ object SparkEntry {
     // cannot drift.
     "mm_decode_wav" -> ((s, dir) => {
       import s.implicits._
-      val media = table(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars"))
+      val media = graft.operators.Par.spread(
+        table(s, dir, "documents").select(col("doc_id"), col("n_chars")))
         .as[(Long, Long)]
         .mapPartitions(_.map { case (id, nChars) =>
           val nSamples = ((nChars % 100) + 1).toInt * 80

@@ -115,9 +115,11 @@ object AnnIndex {
       iters: Int = 3, idCol: String = "vec_id",
       vecCol: String = "embedding"): Meta = {
     val spark = corpus.sparkSession
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val c = Par.spread(corpus).select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .localCheckpoint(true)
-    val dim = c.select(size(col("cv"))).first().getInt(0)
+    // one aggregation serves dim + corpusCount (formerly two driver actions)
+    val dimRow = c.agg(max(size(col("cv"))).as("dim"), count(lit(1)).as("n")).first()
+    val (dim, corpusCount) = (dimRow.getInt(0), dimRow.getLong(1))
     val centroids = Similarity.trainIvfCentroids(c, nLists, iters)
     centroids.write.mode("overwrite").parquet(s"$root/centroids")
     val indexed = Similarity.assignListsCos(c, centroids, "vec_id", "cv")
@@ -131,7 +133,7 @@ object AnnIndex {
       .mode("overwrite").partitionBy("list").parquet(s"$root/vectors")
     clearTombstones(root) // they number the OLD generations; poison after gen→0
     Files.deleteIfExists(inflightPath(root)) // rebuild supersedes any torn batch
-    val meta = Meta("ivf", dim, nLists, 0, 0, c.count(), indexed.schema.json)
+    val meta = Meta("ivf", dim, nLists, 0, 0, corpusCount, indexed.schema.json)
     writeMeta(root, meta)
     meta
   }
@@ -164,12 +166,13 @@ object AnnIndex {
     recoverInflight(root)
     val meta = readMeta(root)
     require(meta.variant == "ivf", s"index at $root is ${meta.variant}")
-    val c = newVectors.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val c = Par.spread(newVectors)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .localCheckpoint(true)
-    requireDim(c, meta.dim)
+    val n = requireDim(c, meta.dim)
     beginInflight(root, meta)
     appendRowsIvf(spark, root, meta, c, meta.gen + 1)
-    val updated = meta.copy(corpusCount = meta.corpusCount + c.count(),
+    val updated = meta.copy(corpusCount = meta.corpusCount + n,
       gen = meta.gen + 1)
     writeMeta(root, updated)
     commitInflight(root)
@@ -191,12 +194,16 @@ object AnnIndex {
 
   /** One full scan of the batch proves every vector matches the index's
     * dimension BEFORE any file is written — a silently-appended wrong-width
-    * vector would poison every later search that probes its list.
+    * vector would poison every later search that probes its list. Returns
+    * the batch row count (the same aggregation carries it, so callers need
+    * no second counting job).
     */
-  private def requireDim(c: DataFrame, dim: Int): Unit = {
-    val bad = c.filter(size(col("cv")) =!= dim).count()
-    require(bad == 0L,
-      s"append batch has $bad vector(s) whose dimension != the index's $dim")
+  private def requireDim(c: DataFrame, dim: Int): Long = {
+    val r = c.agg(count(when(size(col("cv")) =!= dim, 1)).as("bad"),
+      count(lit(1)).as("n")).first()
+    require(r.getLong(0) == 0L,
+      s"append batch has ${r.getLong(0)} vector(s) whose dimension != the index's $dim")
+    r.getLong(1)
   }
 
   // --- mutations: generation-tagged tombstones (the LSM shape) --------------
@@ -440,7 +447,7 @@ object AnnIndex {
       trainSample, idCol, vecCol)
     model.coarse.write.mode("overwrite").parquet(s"$root/centroids")
     model.cbs.write.mode("overwrite").parquet(s"$root/codebooks")
-    val wide = pivotCodes(model.encoded).withColumn("gen", lit(0L))
+    val wide = model.encoded.withColumn("gen", lit(0L))
     wide
       .repartition(col("list"))
       // static overwrite ALWAYS — see buildIvf: dynamic mode would keep
@@ -454,19 +461,6 @@ object AnnIndex {
     writeMeta(root, meta)
     meta
   }
-
-  /** Long-shape encoded rows (vec_id, g, code, list, nv; m rows per vector)
-    * pivoted to the stored one-row-per-vector shape: codes as an array
-    * ordered by subspace, so the index stays O(m) bytes per vector.
-    */
-  private def pivotCodes(encoded: DataFrame): DataFrame =
-    encoded
-      .groupBy("vec_id")
-      .agg(first(col("nv")).as("nv"),
-        transform(
-          array_sort(collect_list(struct(col("g").as("g"), col("code").as("code")))),
-          e => e.getField("code").cast("int")).as("codes"),
-        first(col("list")).as("list"))
 
   /** Incrementally APPEND new vectors to a persisted IVF-PQ index: residual-
     * encode them against the STORED coarse quantizer + codebooks (no
@@ -484,12 +478,13 @@ object AnnIndex {
     recoverInflight(root)
     val meta = readMeta(root)
     require(meta.variant == "ivfpq", s"index at $root is ${meta.variant}")
-    val c = newVectors.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val c = Par.spread(newVectors)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .localCheckpoint(true)
-    requireDim(c, meta.dim)
+    val n = requireDim(c, meta.dim)
     beginInflight(root, meta)
     appendRowsIvfPq(spark, root, meta, c, meta.gen + 1)
-    val updated = meta.copy(corpusCount = meta.corpusCount + c.count(),
+    val updated = meta.copy(corpusCount = meta.corpusCount + n,
       gen = meta.gen + 1)
     writeMeta(root, updated)
     commitInflight(root)
@@ -503,7 +498,7 @@ object AnnIndex {
       c: DataFrame, gen: Long): Unit = {
     val coarse = spark.read.parquet(s"$root/centroids")
     val cbs = spark.read.parquet(s"$root/codebooks")
-    pivotCodes(Similarity.encodePq(coarse, cbs, c, meta.m, meta.dim / meta.m))
+    Similarity.encodePq(coarse, cbs, c, meta.m, meta.dim / meta.m)
       .withColumn("gen", lit(gen))
       .repartition(col("list"))
       .write.mode("append").partitionBy("list").parquet(s"$root/vectors")
@@ -535,11 +530,9 @@ object AnnIndex {
       .collect().map(_.getInt(0)).toSeq
     val wide = spark.read.schema(meta.schema).parquet(s"$root/vectors")
       .filter(col("list").isin(probed: _*))
-    val encoded = liveRows(spark, root, meta, wide)
-      .select(col("vec_id"), posexplode(col("codes")).as(Seq("g", "code")),
-        col("list"), col("nv"))
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
-    Similarity.searchPqCore(encoded, probes, cbs, c, q, k, nProbe, refine,
-      meta.m, meta.dim / meta.m, meta.nLists, meta.corpusCount)
+    Similarity.searchPqCore(liveRows(spark, root, meta, wide), probes, cbs, c,
+      q, k, nProbe, refine, meta.m, meta.dim / meta.m, meta.nLists,
+      meta.corpusCount)
   }
 }

@@ -60,7 +60,7 @@ object Bpe {
     * empty rows skipped.
     */
   def wordFreq(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.filter(length(trim(col(textCol))) > 0)
+    Par.spread(docs).filter(length(trim(col(textCol))) > 0)
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("freq"))
@@ -206,7 +206,7 @@ object Bpe {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val spark = docs.sparkSession
     val ranksB = spark.sparkContext.broadcast(model.ranks)
-    val prep = docs.filter(length(trim(col(textCol))) > 0)
+    val prep = Par.spread(docs).filter(length(trim(col(textCol))) > 0)
       .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__words"))
     val outSchema = StructType(Seq(prep.schema.head,
       StructField("pos", LongType, nullable = false),

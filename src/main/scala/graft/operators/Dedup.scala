@@ -38,8 +38,13 @@ object Dedup {
     // Materialized once: the Jaccard plan consumes the index from 3 branches
     // (df stats, both self-join sides, per-doc sizes) — without truncation
     // the shingle expressions re-evaluate per branch. At cluster scale this
-    // is the natural "inverted index table" write.
-    val pairs = docs
+    // is the natural "inverted index table" write. (An explicit
+    // pre-partition by shingle here would let the df agg + df join +
+    // self-join share one exchange at cluster scale, but it was measured a
+    // local REGRESSION — it pins every downstream stage to the full
+    // partition count where AQE otherwise coalesces the tiny post-explode
+    // shuffles; left to AQE, see OPTIMIZATION_r06.md.)
+    val pairs = Par.spread(docs)
       .select(col(idCol).as("id"),
         explode(array_distinct(Text.wordShingles(col(textCol), n))).as("shingle"))
       .localCheckpoint(true)
@@ -112,34 +117,76 @@ object Dedup {
     */
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val ids = docs.select(col(idCol).as("id"))
     val fwd = pairs.select(col("id_a"), col("id_b"))
+    // Symmetric adjacency RESTRICTED to docs ids up front (foreign ids in
+    // pairs are ignored — previously enforced by the per-round label joins;
+    // filtering the edge list once is equivalent: an edge with a foreign
+    // endpoint could never contribute a label, and a docs id touched only
+    // by such edges self-clusters via the singleton union either way).
     val edges = fwd.union(fwd.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .localCheckpoint(true) // symmetric adjacency, scanned every round
+      .join(ids.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(ids.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+      .localCheckpoint(true) // scanned every round
     // distinct edge endpoints — O(affected); checkpointed because the
     // singleton anti-join below is evaluated lazily by the CALLER, after
     // this function has already released the edge checkpoint
     val touchedIds = edges.select(col("id_a").as("id")).distinct()
       .localCheckpoint(true)
-    var labels = docs.select(col(idCol).as("id"))
-      .join(touchedIds, Seq("id"), "left_semi") // foreign ids in pairs are ignored
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    // round-0 labels derive lazily from the touchedIds checkpoint (no extra
+    // materialization); the loop must NOT unpersist this generation — its
+    // only LogicalRDD leaf IS touchedIds, which loopEdges still reads
+    var labels = touchedIds.withColumn("label", col("id"))
+    var labelsOwned = false
+    // One min-label propagation hop as ONE join + ONE aggregation: the edge
+    // list is augmented with a self-loop per touched vertex, so
+    // min-over-(neighbors ∪ self) IS the new label — no second join back to
+    // `l`, and crucially `l` appears exactly ONCE, so fused multi-hop plans
+    // stay LINEAR in the hop count (a hop that references `l` twice doubles
+    // the plan per fused hop — measured 11 s at 8 hops). The round's `prev`
+    // label rides the self-loop row through the aggregation.
+    val loopEdges = edges.unionByName(
+      touchedIds.select(col("id").as("id_a"), col("id").as("id_b")))
+    def hop(l: DataFrame): DataFrame =
+      loopEdges
+        .join(l.select(col("id").as("id_b"), col("label").as("nl"),
+          col("prev").as("np")), "id_b")
+        .groupBy(col("id_a"))
+        .agg(min(col("nl")).as("label"),
+          max(when(col("id_a") === col("id_b"), col("np"))).as("prev"))
+        .select(col("id_a").as("id"), col("prev"), col("label"))
     var changed = 1L
+    var hops = 1
     while (changed > 0) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("id_b"), col("label").as("nl")), "id_b")
-        .groupBy(col("id_a").as("id")).agg(min("nl").as("mnl"))
-      // carry the previous label through the checkpoint so convergence is a
-      // filter-count over the materialized round, not another shuffle join
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("prev"),
-          least(col("label"), coalesce(col("mnl"), col("label"))).as("label"))
+      // ADAPTIVE MULTI-HOP rounds: the first round runs one propagation hop
+      // (a shallow duplicate-group graph converges immediately, paying
+      // nothing extra); while the graph keeps changing, the hops fused into
+      // one materialized round DOUBLE (capped at 8) — a deep chain of
+      // diameter d then converges in O(log d) checkpoints instead of d,
+      // with at most 2× the single-hop propagation work. The label fixpoint
+      // is hop-count-independent, so results are identical. The
+      // changed-count rides the checkpoint job itself via observe()
+      // (validated: observations fire through eager localCheckpoint), so a
+      // round is exactly ONE action instead of checkpoint + count.
+      val obs = org.apache.spark.sql.Observation()
+      var stepped = labels.withColumn("prev", col("label"))
+      (0 until hops).foreach(_ => stepped = hop(stepped))
+      val next = stepped
+        .observe(obs, sum(when(col("label") =!= col("prev"), 1L)
+          .otherwise(0L)).as("changed"))
         .localCheckpoint(true)
-      changed = next.filter(col("label") =!= col("prev")).count()
+      hops = math.min(hops * 2, 8)
+      changed = obs.get("changed") match {
+        case null => 0L
+        case n: java.lang.Long => n.longValue()
+      }
       // superseded generation: next is materialized, nothing reads it again
       // (Dataset.unpersist is a no-op for checkpoint blocks — see bridge)
-      org.apache.spark.sql.graftbridge.ScanBridge.unpersistCheckpoint(labels)
+      if (labelsOwned)
+        org.apache.spark.sql.graftbridge.ScanBridge.unpersistCheckpoint(labels)
       labels = next.drop("prev")
+      labelsOwned = true
     }
     val clustered = labels.select(col("id").as(idCol), col("label").as("cluster_id"))
     // singletons never entered the loop: one lazy anti-join against the
@@ -184,7 +231,21 @@ object Dedup {
       .join(ids.select(col("id").as("hi")), Seq("hi"), "left_semi")
       .join(ids.select(col("id").as("lo")), Seq("lo"), "left_semi")
       .select("hi", "lo").distinct()
-    var edges = canon.localCheckpoint(true)
+    // round signature rides each checkpoint's own job via observe() — the
+    // former per-round signature aggregation job is gone (same aggregates:
+    // edge count + two independent seeded hash sums; decimal, since a Long
+    // sum overflows under ANSI)
+    def sigObserve(e: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+      val obs = org.apache.spark.sql.Observation()
+      (e.observe(obs, count(lit(1)).as("cnt"),
+        sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)")).as("h1"),
+        sum(xxhash64(lit(7), col("hi"), col("lo")).cast("decimal(38,0)")).as("h2")),
+        obs)
+    }
+    def sigOf(obs: org.apache.spark.sql.Observation): Seq[Any] =
+      Seq(obs.get("cnt"), obs.get("h1"), obs.get("h2"))
+    val (canonObserved, canonObs) = sigObserve(canon)
+    var edges = canonObserved.localCheckpoint(true)
     val touchedIds = edges.select(col("hi").as("id"))
       .union(edges.select(col("lo").as("id"))).distinct()
       .localCheckpoint(true)
@@ -214,20 +275,16 @@ object Dedup {
         .union(m.select(col("u").as("hi"), col("m").as("lo")))
         .distinct()
     }
-    def signature(e: DataFrame): Seq[Any] =
-      e.agg(count(lit(1)),
-        sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)")),
-        sum(xxhash64(lit(7), col("hi"), col("lo")).cast("decimal(38,0)")))
-        .collect()(0).toSeq // decimal sums: a Long sum overflows under ANSI
-    var sig = signature(edges)
+    var sig = sigOf(canonObs)
     var converged = false
     var rounds = 0
     while (!converged) {
       rounds += 1
       if (rounds > 200) throw new IllegalStateException(
         s"star contraction did not converge in 200 rounds (last signature $sig)")
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      val nextSig = signature(next)
+      val (observed, obs) = sigObserve(smallStar(largeStar(edges)))
+      val next = observed.localCheckpoint(true)
+      val nextSig = sigOf(obs)
       converged = nextSig == sig
       sig = nextSig
       org.apache.spark.sql.graftbridge.ScanBridge.unpersistCheckpoint(edges)
@@ -305,15 +362,20 @@ object Dedup {
     // self-join, exact verification); without truncation Catalyst would
     // re-evaluate the expensive signature expressions per branch. At cluster
     // scale this materialization is the natural "signature table" write.
-    val sigRaw = docs.select(col(idCol).as("id"),
+    val sigRaw = Par.spread(docs).select(col(idCol).as("id"),
       array_distinct(Text.wordShingles(col(textCol), n)).as("sh"),
       minhashSignature(col(textCol), n, numHashes).as("sig"))
     val sig = sigRaw.localCheckpoint(true)
+    // checkpointed pre-partitioned by the bucket key: the bucket-size agg,
+    // the survivor semi-join and the candidate self-join inside
+    // cappedBucketPairs all share this ONE exchange (guide §2.4)
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(array_join(
           transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
             v => v.cast("string")), "_"), b))).as(Seq("band", "bucket")))
+      .repartition(Par.keyedShufflePartitions(docs.sparkSession),
+        col("band"), col("bucket"))
       .localCheckpoint(true)
     // skew guard + canonical candidate pairs: see [[cappedBucketPairs]]
     val cand = cappedBucketPairs(banded, Seq("band", "bucket"), maxBucket)
@@ -372,7 +434,8 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
-    val sig = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val sig = Par.spread(docs)
+      .select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
     // materialized once: consumed by the bucket stats + both self-join sides
     // (3 evaluations of the signature expression otherwise). Storage lives
     // until the session GCs the plan — at cluster scale this materialization
@@ -380,6 +443,8 @@ object Dedup {
     val banded = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFF))).as(Seq("band", "key")))
+      .repartition(Par.keyedShufflePartitions(docs.sparkSession),
+        col("band"), col("key"))
       .localCheckpoint(true)
     // skew guard + canonical candidate pairs, carrying the signatures so the
     // Hamming verification needs no re-join: see [[cappedBucketPairs]]
@@ -411,7 +476,7 @@ object Dedup {
     val benchGrams = bench
       .select(explode(array_distinct(Text.wordShingles(col(textCol), n))).as("gram"))
       .distinct()
-    docs
+    Par.spread(docs)
       .select(col(idCol).as("id"),
         explode(array_distinct(Text.wordShingles(col(textCol), n))).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"))
@@ -455,7 +520,7 @@ object Dedup {
       maxDupFrac: Double = 0.2): DataFrame = {
     require(k >= 1, s"k: $k")
     require(maxDupFrac >= 0.0 && maxDupFrac <= 1.0, s"maxDupFrac: $maxDupFrac")
-    val base = docs.select(col(idCol).as("id"),
+    val base = Par.spread(docs).select(col(idCol).as("id"),
       split(lower(trim(col(textCol))), "\\s+").as("__toks"))
       .withColumn("n_tokens", size(col("__toks")))
     val covered = exactSubstrIslands(base, k)
@@ -487,7 +552,7 @@ object Dedup {
   def exactSubstrCut(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 50): DataFrame = {
     require(k >= 1, s"k: $k")
-    val base = docs.select(col(idCol).as("id"),
+    val base = Par.spread(docs).select(col(idCol).as("id"),
       split(lower(trim(col(textCol))), "\\s+").as("__toks"))
       .withColumn("n_tokens", size(col("__toks")))
     val spans = exactSubstrIslands(base, k)

@@ -74,7 +74,7 @@ object NgramLm {
   def trainBigram(train: DataFrame, textCol: String = "text",
       minCount: Int = 1): LmModel = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    val toks = train
+    val toks = Par.spread(train)
       .filter(length(trim(col(textCol))) > 0)
       .select(tokens(col(textCol)).as("__toks"))
 
@@ -107,7 +107,7 @@ object NgramLm {
       broadcastLm: Boolean = true): DataFrame = {
     val ship: DataFrame => DataFrame =
       if (broadcastLm) broadcast else identity
-    val toks = docs
+    val toks = Par.spread(docs)
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), col("__toks"),

@@ -33,7 +33,7 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val c = Par.spread(corpus).select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
@@ -68,7 +68,7 @@ object Similarity {
     def keyed(df: DataFrame, id: String) =
       df.select(col(idCol).as(id),
           posexplode(srpKeys(col(vecCol), bands, bitsPerBand)).as(Seq("band", "bucket")))
-    val cand = keyed(corpus, "vec_id").join(keyed(queries, "query_id"),
+    val cand = keyed(Par.spread(corpus), "vec_id").join(keyed(queries, "query_id"),
         Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id").distinct()
@@ -107,7 +107,8 @@ object Similarity {
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       refine: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.expressions.TextExprs.{quantCosineCol, quantize8Col}
-    val c8 = corpus.select(col(idCol).as("vec_id"), quantize8Col(col(vecCol)).as("c8"))
+    val c8 = Par.spread(corpus)
+      .select(col(idCol).as("vec_id"), quantize8Col(col(vecCol)).as("c8"))
     val q8 = queries.select(col(idCol).as("query_id"), quantize8Col(col(vecCol)).as("q8"))
     val qw = Window.partitionBy("query_id")
       .orderBy(col("qcos").desc, col("vec_id").asc)
@@ -131,14 +132,16 @@ object Similarity {
 
   /** IVF (inverted-file) ANN: deterministic k-means-lite coarse quantizer.
     *
-    * Scale design: centroids live in a (tiny) DataFrame that is BROADCAST to
-    * the assignment join — never embedded as plan literals and never folded
-    * on the driver. The plan size is constant in nLists (at nLists = 4096 ×
-    * dim = 64 the broadcast is ~1 MB of data, not a 260k-literal plan), and
-    * every Lloyd step is a distributed aggregation:
+    * Scale design: centroids live in a (tiny) driver-local relation that is
+    * BROADCAST to the assignment — the identical memory class to any
+    * broadcast join side (the driver holds broadcast relations either way),
+    * never expression literals, so the plan stays constant-size in nLists
+    * (at nLists = 4096 × dim = 64 the broadcast is ~1 MB of data). Every
+    * Lloyd step is a distributed aggregation over the corpus:
     *
-    *   assign: corpus ⋈ broadcast(centroids) → per-vector max(struct(cos,
-    *           cid)) — partial agg collapses the nLists fan-out map-side
+    *   assign: map-only argmax over the broadcast centroid array (zero
+    *           exchanges — see [[bestCid]]; the former join+groupBy form
+    *           re-shuffled the corpus once per iteration)
     *   mean:   posexplode(vec) → groupBy(list, dim) avg → collect_list back
     *           into ordered arrays (one shuffle of nLists × dim rows)
     *
@@ -150,7 +153,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nLists: Int = 16, nProbe: Int = 4, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val c = Par.spread(corpus).select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .localCheckpoint(true) // consumed by every Lloyd iteration + the index
     val centroids = trainIvfCentroids(c, nLists, iters)
     val indexed = assignListsCos(c, centroids, "vec_id", "cv")
@@ -165,42 +168,95 @@ object Similarity {
     */
   private[operators] def trainIvfCentroids(c: DataFrame, nLists: Int,
       iters: Int): DataFrame = {
-    // deterministic seeding: rows with the nLists smallest xxhash64(id)
+    // Deterministic seeding: rows with the nLists smallest xxhash64(id).
+    // The centroid GENERATIONS are kept driver-local between iterations —
+    // the exact bytes the assignment broadcast ships to every executor
+    // anyway (nLists × dim floats), so this changes no memory class; it
+    // deletes the per-iteration distributed checkpoint + broadcast-build
+    // jobs (measured: each Lloyd iteration cost ~4 scheduler round-trips
+    // for nLists rows of data). Every Lloyd step remains a distributed
+    // aggregation over the corpus; only the k-row codebook transits the
+    // driver, exactly like any broadcast relation.
+    val spark = c.sparkSession
     val hw = Window.orderBy("h") // nLists rows only — single-partition is fine
-    var centroids: DataFrame = c
+    val initDf = c
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h").limit(nLists)
       .select((row_number().over(hw) - 1).as("cid"), col("cv").as("centroid"))
-      .localCheckpoint(true)
+    val schema = initDf.schema
+    var cents: Seq[org.apache.spark.sql.Row] = initDf.collect().toSeq
+    def centroidsDf: DataFrame = spark.createDataFrame(
+      java.util.Arrays.asList(cents: _*), schema)
     (0 until iters).foreach { _ =>
-      val means = assignListsCos(c, centroids, "vec_id", "cv")
+      val means = assignListsCos(c, centroidsDf, "vec_id", "cv")
         .select(col("list").as("cid"), posexplode(col("cv")).as(Seq("d", "x")))
         .groupBy("cid", "d").agg(avg(col("x")).as("m"))
         .groupBy("cid")
         .agg(transform(
           array_sort(collect_list(struct(col("d").as("d"), col("m").as("m")))),
           e => e.getField("m").cast("float")).as("centroid"))
-      // empty lists keep their previous centroid (left join + coalesce)
-      centroids = centroids.as("o")
-        .join(means.as("n"), Seq("cid"), "left")
-        .select(col("cid"),
-          coalesce(col("n.centroid"), col("o.centroid")).as("centroid"))
-        .localCheckpoint(true) // nLists rows; cuts per-iteration lineage
+        .collect().map(r => r.getInt(0) -> r.get(1)).toMap
+      // empty lists keep their previous centroid (driver-side merge — the
+      // relational form was a left join + coalesce over the same k rows)
+      cents = cents.map(r => org.apache.spark.sql.Row(r.get(0),
+        means.getOrElse(r.getInt(0), r.get(1))))
     }
-    centroids
+    centroidsDf
   }
 
-  /** Nearest-centroid assignment: one broadcast join + per-vector argmax
-    * (max over struct(score, cid): deterministic tie-break on larger cid).
+  /** The centroid table folded to ONE row carrying an array of
+    * struct(cid, centroid) — the broadcast shape the map-only assignment
+    * passes consume. Still a DataFrame broadcast (driver-side data, constant
+    * plan size), exactly like the join form; sorting by cid keeps the array
+    * deterministic. When the centroid frame is already driver-local (the
+    * Lloyd loop keeps its generations local — see [[trainIvfCentroids]]),
+    * the fold happens driver-side with NO Spark job; a stored/parquet
+    * centroid table folds through a (tiny) distributed aggregation.
+    */
+  private def centsRow(centroids: DataFrame, cidCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val named = centroids.select(col(cidCol).as("cid"), col("centroid"))
+    if (!centroids.isLocal)
+      named.agg(array_sort(collect_list(
+        struct(col("cid"), col("centroid")))).as("__cents"))
+    else {
+      val rows = named.collect().sortBy(_.getInt(0)) // collect on a local plan: no job
+      val elemType = StructType(Seq(
+        StructField("cid", IntegerType, nullable = false),
+        StructField("centroid", named.schema("centroid").dataType)))
+      val schema = StructType(Seq(StructField("__cents",
+        ArrayType(elemType, containsNull = false), nullable = false)))
+      centroids.sparkSession.createDataFrame(
+        java.util.Arrays.asList(Row(rows.toSeq.map(r => Row(r.get(0), r.get(1))))),
+        schema)
+    }
+  }
+
+  /** Per-row argmax over a broadcast centroid array: `array_max` over
+    * struct(score, cid) elements uses struct ordering — score first, larger
+    * cid on ties — IDENTICAL to the previous `max(struct(s, cid))`
+    * aggregation (including NaN-sorts-greatest), so assignments are
+    * bit-equal. The win is structural (guide §2.4, remove shuffles
+    * outright): the join+groupBy formulation re-shuffled the ENTIRE corpus
+    * once per Lloyd iteration and once per encode pass just to compute a
+    * per-row argmax; this form is map-only — zero exchanges — and keeps the
+    * input's partitioning.
+    */
+  private def bestCid(cents: Column, v: Column, score: (Column, Column) => Column): Column =
+    array_max(transform(cents, e =>
+      struct(score(v, e.getField("centroid")).as("s"), e.getField("cid").as("cid"))))
+      .getField("cid")
+
+  /** Nearest-centroid assignment, map-only (see [[bestCid]]): one-row
+    * broadcast of the centroid array, per-vector argmax expression.
     * Returns (id, v, list).
     */
   private[operators] def assignListsCos(vecs: DataFrame, centroids: DataFrame,
       id: String, v: String): DataFrame =
-    vecs.join(broadcast(centroids))
-      .withColumn("__sc",
-        struct(cosine(col(v), col("centroid")).as("s"), col("cid").as("cid")))
-      .groupBy(col(id))
-      .agg(first(col(v)).as(v), max(col("__sc")).getField("cid").as("list"))
+    vecs.crossJoin(broadcast(centsRow(centroids, "cid")))
+      .select(col(id), col(v),
+        bestCid(col("__cents"), col(v), cosine).as("list"))
 
   /** Query → its nProbe nearest lists by cosine (broadcast join + top-n
     * window). `q` must be (query_id, qv); returns (query_id, qv, list).
@@ -245,23 +301,42 @@ object Similarity {
     */
   private def trainCodebooksL2(rows: DataFrame, k: Int, iters: Int): DataFrame = {
     import graft.functions.expressions.TextExprs.l2SqCol
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = rows.sparkSession
     val gw = Window.partitionBy("g").orderBy("h")
-    // every codebook generation re-aliases its columns: a checkpointed
-    // frame KEEPS the input's attribute ids, so without fresh ids the
-    // old⋈new codebook join (and assign's rows⋈codebook join) can trip
-    // Catalyst's conflicting-references check on some plan shapes
-    def fresh(df: DataFrame): DataFrame = df.select(
-      col("g").as("g"), col("cid").as("cid"), col("centroid").as("centroid"))
-    var cb = fresh(rows.withColumn("h", xxhash64(col("g"), col("id")))
+    val initDf = rows.withColumn("h", xxhash64(col("g"), col("id")))
       .withColumn("rn", row_number().over(gw)).filter(col("rn") <= k)
-      .select(col("g"), (col("rn") - 1).as("cid"), col("v").as("centroid")))
-      .localCheckpoint(true)
+      .select(col("g"), (col("rn") - 1).as("cid"), col("v").as("centroid"))
+    val cbSchema = initDf.schema
+    // Codebook generations are driver-local between iterations — the exact
+    // bytes the per-group broadcast ships anyway (m groups × k codewords);
+    // see [[trainIvfCentroids]] for why this deletes the per-iteration
+    // checkpoint/broadcast-build jobs without changing any memory class.
+    var cb: Seq[Row] = initDf.collect().toSeq
+    def cbDf: DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(cb: _*), cbSchema)
+    // map-only nearest-codeword assignment per group (see [[bestCid]]): the
+    // per-g codeword arrays ride a broadcast of m grouped rows, built
+    // driver-side from the local codebook; the old join+groupBy form
+    // re-shuffled all (g, id) rows every iteration
+    val centroidType = cbSchema("centroid").dataType
+    val groupedSchema = StructType(Seq(
+      StructField("g", IntegerType, nullable = false),
+      StructField("__cents", ArrayType(StructType(Seq(
+        StructField("cid", IntegerType, nullable = false),
+        StructField("centroid", centroidType))), containsNull = false))))
+    def groupedDf: DataFrame = {
+      val byG = cb.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (g, rs) =>
+        Row(g, rs.sortBy(_.getInt(1)).map(r => Row(r.getInt(1), r.get(2))))
+      }
+      spark.createDataFrame(java.util.Arrays.asList(byG: _*), groupedSchema)
+    }
     def assign(r: DataFrame): DataFrame =
-      r.join(broadcast(cb), Seq("g"))
-        .withColumn("__sc",
-          struct((-l2SqCol(col("v"), col("centroid"))).as("s"), col("cid").as("cid")))
-        .groupBy(col("g"), col("id"))
-        .agg(first(col("v")).as("v"), max(col("__sc")).getField("cid").as("cid"))
+      r.join(broadcast(groupedDf), Seq("g"))
+        .select(col("g"), col("id"), col("v"),
+          bestCid(col("__cents"), col("v"),
+            (a, b) => -l2SqCol(a, b)).as("cid"))
     (0 until iters).foreach { _ =>
       val means = assign(rows)
         .select(col("g"), col("cid"), posexplode(col("v")).as(Seq("d", "x")))
@@ -270,12 +345,12 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("d").as("d"), col("m").as("m")))),
           e => e.getField("m").cast("float")).as("centroid"))
-      cb = fresh(cb.as("o").join(means.as("n"), Seq("g", "cid"), "left")
-        .select(col("g"), col("cid"),
-          coalesce(col("n.centroid"), col("o.centroid")).as("centroid")))
-        .localCheckpoint(true)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.get(2)).toMap
+      // empty cells keep their previous centroid (driver-side merge)
+      cb = cb.map(r => Row(r.get(0), r.get(1),
+        means.getOrElse((r.getInt(0), r.getInt(1)), r.get(2))))
     }
-    cb
+    cbDf
   }
 
   /** IVF-PQ-style ANN (coarse inverted lists + product-quantized ADC
@@ -316,10 +391,10 @@ object Similarity {
   }
 
   /** A trained + encoded IVF-PQ model: coarse (list, centroid), per-subspace
-    * codebooks (g, cid, centroid), the encoded corpus (vec_id, g, code,
-    * list, nv — long shape, m rows per vector), and the (vec_id, cv) corpus
-    * projection used by the exact re-rank. [[AnnIndex]] persists exactly
-    * these three frames (encoded pivoted to one codes-array row per vector).
+    * codebooks (g, cid, centroid), the encoded corpus (vec_id, list, nv,
+    * codes — wide shape, one codes-array row per vector = the stored index
+    * shape), and the (vec_id, cv) corpus projection used by the exact
+    * re-rank. [[AnnIndex]] persists exactly these three frames.
     */
   private[operators] final case class PqModel(coarse: DataFrame, cbs: DataFrame,
       encoded: DataFrame, c: DataFrame, dim: Int, m: Int, nLists: Int,
@@ -355,9 +430,11 @@ object Similarity {
   private[operators] def buildPqModel(corpus: DataFrame,
       nLists: Int, m: Int, codes: Int, iters: Int, trainSample: Double,
       idCol: String, vecCol: String): PqModel = {
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val c = Par.spread(corpus).select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .localCheckpoint(true)
-    val dim = c.select(size(col("cv"))).first().getInt(0)
+    // one aggregation serves dim + corpusCount (formerly two driver actions)
+    val dimRow = c.agg(max(size(col("cv"))).as("dim"), count(lit(1)).as("n")).first()
+    val (dim, corpusCount) = (dimRow.getInt(0), dimRow.getLong(1))
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     require(trainSample > 0.0 && trainSample <= 1.0, s"trainSample: $trainSample")
     val sub = dim / m
@@ -370,18 +447,19 @@ object Similarity {
       if (trainSample >= 1.0) c
       else c.filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) <
         lit((trainSample * 1000000L).toLong)).localCheckpoint(true)
-    // coarse quantizer: one group "g = -1" reuses the keyed Lloyd
+    // coarse quantizer: one group "g = -1" reuses the keyed Lloyd. Both
+    // codebooks come back as driver-local relations (broadcast memory
+    // class) — no checkpoint needed, consumers re-broadcast the same rows.
     val coarse = trainCodebooksL2(
       cTrain.select(lit(-1).as("g"), col("vec_id").as("id"), col("cv").as("v")),
       nLists, iters).select(col("cid").as("list"), col("centroid"))
-      .localCheckpoint(true)
     // PQ codebooks: every subspace of the residual space in one keyed loop
     val cbs = trainCodebooksL2(
       subSlices(residualsAgainst(coarse, cTrain), "res", m, sub)
         .withColumnRenamed("vec_id", "id"),
-      codes, iters).localCheckpoint(true)
+      codes, iters)
     val encoded = encodePq(coarse, cbs, c, m, sub)
-    PqModel(coarse, cbs, encoded, c, dim, m, nLists, c.count())
+    PqModel(coarse, cbs, encoded, c, dim, m, nLists, corpusCount)
   }
 
   /** Per-subspace slices of `v`: (vec_id, sub g, subvector) — m rows per
@@ -412,36 +490,55 @@ object Similarity {
   private[operators] def residualsAgainst(coarse: DataFrame,
       r: DataFrame): DataFrame = {
     import graft.functions.expressions.TextExprs.{dotCol, l2SqCol}
-    r.join(broadcast(coarse))
-      .withColumn("__sc",
-        struct((-l2SqCol(col("cv"), col("centroid"))).as("s"), col("list").as("list")))
-      .groupBy(col("vec_id"))
-      .agg(first(col("cv")).as("cv"), max(col("__sc")).getField("list").as("list"))
-      .join(broadcast(coarse), "list")
-      .select(col("vec_id"), col("list"),
+    // Map-only (see [[bestCid]]): the winning struct carries the centroid
+    // VECTOR as a third field, so the residual subtraction needs no second
+    // centroid join — ordering is still decided by (s, list) alone (list is
+    // unique), identical to the previous max(struct(s, list)) + re-join.
+    // The old form shuffled every vector through a groupBy AND joined
+    // coarse twice; this is zero exchanges per encode pass.
+    val best = array_max(transform(col("__cents"), e =>
+      struct((-l2SqCol(col("cv"), e.getField("centroid"))).as("s"),
+        e.getField("cid").as("list"), e.getField("centroid").as("centroid"))))
+    r.crossJoin(broadcast(centsRow(coarse, "list")))
+      .withColumn("__best", best)
+      .select(col("vec_id"), col("__best").getField("list").as("list"),
         sqrt(dotCol(col("cv"), col("cv"))).as("nv"),
-        zip_with(col("cv"), col("centroid"), (a, b) => a - b).as("res"))
+        zip_with(col("cv"), col("__best").getField("centroid"),
+          (a, b) => a - b).as("res"))
   }
 
   /** Encode (vec_id, cv) rows against an EXISTING model (coarse quantizer +
-    * residual codebooks) — nearest codeword per subspace. Returns the
-    * long-shape encoded frame (vec_id, g, code, list, nv). Serves both the
-    * build's full-corpus encode pass and [[AnnIndex]]'s incremental append
-    * (new vectors quantized against the STORED model — the standard IVF
-    * operating shape: encode cheaply between periodic retrains).
+    * residual codebooks) — nearest codeword per subspace. Returns the WIDE
+    * encoded frame (vec_id, list, nv, codes: array ordered by subspace),
+    * i.e. the stored index shape directly. Serves both the build's
+    * full-corpus encode pass and [[AnnIndex]]'s incremental append (new
+    * vectors quantized against the STORED model — the standard IVF operating
+    * shape: encode cheaply between periodic retrains).
+    *
+    * Map-only (guide §2.4): all m codes are computed in ONE expression over
+    * the broadcast codebook array — the previous long-shape formulation
+    * exploded m rows per vector, shuffled them through a per-subspace
+    * argmax aggregation, joined the residual frame back on vec_id and then
+    * needed a second groupBy to pivot the codes into the stored array. The
+    * per-subspace argmax (`array_max` over struct(s, cid)) keeps the exact
+    * max(struct(-l2, cid)) tie-break.
     */
   private[operators] def encodePq(coarse: DataFrame, cbs: DataFrame,
       c: DataFrame, m: Int, sub: Int): DataFrame = {
     import graft.functions.expressions.TextExprs.l2SqCol
-    val cRes = residualsAgainst(coarse, c).localCheckpoint(true)
-    subSlices(cRes, "res", m, sub)
-      .join(broadcast(cbs), Seq("g"))
-      .withColumn("__sc",
-        struct((-l2SqCol(col("v"), col("centroid"))).as("s"), col("cid").as("cid")))
-      .groupBy(col("vec_id"), col("g"))
-      .agg(max(col("__sc")).getField("cid").as("code"))
-      .join(cRes.select("vec_id", "list", "nv"), "vec_id")
-      .localCheckpoint(true)
+    val cbsRow = cbs.agg(array_sort(collect_list(
+      struct(col("g"), col("cid"), col("centroid")))).as("__cbs"))
+    val codes = transform(sequence(lit(0), lit(m - 1)), s =>
+      array_max(transform(
+        filter(col("__cbs"), e => e.getField("g") === s),
+        e => struct(
+          (-l2SqCol(slice(col("res"), s * lit(sub) + 1, lit(sub)),
+            e.getField("centroid"))).as("s"),
+          e.getField("cid").as("cid"))))
+        .getField("cid").cast("int"))
+    residualsAgainst(coarse, c)
+      .crossJoin(broadcast(cbsRow))
+      .select(col("vec_id"), col("list"), col("nv"), codes.as("codes"))
   }
 
   /** Query → its nProbe nearest lists by L2-to-centroid (the coarse
@@ -466,15 +563,19 @@ object Similarity {
   }
 
   /** IVF-PQ search over an (already pruned, for the persisted path) encoded
-    * corpus, given the probe assignment from [[probeListsL2]]: broadcast-LUT
-    * ADC scoring → top-`refine` → exact cosine re-rank against `c`
-    * (vec_id, cv). `refine` ≤ 0 = auto ([[effectiveRefine]]).
+    * corpus in the WIDE shape (vec_id, list, nv, codes), given the probe
+    * assignment from [[probeListsL2]]: broadcast-LUT ADC scoring →
+    * top-`refine` → exact cosine re-rank against `c` (vec_id, cv).
+    * `refine` ≤ 0 = auto ([[effectiveRefine]]).
     */
-  private[operators] def searchPqCore(encoded: DataFrame, probes: DataFrame,
+  private[operators] def searchPqCore(encodedWide: DataFrame, probes: DataFrame,
       cbs: DataFrame, c: DataFrame, q: DataFrame, k: Int, nProbe: Int,
       refine: Int, m: Int, sub: Int, nLists: Int, corpusCount: Long): DataFrame = {
     import graft.functions.expressions.TextExprs.dotCol
     val eff = effectiveRefine(refine, k, nProbe, nLists, corpusCount)
+    // the ADC scoring join consumes the long shape; the explode is map-side
+    val encoded = encodedWide.select(col("vec_id"), col("list"), col("nv"),
+      posexplode(col("codes")).as(Seq("g", "code")))
     def subRows(r: DataFrame, id: String, v: String): DataFrame =
       r.select(col(id), posexplode(transform(sequence(lit(0), lit(m - 1)),
         s => slice(col(v), s * sub + 1, lit(sub)))).as(Seq("g", "v")))
@@ -528,7 +629,7 @@ object Similarity {
     */
   def embeddingNearDupPairsExact(corpus: DataFrame, minCos: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val e = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val e = Par.spread(corpus).select(col(idCol).as("id"), col(vecCol).as("v"))
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(cosine(col("a.v"), col("b.v")), 4).as("cosine"))
@@ -549,8 +650,10 @@ object Similarity {
     // vectors re-join once per distinct pair for the exact verification.
     // Materialized once: bucket stats + both self-join sides would otherwise
     // re-evaluate the SRP projection expression 3×.
-    val keyed = corpus.select(col(idCol).as("id"),
+    val keyed = Par.spread(corpus).select(col(idCol).as("id"),
       posexplode(srpKeys(col(vecCol), bands, bitsPerBand)).as(Seq("band", "bucket")))
+      .repartition(Par.keyedShufflePartitions(corpus.sparkSession),
+        col("band"), col("bucket"))
       .localCheckpoint(true)
     // skew guard + canonical candidate pairs: Dedup.cappedBucketPairs
     val cand = Dedup.cappedBucketPairs(keyed, Seq("band", "bucket"), maxBucket)

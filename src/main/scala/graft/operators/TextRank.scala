@@ -51,7 +51,7 @@ object TextRank {
     val w = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       size(filter(col("w"), x => x === lit(t))).cast("long").as(s"tf_$i") }
-    val base = docs.select(col(idCol).as("id"), w.as("w"))
+    val base = Par.spread(docs).select(col(idCol).as("id"), w.as("w"))
       .select(col("id") +: size(col("w")).as("dl") +: tfCols: _*)
       .localCheckpoint(true)
     // one row; explicit broadcast — corpus stats never hit the driver
