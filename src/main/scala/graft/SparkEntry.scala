@@ -108,16 +108,42 @@ object SparkEntry {
     mx.toLong
   }
 
+  /** Run `f` with the session's shuffle-partition count temporarily set to
+    * `n` — the knob a STREAMING query freezes into its state-store layout at
+    * start. The gate streams ingest one small file per trigger, so the
+    * session default (sized for the batch sweep's core count) fans each
+    * micro-batch into that many state-store commit tasks and delta files for
+    * a handful of keys; state partitioning should be sized to state, not to
+    * the host. Restored immediately after, so batch queries are untouched.
+    */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
+  /** State-store partition count for the gate streams: a quarter of the
+    * parallelism, floored at 4 — derived from the session, not a host
+    * constant (SPARK_GRAFT_STATE_PARTITIONS overrides for deployments whose
+    * streaming state warrants more).
+    */
+  private def statePartitions(s: SparkSession): Int =
+    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse(
+      math.max(4, s.sparkContext.defaultParallelism / 4))
+
   /** Drain a streaming frame to parquet via Trigger.AvailableNow. */
   private def runAvailableNowToParquet(sdf: DataFrame, outDir: String,
       ckpt: String): Unit = {
-    val q = sdf.writeStream.format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val s = sdf.sparkSession
+    withStatePartitions(s, statePartitions(s)) {
+      val q = sdf.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
   }
 
   /** The table's final-state columns (op is internal; read() drops it). */
@@ -186,8 +212,13 @@ object SparkEntry {
     "cdc_conv_neardup" -> ((s, dir) => {
       val conv = queries("cdc_conv_assembly")(s, dir)
         .select(col("conv_id"), col("transcript"))
+      // maxDocFreq uncapped (advisor r05): the DuckDB mirror has no df cap,
+      // so the default 1000 held only while no conversation shingle crossed
+      // it — at a larger scale factor the gate would silently diverge for a
+      // reason unrelated to the code under test
       graft.operators.Dedup.ngramJaccardPairs(conv, idCol = "conv_id",
-        textCol = "transcript", n = 3, minJaccard = 0.1)
+        textCol = "transcript", n = 3, minJaccard = 0.1,
+        maxDocFreq = Int.MaxValue)
     }),
 
     // TRANSCRIPT-level curation filter (the payload-specific quality gate a
@@ -427,7 +458,9 @@ object SparkEntry {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
       (0 until 3).foreach(i =>
         MergeApplier.applyBatch(s, a, cl.filter(col("seq") % 3 === i), "gate", i.toLong))
-      Replicate.runAvailableNow(s, a.root, b, ckpt, maxVersionsPerTrigger = 1)
+      withStatePartitions(s, statePartitions(s)) {
+        Replicate.runAvailableNow(s, a.root, b, ckpt, maxVersionsPerTrigger = 1)
+      }
       b.read(s).select(TableCols.map(col): _*)
     }),
 
@@ -446,8 +479,10 @@ object SparkEntry {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
       (0 until 3).foreach(i =>
         MergeApplier.applyBatch(s, t, cl.filter(col("seq") % 3 === i), "gate", i.toLong))
-      graft.streaming.StreamingView.runAvailableNow(s, t.root, v, ckpt,
-        maxVersionsPerTrigger = 1)
+      withStatePartitions(s, statePartitions(s)) {
+        graft.streaming.StreamingView.runAvailableNow(s, t.root, v, ckpt,
+          maxVersionsPerTrigger = 1)
+      }
       v.read(s).select(("conv_id" +: IncrementalAgg.StatCols).map(col): _*)
     }),
 
@@ -1288,10 +1323,17 @@ object SparkEntry {
     // bit-identical to its standalone gate.
     "text_curation_pipeline" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val kept = docs.filter(Text.qualityKeep(col("text")))
+      // spread + materialize the filter stage ONCE: the quality expressions
+      // (the pipeline's regex-heavy cost) are consumed by the dedup agg, the
+      // semi-join probe side AND the mixture histogram — without truncation
+      // they re-evaluate per branch, single-task (guide §2.5/§5)
+      val kept = graft.operators.Par.spread(docs)
+        .filter(Text.qualityKeep(col("text")))
+        .localCheckpoint(true)
       val reps = graft.operators.Dedup.exact(kept)
         .select(col("keep_id").as("doc_id"))
       val dedup = kept.join(reps, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true) // consumed by the mixture histogram + output
       graft.operators.Sampling.mixtureSample(dedup,
         Map("en" -> 0.5, "de" -> 0.3, "zh" -> 0.2), totalRows = 400L,
         domainCol = "lang")

@@ -9,8 +9,16 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Whitespace token count. */
+  /** Whitespace token count. Native codegen'd kernel
+    * ([[expressions.TextExprs.tokenCountNat]]) — value-identical to
+    * `when(length(trim(text)) = 0, 0).otherwise(size(split(trim(text),
+    * "\\s+")))`, the formulation [[legacyTokenCount]] preserves for the
+    * equivalence spec.
+    */
   def tokenCount(text: Column): Column =
+    expressions.TextExprs.tokenCountCol(text)
+
+  private[graft] def legacyTokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
@@ -20,26 +28,44 @@ object Text {
   def tokenCountBpeish(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]{1,6}|\\d{1,3}|[^\\sA-Za-z\\d]"), lit(0)))
 
-  /** Punctuation ratio ∈ [0,1]. */
+  /** Punctuation ratio ∈ [0,1] (native kernel; [[legacyPunctRatio]] is the
+    * regex twin kept for the equivalence spec).
+    */
   def punctRatio(text: Column): Column =
+    expressions.TextExprs.punctRatioCol(text)
+
+  private[graft] def legacyPunctRatio(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
       greatest(length(text), lit(1)).cast("double")
 
-  /** Alphabetic-character ratio ∈ [0,1]. */
+  /** Alphabetic-character ratio ∈ [0,1] (native kernel). */
   def alphaRatio(text: Column): Column =
+    expressions.TextExprs.alphaRatioCol(text)
+
+  private[graft] def legacyAlphaRatio(text: Column): Column =
     length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
       greatest(length(text), lit(1)).cast("double")
 
-  /** Mean token length in characters. */
+  /** Mean token length in characters (native kernel). */
   def meanTokenLen(text: Column): Column =
+    expressions.TextExprs.meanTokenLenCol(text)
+
+  private[graft] def legacyMeanTokenLen(text: Column): Column =
     length(regexp_replace(text, "\\s+", "")).cast("double") /
-      greatest(tokenCount(text), lit(1)).cast("double")
+      greatest(legacyTokenCount(text), lit(1)).cast("double")
 
   private val Stopwords = Seq("the", "a", "an", "of", "to", "in", "and", "is",
     "it", "that", "for", "on", "with", "as", "at", "by", "or", "be")
 
-  /** Fraction of tokens that are common English stopwords. */
-  def stopwordRatio(text: Column): Column = {
+  /** Fraction of tokens that are common English stopwords. Native kernel —
+    * the HOF formulation ([[legacyStopwordRatio]]) evaluated an interpreted
+    * filter × array_contains(18) per token inside every quality-filter pass
+    * (measured: quality_keep ~90 µs/row, dominated here — guide §4).
+    */
+  def stopwordRatio(text: Column): Column =
+    expressions.TextExprs.stopwordRatioCol(text)
+
+  private[graft] def legacyStopwordRatio(text: Column): Column = {
     val toks = split(lower(trim(text)), "\\s+")
     val sw = array(Stopwords.map(lit(_)): _*)
     size(filter(toks, t => array_contains(sw, t)))

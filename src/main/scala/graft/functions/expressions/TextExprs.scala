@@ -208,9 +208,130 @@ object TextExprs {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  // --- text-stat kernels (the quality-filter hot path) --------------------
+  //
+  // Native, codegen'd byte-scan twins of the Column formulations in
+  // graft.functions.Text (optimization guide §4: eliminate interpreted
+  // higher-order functions / per-row regex passes in the hot path). Each is
+  // VALUE-IDENTICAL to the expression it replaces — the equivalences are
+  // spelled out per function and pinned by TextNativeStatsSpec against the
+  // original Column formulations on a randomized corpus; the text_stats /
+  // text_quality / text_quality_filter / text_sql_quality oracle gates pin
+  // them against DuckDB end-to-end.
+
+  /** ASCII whitespace exactly as Java regex \s: [ \t\n\x0B\f\r]. */
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** ASCII \p{Punct} (Java regex, non-UNICODE_CHARACTER_CLASS): 33-47,
+    * 58-64, 91-96, 123-126.
+    */
+  @inline private def isPunct(b: Byte): Boolean = {
+    val c = b & 0xFF
+    (c >= 33 && c <= 47) || (c >= 58 && c <= 64) ||
+      (c >= 91 && c <= 96) || (c >= 123 && c <= 126)
+  }
+
+  /** == when(length(trim(text)) = 0, 0).otherwise(size(split(trim(text),
+    * "\\s+"))): SQL trim strips ONLY spaces; Java split with limit -1 keeps
+    * leading/trailing empty segments, so the segment count is (number of
+    * \s-runs) + 1 on a non-empty space-trimmed string.
+    */
+  def tokenCountNat(text: UTF8String): Int = {
+    val b = text.getBytes
+    var lo = 0
+    var hi = b.length
+    while (lo < hi && b(lo) == ' ') lo += 1
+    while (hi > lo && b(hi - 1) == ' ') hi -= 1
+    if (lo == hi) return 0
+    var runs = 0
+    var inWs = false
+    var i = lo
+    while (i < hi) {
+      val ws = isWs(b(i))
+      if (ws && !inWs) runs += 1
+      inWs = ws
+      i += 1
+    }
+    runs + 1
+  }
+
+  /** == length(regexp_replace(text, "\\s+", "")) / greatest(tokenCount, 1):
+    * the numerator is chars minus \s chars (each ASCII ws char is one byte
+    * AND one char; multi-byte chars are never \s).
+    */
+  def meanTokenLenNat(text: UTF8String): Double = {
+    val b = text.getBytes
+    var ws = 0
+    var i = 0
+    while (i < b.length) { if (isWs(b(i))) ws += 1; i += 1 }
+    (text.numChars() - ws).toDouble /
+      math.max(tokenCountNat(text), 1).toDouble
+  }
+
+  /** == (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))) /
+    * greatest(length(text), 1): punct chars are single ASCII bytes.
+    */
+  def punctRatioNat(text: UTF8String): Double = {
+    val b = text.getBytes
+    var p = 0
+    var i = 0
+    while (i < b.length) { if (isPunct(b(i))) p += 1; i += 1 }
+    p.toDouble / math.max(text.numChars(), 1).toDouble
+  }
+
+  /** == length(regexp_replace(text, "[^A-Za-z]", "")) /
+    * greatest(length(text), 1).
+    */
+  def alphaRatioNat(text: UTF8String): Double = {
+    val b = text.getBytes
+    var a = 0
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) a += 1
+      i += 1
+    }
+    a.toDouble / math.max(text.numChars(), 1).toDouble
+  }
+
+  private val StopwordSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("the", "a", "an", "of", "to", "in", "and", "is",
+      "it", "that", "for", "on", "with", "as", "at", "by", "or", "be")
+      .foreach(s.add)
+    s
+  }
+
+  /** == size(filter(split(lower(trim(text)), "\\s+"), t =>
+    * array_contains(Stopwords, t))) / greatest(size(split(...)), 1).
+    * Tokenization goes through UTF8String.trim/toLowerCase — the EXACT
+    * kernels Spark's trim()/lower() call — then the same Java regex split,
+    * so token sets are bit-identical; the interpreted per-token
+    * filter × array_contains(18) HOF becomes one hash-set probe per token.
+    */
+  def stopwordRatioNat(text: UTF8String): Double = {
+    val toks = text.trim().toLowerCase.toString.split("\\s+", -1)
+    var n = 0
+    var i = 0
+    while (i < toks.length) { if (StopwordSet.contains(toks(i))) n += 1; i += 1 }
+    n.toDouble / math.max(toks.length, 1).toDouble
+  }
+
   // --- Column API ---------------------------------------------------------
 
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  def tokenCountCol(text: Column): Column =
+    column(TokenCountNatExpr(expression(text)))
+  def meanTokenLenCol(text: Column): Column =
+    column(MeanTokenLenNatExpr(expression(text)))
+  def punctRatioCol(text: Column): Column =
+    column(PunctRatioNatExpr(expression(text)))
+  def alphaRatioCol(text: Column): Column =
+    column(AlphaRatioNatExpr(expression(text)))
+  def stopwordRatioCol(text: Column): Column =
+    column(StopwordRatioNatExpr(expression(text)))
 
   def cosineSimCol(a: Column, b: Column): Column =
     column(CosineSimExpr(expression(a), expression(b)))
@@ -320,5 +441,60 @@ case class SrpKeysExpr(child: Expression, bands: Int, bits: Int, seed: Int)
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.expressions.TextExprs.srpKeys($c, $bands, $bits, $seed)")
   override protected def withNewChildInternal(newChild: Expression): SrpKeysExpr =
+    copy(child = newChild)
+}
+
+case class TokenCountNatExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.tokenCountNat(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.TextExprs.tokenCountNat($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenCountNatExpr =
+    copy(child = newChild)
+}
+
+case class MeanTokenLenNatExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.meanTokenLenNat(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.TextExprs.meanTokenLenNat($c)")
+  override protected def withNewChildInternal(newChild: Expression): MeanTokenLenNatExpr =
+    copy(child = newChild)
+}
+
+case class PunctRatioNatExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.punctRatioNat(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.TextExprs.punctRatioNat($c)")
+  override protected def withNewChildInternal(newChild: Expression): PunctRatioNatExpr =
+    copy(child = newChild)
+}
+
+case class AlphaRatioNatExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.alphaRatioNat(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.TextExprs.alphaRatioNat($c)")
+  override protected def withNewChildInternal(newChild: Expression): AlphaRatioNatExpr =
+    copy(child = newChild)
+}
+
+case class StopwordRatioNatExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.stopwordRatioNat(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.TextExprs.stopwordRatioNat($c)")
+  override protected def withNewChildInternal(newChild: Expression): StopwordRatioNatExpr =
     copy(child = newChild)
 }

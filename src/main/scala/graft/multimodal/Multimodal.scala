@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   *   - [[RealCodec]] REALLY decodes the pure-byte-layout formats (WAV/PCM
   *     audio → duration/RMS/peak/per-window frame RMS; PPM + 24-bit BMP
   *     images → dimensions/channel means/nearest-neighbor thumbnail
-  *     resize) with zero native libraries — [[decodeMedia]] is the stage;
-  *   - compressed codecs (JPEG/MP3/H.264) need libjpeg/ffmpeg-class
-  *     bindings that are absent here and stay behind the deterministic
-  *     [[FakeCodec]] stub (and RealCodec's structured `unsupported` rows).
+  *     resize) with zero native libraries, and PNG/JPEG/GIF through the
+  *     JDK's own javax.imageio — [[decodeMedia]] is the stage;
+  *   - video (H.264/VP9) and compressed audio (MP3/AAC) need ffmpeg-class
+  *     native bindings that are absent here and stay behind the
+  *     deterministic [[FakeCodec]] stub (and RealCodec's structured
+  *     `unsupported` rows).
   * Everything Spark-cares-about is real and tested either way: schema,
   * binary column handling, partition-local batched execution
   * (`mapPartitions` over a typed Dataset — the Scala analog of

@@ -164,8 +164,12 @@ object RealCodec {
       val sz = u32le(b, i + 4)
       if (cid == "fmt ") fmtOff = i + 8
       else if (cid == "data") { dataOff = i + 8; dataLen = math.min(sz, (b.length - dataOff).toLong).toInt }
-      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
-      if (sz < 0 || i < 0) return bad(id, "wav", "corrupt chunk size")
+      // step in LONG: a 32-bit size near 0xFFFFFFFF truncated to Int made
+      // the step a no-op (advisor r05) — the walk would spin forever on a
+      // corrupt blob instead of producing the contracted ok=false row
+      val next = i.toLong + 8L + sz + (sz & 1L) // chunks are word-aligned
+      if (next > Int.MaxValue) return bad(id, "wav", "corrupt chunk size")
+      i = next.toInt
     }
     if (fmtOff < 0 || fmtOff + 16 > b.length) return bad(id, "wav", "missing fmt chunk")
     if (dataOff < 0) return bad(id, "wav", "missing data chunk")
@@ -251,7 +255,7 @@ object RealCodec {
 
   private def decodeBmp(id: Long, b: Array[Byte], thumbSize: Int): Decoded = {
     if (b.length < 54) return bad(id, "bmp", "truncated header")
-    val pixOff = u32le(b, 10).toInt
+    val pixOffL = u32le(b, 10)
     val w = i32le(b, 18)
     val hRaw = i32le(b, 22)
     val bpp = u16le(b, 28)
@@ -261,9 +265,14 @@ object RealCodec {
     val h = math.abs(hRaw)
     val bottomUp = hRaw > 0
     if (w <= 0 || h == 0) return bad(id, "bmp", "corrupt dimensions")
-    val rowBytes = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
-    if (pixOff.toLong + rowBytes.toLong * h > b.length)
+    // row-stride arithmetic in LONG (advisor r05): a crafted width > ~715M
+    // overflowed the Int rowBytes negative, slipped past the size check and
+    // escaped the structured-error contract via ArrayIndexOutOfBounds
+    val rowBytesL = ((w.toLong * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+    if (pixOffL < 54 || pixOffL + rowBytesL * h > b.length)
       return bad(id, "bmp", "truncated pixel data")
+    val pixOff = pixOffL.toInt
+    val rowBytes = rowBytesL.toInt // safe: pixOff + rowBytes*h <= b.length < 2^31
     imageFeatures(id, "bmp", w, h, thumbSize) { (x, y) =>
       val row = if (bottomUp) h - 1 - y else y // normalize to top-down
       val o = pixOff + row * rowBytes + x * 3

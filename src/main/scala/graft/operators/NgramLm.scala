@@ -124,7 +124,13 @@ object NgramLm {
       col("g").as("__g"), col("c_bi").as("__c_bi")))
     val total = broadcast(model.total)
 
-    val n = col("n_total").cast("double")
+    // empty-reference guard (advisor r05): n_total = 0 would divide every
+    // unigram leg by zero and silently emit Infinity/NaN scores — fail
+    // loudly instead, in-plan (no extra driver action)
+    val n = when(col("n_total") > 0, col("n_total").cast("double"))
+      .otherwise(raise_error(lit(
+        "NgramLm: reference corpus is empty (n_total = 0) — " +
+          "train on a non-empty corpus")).cast("double"))
     // unigram leg: seen -> c/N, OOV -> alpha/N; first token pays no backoff.
     val uniScore = when(col("__c_cur").isNotNull,
       col("__c_cur").cast("double") / n).otherwise(lit(alpha) / n)
