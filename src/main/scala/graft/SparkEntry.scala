@@ -89,22 +89,52 @@ object SparkEntry {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  /** Write `df` as one single-parquet-file chunk per distinct value of
+    * `chunkIdx` (which must evaluate to 0 until n-1) in ONE Spark job:
+    * coalesce(1) + partitionBy writes every chunk's single file in one
+    * task, then each file is moved to `dir/c<i+1>.parquet` with mtime
+    * (i+1)·10^6 ms — the same files, names and arrival order the former
+    * one-job-per-chunk writes produced, minus n-1 jobs of prep per gate.
+    * The chunk column is a partition column, so data files exclude it
+    * (replacing the former per-chunk drop()).
+    */
+  private def writeChunksOneJob(df: DataFrame, chunkIdx: org.apache.spark.sql.Column,
+      n: Int, dir: java.nio.file.Path, dropCols: Seq[String] = Nil): Unit = {
+    import java.nio.file.Files
+    val tmp = dir.resolve(".tmp-chunks")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    df.withColumn("__chunk", chunkIdx).drop(dropCols: _*).coalesce(1)
+      .write.partitionBy("__chunk").parquet(tmp.toString)
+    (0 until n).foreach { i =>
+      val pdir = tmp.resolve(s"__chunk=$i")
+      val part = { val st = Files.list(pdir)
+        try { import scala.jdk.CollectionConverters._
+          st.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+        } finally st.close() }
+      val target = dir.resolve(s"c${i + 1}.parquet")
+      Files.move(part, target)
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis((i + 1) * 1000000L))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   /** Split `df` into three ts-range chunks on `tsCol` with increasing mtimes
     * (one micro-batch each under maxFilesPerTrigger=1). Equal event times
     * always share a chunk, so cross-chunk arrival respects event-time order —
     * the invariant that keeps every real event ahead of the watermark in the
-    * windowed gates. Returns the EXACT max of `tsCol` (quantile 1.0 is exact
-    * in Spark's Greenwald-Khanna sketch; micros < 2^53 so the Double is
-    * lossless). `drop` strips the helper column before writing.
+    * windowed gates (it holds for ANY ts-range split, so the split points
+    * only need determinism, not exactness). Returns the EXACT max of `tsCol`
+    * (quantile 1.0 is exact in Spark's Greenwald-Khanna sketch; micros <
+    * 2^53 so the Double is lossless). `drop` strips the helper column before
+    * writing. One quantile job + one write job.
     */
   private def writeTsChunks(df: DataFrame, chunks: java.nio.file.Path,
       tsCol: String, drop: Boolean): Long = {
     val Array(t1, t2, mx) = df.stat.approxQuantile(tsCol, Array(0.33, 0.66, 1.0), 0.001)
-    def strip(d: DataFrame) = if (drop) d.drop(tsCol) else d
-    writeChunk(strip(df.filter(col(tsCol) <= t1)), chunks, "c1.parquet", 1000000L)
-    writeChunk(strip(df.filter(col(tsCol) > t1 && col(tsCol) <= t2)),
-      chunks, "c2.parquet", 2000000L)
-    writeChunk(strip(df.filter(col(tsCol) > t2)), chunks, "c3.parquet", 3000000L)
+    val idx = when(col(tsCol) <= t1, 0).when(col(tsCol) <= t2, 1).otherwise(2)
+    writeChunksOneJob(df, idx, 3, chunks,
+      dropCols = if (drop) Seq(tsCol) else Nil)
     mx.toLong
   }
 
@@ -547,8 +577,7 @@ object SparkEntry {
         .localCheckpoint(true)
       val base = gateDir("text_dedup_stream")
       val chunks = java.nio.file.Files.createDirectories(base.resolve("chunks"))
-      (1 to 3).foreach(r => writeChunk(feed.filter(col("rn") === r).drop("rn"),
-        chunks, s"c$r.parquet", r * 1000000L))
+      writeChunksOneJob(feed, col("rn") - 1, 3, chunks, dropCols = Seq("rn"))
       val schema = feed.drop("rn").schema
       val sdf = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(chunks.toString)
@@ -583,8 +612,7 @@ object SparkEntry {
         .localCheckpoint(true)
       val base = gateDir("cdc_stateful_lww")
       val chunks = java.nio.file.Files.createDirectories(base.resolve("chunks"))
-      (0 until 3).foreach(i => writeChunk(cl.filter(pmod(col("seq"), lit(3)) === i),
-        chunks, s"c$i.parquet", (i + 1) * 1000000L))
+      writeChunksOneJob(cl, pmod(col("seq"), lit(3)).cast("int"), 3, chunks)
       val sdf = s.readStream.schema(cl.schema)
         .option("maxFilesPerTrigger", 1).parquet(chunks.toString)
       val feed = graft.streaming.StatefulLww.changeFeed(
@@ -1135,8 +1163,10 @@ object SparkEntry {
         idxRoot, nLists = 8, iters = 3, idCol = "conv_id")
       MergeApplier.applyBatch(s, t,
         asEvents(emb.filter(col("vec_id") % 3 === 0)), "annm", 1L)
-      AnnMaintenance.runAvailableNow(s, tblRoot, idxRoot, ckpt,
-        idCol = "conv_id", startingVersion = v0.toString)
+      withStatePartitions(s, statePartitions(s)) {
+        AnnMaintenance.runAvailableNow(s, tblRoot, idxRoot, ckpt,
+          idCol = "conv_id", startingVersion = v0.toString)
+      }
       AnnIndex.searchIvf(s, idxRoot,
         emb.filter(col("vec_id") < 8)
           .select(col("vec_id").cast("string").as("conv_id"), col("embedding")),
@@ -1177,9 +1207,11 @@ object SparkEntry {
             "2025-01-01 00:01:00", "insert", 1000000L)
           .unionByName(asEvents(emb.filter(col("vec_id") % 17 === 3),
             "2025-01-01 00:01:00", "delete", 2000000L)), "annx", 1L)
-      AnnMaintenance.runAvailableNow(s, tblRoot, idxRoot, ckpt,
-        idCol = "conv_id", startingVersion = v0.toString,
-        mutations = "apply")
+      withStatePartitions(s, statePartitions(s)) {
+        AnnMaintenance.runAvailableNow(s, tblRoot, idxRoot, ckpt,
+          idCol = "conv_id", startingVersion = v0.toString,
+          mutations = "apply")
+      }
       AnnIndex.searchIvf(s, idxRoot,
         emb.filter(col("vec_id") < 8)
           .select(col("vec_id").cast("string").as("conv_id"), col("embedding")),

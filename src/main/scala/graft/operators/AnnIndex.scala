@@ -422,10 +422,11 @@ object AnnIndex {
     val meta = readMeta(root)
     require(meta.variant == "ivf", s"index at $root is ${meta.variant}")
     val centroids = spark.read.parquet(s"$root/centroids")
+    // no q checkpoint: the probe assignment carries qv through to the
+    // re-rank, so q has exactly one consumer
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .localCheckpoint(true) // probed twice: list ranking + re-rank
     val probes = Similarity.probeListsCos(q, centroids, nProbe)
-      .localCheckpoint(true)
+      .localCheckpoint(true) // consumed by the pruning literal + the join
     val probed = probes.select(col("list").cast("int")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val indexed = spark.read.schema(meta.schema).parquet(s"$root/vectors")

@@ -253,28 +253,35 @@ object Dedup {
     def nbrs(e: DataFrame): DataFrame =
       e.select(col("hi").as("u"), col("lo").as("v"))
         .union(e.select(col("lo").as("u"), col("hi").as("v")))
+    // Both star steps now compute the per-u neighborhood minimum as a WINDOW
+    // over the symmetric view instead of a groupBy + self-join (guide §2.4):
+    // one exchange per star instead of three, and largeStar's intermediate
+    // distinct is dropped — smallStar's window-min and pair emission are
+    // multiset-insensitive and the round's final distinct dedups, so the
+    // produced edge SET (and hence every signature and the fixpoint) is
+    // unchanged.
+    val uw = Window.partitionBy("u")
     // large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
     // v > u ≥ m, so (hi = v, lo = m) stays canonical.
-    def largeStar(e: DataFrame): DataFrame = {
-      val nb = nbrs(e)
-      val m = nb.groupBy("u").agg(min("v").as("mn"))
-      nb.join(m, "u")
+    def largeStar(e: DataFrame): DataFrame =
+      nbrs(e)
+        .withColumn("mn", min(col("v")).over(uw))
         .filter(col("v") > col("u"))
         .select(col("v").as("hi"), least(col("u"), col("mn")).as("lo"))
-        .distinct()
-    }
     // small-star(u): over the not-larger neighbors S = {v ∈ Γ(u): v < u},
     // m = min(S); emit (u, m) and (v, m) for v ∈ S, v ≠ m (all canonical:
-    // u > m and v > m). Nodes with no smaller neighbor emit nothing — their
-    // edges are re-emitted from the other endpoint's perspective.
-    def smallStar(e: DataFrame): DataFrame = {
-      val smaller = nbrs(e).filter(col("v") < col("u"))
-      val m = smaller.groupBy("u").agg(min("v").as("m"))
-      smaller.join(m, "u").filter(col("v") =!= col("m"))
-        .select(col("v").as("hi"), col("m").as("lo"))
-        .union(m.select(col("u").as("hi"), col("m").as("lo")))
+    // u > m and v > m; the v = m self-pair is dropped by the hi ≠ lo
+    // filter). Nodes with no smaller neighbor emit nothing — their edges
+    // are re-emitted from the other endpoint's perspective.
+    def smallStar(e: DataFrame): DataFrame =
+      nbrs(e).filter(col("v") < col("u"))
+        .withColumn("m", min(col("v")).over(uw))
+        .select(explode(array(
+          struct(col("v").as("hi"), col("m").as("lo")),
+          struct(col("u").as("hi"), col("m").as("lo")))).as("p"))
+        .select(col("p.hi").as("hi"), col("p.lo").as("lo"))
+        .filter(col("hi") =!= col("lo"))
         .distinct()
-    }
     var sig = sigOf(canonObs)
     var converged = false
     var rounds = 0
