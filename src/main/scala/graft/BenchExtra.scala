@@ -26,12 +26,46 @@ object BenchExtra {
     def snap: (Long, Long, Long) = (jobs.get, stages.get, tasks.get)
   }
 
+  /** --profile: per-job wall durations + descriptions + gaps between jobs,
+    * printed after each timed pass — guide §1's empirical loop for queries
+    * whose cost is many small jobs rather than one big stage.
+    */
+  private class JobProfiler extends SparkListener {
+    import org.apache.spark.scheduler.SparkListenerJobEnd
+    case class J(id: Int, start: Long, var end: Long, desc: String)
+    val js = new java.util.concurrent.ConcurrentHashMap[Int, J]()
+    val order = new java.util.concurrent.CopyOnWriteArrayList[Int]()
+    override def onJobStart(j: SparkListenerJobStart): Unit = {
+      val site = j.stageInfos.lastOption.map(_.name).getOrElse("")
+      js.put(j.jobId, J(j.jobId, System.nanoTime(), 0L,
+        s"stages=${j.stageInfos.size} $site"))
+      order.add(j.jobId)
+    }
+    override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+      val j = js.get(e.jobId); if (j != null) j.end = System.nanoTime()
+    }
+    def reset(): Unit = { js.clear(); order.clear() }
+    def report(): Unit = {
+      import scala.jdk.CollectionConverters._
+      var prevEnd = 0L
+      order.asScala.foreach { id =>
+        val j = js.get(id)
+        val durMs = (j.end - j.start) / 1e6
+        val gapMs = if (prevEnd == 0L) 0.0 else (j.start - prevEnd) / 1e6
+        prevEnd = j.end
+        System.err.println(f"[job] ${j.id}%4d dur=${durMs}%8.1fms gap=${gapMs}%7.1fms ${j.desc.take(90)}")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     var rest = args.toList
     var plansDir: Option[String] = None
     var plansSuffix = "before"
+    var profile = false
+    if (rest.take(1) == List("--profile")) { profile = true; rest = rest.drop(1) }
     if (rest.take(1) == List("--plans")) {
       plansDir = Some(rest(1)); plansSuffix = rest(2); rest = rest.drop(3)
     }
@@ -49,6 +83,9 @@ object BenchExtra {
     spark.sparkContext.setLogLevel("WARN")
     val counter = new Counter
     spark.sparkContext.addSparkListener(counter)
+    val profiler = if (profile) {
+      val p = new JobProfiler; spark.sparkContext.addSparkListener(p); Some(p)
+    } else None
 
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
@@ -70,8 +107,10 @@ object BenchExtra {
           System.err.println(s"[extra] $name plan failed: $e") }
       }
       val (j0, s0, t0) = counter.snap
+      profiler.foreach(_.reset())
       spark.sparkContext.setJobDescription(s"timed1 $name")
       val (_, sec1) = timed { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }
+      profiler.foreach { p => System.err.println(s"[job] --- $name pass1 ---"); p.report() }
       val (j1, s1, t1) = counter.snap
       spark.sparkContext.setJobDescription(s"timed2 $name")
       val (_, sec2) = timed { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }

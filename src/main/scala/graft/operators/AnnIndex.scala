@@ -67,11 +67,36 @@ object AnnIndex {
     * appended rows and tombstones (see the class doc's LWW rule).
     */
   final case class Meta(variant: String, dim: Int, nLists: Int, m: Int,
-      codes: Int, corpusCount: Long, schemaJson: String, gen: Long = 0L) {
+      codes: Int, corpusCount: Long, schemaJson: String, gen: Long = 0L,
+      centroidsSchemaJson: String = "", codebooksSchemaJson: String = "") {
     def schema: org.apache.spark.sql.types.StructType =
       org.apache.spark.sql.types.DataType.fromJson(schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
+    private def parse(json: String) =
+      if (json.isEmpty) None
+      else Some(org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    /** Stored schema of `<root>/centroids` — reading with it skips the
+      * per-open footer-inference Spark job (measured 25-165 ms each; an
+      * append + search paid up to six such jobs). Empty on pre-upgrade
+      * indexes → caller falls back to inference.
+      */
+    def centroidsSchema: Option[org.apache.spark.sql.types.StructType] =
+      parse(centroidsSchemaJson)
+    def codebooksSchema: Option[org.apache.spark.sql.types.StructType] =
+      parse(codebooksSchemaJson)
   }
+
+  /** Open a stored side dataset with its recorded schema when the meta
+    * carries one (no footer-inference job), falling back to inference for
+    * indexes written before the schema was recorded.
+    */
+  private def readWithSchema(spark: SparkSession, path: String,
+      stored: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    stored match {
+      case Some(s) => spark.read.schema(s).parquet(path)
+      case None => spark.read.parquet(path)
+    }
 
   private def writeMeta(root: String, meta: Meta): Unit = {
     val om = new ObjectMapper()
@@ -84,6 +109,8 @@ object AnnIndex {
     node.put("corpusCount", meta.corpusCount)
     node.put("gen", meta.gen)
     node.put("schemaJson", meta.schemaJson)
+    node.put("centroidsSchemaJson", meta.centroidsSchemaJson)
+    node.put("codebooksSchemaJson", meta.codebooksSchemaJson)
     Files.createDirectories(Paths.get(root))
     Files.write(Paths.get(root, "meta.json"),
       om.writerWithDefaultPrettyPrinter().writeValueAsBytes(node),
@@ -103,7 +130,9 @@ object AnnIndex {
     Meta(n.get("variant").asText(), n.get("dim").asInt(), n.get("nLists").asInt(),
       n.get("m").asInt(), n.get("codes").asInt(), n.get("corpusCount").asLong(),
       n.get("schemaJson").asText(),
-      Option(n.get("gen")).map(_.asLong()).getOrElse(0L))
+      Option(n.get("gen")).map(_.asLong()).getOrElse(0L),
+      Option(n.get("centroidsSchemaJson")).map(_.asText()).getOrElse(""),
+      Option(n.get("codebooksSchemaJson")).map(_.asText()).getOrElse(""))
   }
 
   // --- IVF-flat ------------------------------------------------------------
@@ -115,11 +144,14 @@ object AnnIndex {
       iters: Int = 3, idCol: String = "vec_id",
       vecCol: String = "embedding"): Meta = {
     val spark = corpus.sparkSession
+    // dim + corpusCount ride the checkpoint job via observe() (formerly a
+    // separate aggregation job over the checkpointed rows)
+    val obs = org.apache.spark.sql.Observation()
     val c = Par.spread(corpus).select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .observe(obs, max(size(col("cv"))).as("dim"), count(lit(1)).as("n"))
       .localCheckpoint(true)
-    // one aggregation serves dim + corpusCount (formerly two driver actions)
-    val dimRow = c.agg(max(size(col("cv"))).as("dim"), count(lit(1)).as("n")).first()
-    val (dim, corpusCount) = (dimRow.getInt(0), dimRow.getLong(1))
+    val (dim, corpusCount) =
+      (obs.get("dim").asInstanceOf[Int], obs.get("n").asInstanceOf[Long])
     val centroids = Similarity.trainIvfCentroids(c, nLists, iters)
     centroids.write.mode("overwrite").parquet(s"$root/centroids")
     val indexed = Similarity.assignListsCos(c, centroids, "vec_id", "cv")
@@ -133,7 +165,8 @@ object AnnIndex {
       .mode("overwrite").partitionBy("list").parquet(s"$root/vectors")
     clearTombstones(root) // they number the OLD generations; poison after gen→0
     Files.deleteIfExists(inflightPath(root)) // rebuild supersedes any torn batch
-    val meta = Meta("ivf", dim, nLists, 0, 0, corpusCount, indexed.schema.json)
+    val meta = Meta("ivf", dim, nLists, 0, 0, corpusCount, indexed.schema.json,
+      centroidsSchemaJson = centroids.schema.json)
     writeMeta(root, meta)
     meta
   }
@@ -166,10 +199,7 @@ object AnnIndex {
     recoverInflight(root)
     val meta = readMeta(root)
     require(meta.variant == "ivf", s"index at $root is ${meta.variant}")
-    val c = Par.spread(newVectors)
-      .select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
-      .localCheckpoint(true)
-    val n = requireDim(c, meta.dim)
+    val (c, n) = checkpointDimChecked(newVectors, idCol, vecCol, meta.dim)
     beginInflight(root, meta)
     appendRowsIvf(spark, root, meta, c, meta.gen + 1)
     val updated = meta.copy(corpusCount = meta.corpusCount + n,
@@ -185,7 +215,7 @@ object AnnIndex {
     */
   private def appendRowsIvf(spark: SparkSession, root: String, meta: Meta,
       c: DataFrame, gen: Long): Unit = {
-    val centroids = spark.read.parquet(s"$root/centroids")
+    val centroids = readWithSchema(spark, s"$root/centroids", meta.centroidsSchema)
     Similarity.assignListsCos(c, centroids, "vec_id", "cv")
       .withColumn("gen", lit(gen))
       .repartition(col("list"))
@@ -204,6 +234,26 @@ object AnnIndex {
     require(r.getLong(0) == 0L,
       s"append batch has ${r.getLong(0)} vector(s) whose dimension != the index's $dim")
     r.getLong(1)
+  }
+
+  /** Checkpoint an append batch with the dimension check + row count RIDING
+    * the checkpoint job via observe() — one job where checkpoint +
+    * [[requireDim]] were two, same validate-before-any-write ordering
+    * (the observation completes with the checkpoint, before any file is
+    * written). Returns (checkpointed batch, row count).
+    */
+  private def checkpointDimChecked(newVectors: DataFrame, idCol: String,
+      vecCol: String, dim: Int): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val c = Par.spread(newVectors)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .observe(obs, count(when(size(col("cv")) =!= dim, 1)).as("bad"),
+        count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val bad = obs.get("bad").asInstanceOf[Long]
+    require(bad == 0L,
+      s"append batch has $bad vector(s) whose dimension != the index's $dim")
+    (c, obs.get("n").asInstanceOf[Long])
   }
 
   // --- mutations: generation-tagged tombstones (the LSM shape) --------------
@@ -421,14 +471,19 @@ object AnnIndex {
       vecCol: String = "embedding"): DataFrame = {
     val meta = readMeta(root)
     require(meta.variant == "ivf", s"index at $root is ${meta.variant}")
-    val centroids = spark.read.parquet(s"$root/centroids")
+    val centroids = readWithSchema(spark, s"$root/centroids", meta.centroidsSchema)
     // no q checkpoint: the probe assignment carries qv through to the
     // re-rank, so q has exactly one consumer
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // the pruning literal (distinct probed lists, bounded by nLists) rides
+    // the probe checkpoint's own job via observe() — formerly a separate
+    // distinct+collect job over the checkpointed rows
+    val obs = org.apache.spark.sql.Observation()
     val probes = Similarity.probeListsCos(q, centroids, nProbe)
+      .observe(obs, collect_set(col("list").cast("int")).as("lists"))
       .localCheckpoint(true) // consumed by the pruning literal + the join
-    val probed = probes.select(col("list").cast("int")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val probed = Option(obs.get("lists")).map(_.asInstanceOf[Seq[Int]])
+      .getOrElse(Seq.empty)
     val indexed = spark.read.schema(meta.schema).parquet(s"$root/vectors")
       .filter(col("list").isin(probed: _*))
     Similarity.searchIvfCore(liveRows(spark, root, meta, indexed), probes, k)
@@ -458,7 +513,9 @@ object AnnIndex {
     clearTombstones(root) // they number the OLD generations; poison after gen→0
     Files.deleteIfExists(inflightPath(root)) // rebuild supersedes any torn batch
     val meta = Meta("ivfpq", model.dim, nLists, m, codes, model.corpusCount,
-      wide.schema.json)
+      wide.schema.json,
+      centroidsSchemaJson = model.coarse.schema.json,
+      codebooksSchemaJson = model.cbs.schema.json)
     writeMeta(root, meta)
     meta
   }
@@ -479,10 +536,7 @@ object AnnIndex {
     recoverInflight(root)
     val meta = readMeta(root)
     require(meta.variant == "ivfpq", s"index at $root is ${meta.variant}")
-    val c = Par.spread(newVectors)
-      .select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
-      .localCheckpoint(true)
-    val n = requireDim(c, meta.dim)
+    val (c, n) = checkpointDimChecked(newVectors, idCol, vecCol, meta.dim)
     beginInflight(root, meta)
     appendRowsIvfPq(spark, root, meta, c, meta.gen + 1)
     val updated = meta.copy(corpusCount = meta.corpusCount + n,
@@ -497,8 +551,8 @@ object AnnIndex {
     */
   private def appendRowsIvfPq(spark: SparkSession, root: String, meta: Meta,
       c: DataFrame, gen: Long): Unit = {
-    val coarse = spark.read.parquet(s"$root/centroids")
-    val cbs = spark.read.parquet(s"$root/codebooks")
+    val coarse = readWithSchema(spark, s"$root/centroids", meta.centroidsSchema)
+    val cbs = readWithSchema(spark, s"$root/codebooks", meta.codebooksSchema)
     Similarity.encodePq(coarse, cbs, c, meta.m, meta.dim / meta.m)
       .withColumn("gen", lit(gen))
       .repartition(col("list"))
@@ -517,18 +571,21 @@ object AnnIndex {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val meta = readMeta(root)
     require(meta.variant == "ivfpq", s"index at $root is ${meta.variant}")
-    val coarse = spark.read.parquet(s"$root/centroids")
-    val cbs = spark.read.parquet(s"$root/codebooks")
+    val coarse = readWithSchema(spark, s"$root/centroids", meta.centroidsSchema)
+    val cbs = readWithSchema(spark, s"$root/codebooks", meta.codebooksSchema)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .localCheckpoint(true)
     // ONE probe assignment (L2-to-centroid, the coarse quantizer's metric)
     // serves both the partition-pruning literal and the ADC scoring join —
     // computed by the same code the in-memory path uses, so pruning can
     // never diverge from scoring
+    // pruning literal rides the checkpoint job — see [[searchIvf]]
+    val pObs = org.apache.spark.sql.Observation()
     val probes = Similarity.probeListsL2(q, coarse, nProbe)
+      .observe(pObs, collect_set(col("list").cast("int")).as("lists"))
       .localCheckpoint(true) // probed twice: pruning literal + scoring join
-    val probed = probes.select(col("list").cast("int")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val probed = Option(pObs.get("lists")).map(_.asInstanceOf[Seq[Int]])
+      .getOrElse(Seq.empty)
     val wide = spark.read.schema(meta.schema).parquet(s"$root/vectors")
       .filter(col("list").isin(probed: _*))
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))

@@ -188,14 +188,17 @@ object Similarity {
     def centroidsDf: DataFrame = spark.createDataFrame(
       java.util.Arrays.asList(cents: _*), schema)
     (0 until iters).foreach { _ =>
+      // ONE exchange per iteration: the per-(cid, d) means come back as flat
+      // rows and the centroid ARRAYS are assembled driver-side — the former
+      // second groupBy (collect_list + array_sort into arrays) moved the
+      // same bytes to the driver through one more exchange. Values are
+      // identical: same avg groups, same double→float cast.
       val means = assignListsCos(c, centroidsDf, "vec_id", "cv")
         .select(col("list").as("cid"), posexplode(col("cv")).as(Seq("d", "x")))
         .groupBy("cid", "d").agg(avg(col("x")).as("m"))
-        .groupBy("cid")
-        .agg(transform(
-          array_sort(collect_list(struct(col("d").as("d"), col("m").as("m")))),
-          e => e.getField("m").cast("float")).as("centroid"))
-        .collect().map(r => r.getInt(0) -> r.get(1)).toMap
+        .collect().groupBy(_.getInt(0))
+        .map { case (cid, rs) =>
+          cid -> rs.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq }
       // empty lists keep their previous centroid (driver-side merge — the
       // relational form was a left join + coalesce over the same k rows)
       cents = cents.map(r => org.apache.spark.sql.Row(r.get(0),
@@ -281,7 +284,13 @@ object Similarity {
       k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    indexed.join(probes, Seq("list"))
+    // probes is queries × nProbe rows — the side that fits (guide §3.1).
+    // Broadcasting it is the only strategy that never shuffles the indexed
+    // corpus (10^10 rows at scale); without the hint the checkpointed
+    // probe relation's unknown stats planned a SortMergeJoin that
+    // exchanged + sorted BOTH sides (measured: 2 exchanges + 2 sorts on
+    // every search).
+    indexed.join(broadcast(probes), Seq("list"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -338,14 +347,14 @@ object Similarity {
           bestCid(col("__cents"), col("v"),
             (a, b) => -l2SqCol(a, b)).as("cid"))
     (0 until iters).foreach { _ =>
+      // ONE exchange per iteration — see [[trainIvfCentroids]]: flat
+      // (g, cid, d, m) rows, arrays assembled driver-side, identical values
       val means = assign(rows)
         .select(col("g"), col("cid"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy("g", "cid", "d").agg(avg(col("x")).as("m"))
-        .groupBy("g", "cid")
-        .agg(transform(
-          array_sort(collect_list(struct(col("d").as("d"), col("m").as("m")))),
-          e => e.getField("m").cast("float")).as("centroid"))
-        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.get(2)).toMap
+        .collect().groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (k2, rs) =>
+          k2 -> rs.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat).toSeq }
       // empty cells keep their previous centroid (driver-side merge)
       cb = cb.map(r => Row(r.get(0), r.get(1),
         means.getOrElse((r.getInt(0), r.getInt(1)), r.get(2))))
@@ -430,11 +439,14 @@ object Similarity {
   private[operators] def buildPqModel(corpus: DataFrame,
       nLists: Int, m: Int, codes: Int, iters: Int, trainSample: Double,
       idCol: String, vecCol: String): PqModel = {
+    // dim + corpusCount ride the checkpoint job via observe() (formerly a
+    // separate aggregation job over the checkpointed rows)
+    val dimObs = org.apache.spark.sql.Observation()
     val c = Par.spread(corpus).select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .observe(dimObs, max(size(col("cv"))).as("dim"), count(lit(1)).as("n"))
       .localCheckpoint(true)
-    // one aggregation serves dim + corpusCount (formerly two driver actions)
-    val dimRow = c.agg(max(size(col("cv"))).as("dim"), count(lit(1)).as("n")).first()
-    val (dim, corpusCount) = (dimRow.getInt(0), dimRow.getLong(1))
+    val (dim, corpusCount) =
+      (dimObs.get("dim").asInstanceOf[Int], dimObs.get("n").asInstanceOf[Long])
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     require(trainSample > 0.0 && trainSample <= 1.0, s"trainSample: $trainSample")
     val sub = dim / m
@@ -526,8 +538,29 @@ object Similarity {
   private[operators] def encodePq(coarse: DataFrame, cbs: DataFrame,
       c: DataFrame, m: Int, sub: Int): DataFrame = {
     import graft.functions.expressions.TextExprs.l2SqCol
-    val cbsRow = cbs.agg(array_sort(collect_list(
-      struct(col("g"), col("cid"), col("centroid")))).as("__cbs"))
+    // fold the codebook to its one-row broadcast shape driver-side when it
+    // is already driver-local (the Lloyd loop's generations are — see
+    // [[centsRow]]); a distributed agg here cost one AQE stage job per
+    // encode pass for m × codes rows
+    val cbsRow: DataFrame =
+      if (!cbs.isLocal)
+        cbs.agg(array_sort(collect_list(
+          struct(col("g"), col("cid"), col("centroid")))).as("__cbs"))
+      else {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val rows = cbs.select(col("g"), col("cid"), col("centroid")).collect()
+          .sortBy(r => (r.getInt(0), r.getInt(1))) // array_sort struct order
+        val elemType = StructType(Seq(
+          StructField("g", IntegerType, nullable = false),
+          StructField("cid", IntegerType, nullable = false),
+          StructField("centroid", cbs.schema("centroid").dataType)))
+        val schema = StructType(Seq(StructField("__cbs",
+          ArrayType(elemType, containsNull = false), nullable = false)))
+        cbs.sparkSession.createDataFrame(
+          java.util.Arrays.asList(Row(rows.toSeq.map(r =>
+            Row(r.get(0), r.get(1), r.get(2))))), schema)
+      }
     val codes = transform(sequence(lit(0), lit(m - 1)), s =>
       array_max(transform(
         filter(col("__cbs"), e => e.getField("g") === s),
@@ -589,7 +622,9 @@ object Similarity {
     // approx dot(q, v) = dot(q, c_list) + Σ_sub dot(q_sub, codeword_sub)
     val qw = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("vec_id").asc)
-    val cand = encoded.join(probes, Seq("list"))
+    // probes fits (queries × nProbe rows); broadcast keeps the encoded
+    // corpus unshuffled — see [[searchIvfCore]]
+    val cand = encoded.join(broadcast(probes), Seq("list"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(lut), Seq("query_id", "g", "code"))
       .groupBy(col("query_id"), col("vec_id"))
@@ -603,11 +638,16 @@ object Similarity {
       .withColumn("qrank", row_number().over(qw))
       .filter(col("qrank") <= eff)
       .select("query_id", "vec_id")
-    // exact re-rank of the refined candidates
+    // exact re-rank of the refined candidates: cand is ≤ refine × queries
+    // rows — broadcast IT (and the query batch), so the corpus side is a
+    // pure probe-side lookup and is never shuffled by vec_id. Without the
+    // hint the local planner broadcast the CORPUS (small here), which at
+    // scale inverts into shuffling 10^10 rows to meet a few thousand
+    // candidates.
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    cand.join(c, "vec_id")
-      .join(q, "query_id")
+    broadcast(cand).join(c, "vec_id")
+      .join(broadcast(q), "query_id")
       .withColumn("cosine", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
