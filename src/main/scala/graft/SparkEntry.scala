@@ -67,28 +67,6 @@ object SparkEntry {
     p
   }
 
-  /** Write `df` as ONE flat parquet file `dir/name` with an EXPLICIT mtime —
-    * the stateful-streaming gates feed arrival-ordered chunks through the
-    * file source, whose batch order is (modification time, path); forcing
-    * distinct mtimes makes the arrival order deterministic, which the
-    * oracle comparison depends on.
-    */
-  private def writeChunk(df: DataFrame, dir: java.nio.file.Path, name: String,
-      mtimeMs: Long): Unit = {
-    import java.nio.file.{Files, Paths}
-    val tmp = dir.resolve(s".tmp-$name")
-    df.coalesce(1).write.parquet(tmp.toString)
-    val part = { val st = Files.list(tmp)
-      try { import scala.jdk.CollectionConverters._
-        st.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
-      } finally st.close() }
-    val target = dir.resolve(name)
-    Files.move(part, target)
-    Files.setLastModifiedTime(target,
-      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-  }
-
   /** Write `df` as one single-parquet-file chunk per distinct value of
     * `chunkIdx` (which must evaluate to 0 until n-1) in ONE Spark job:
     * coalesce(1) + partitionBy writes every chunk's single file in one
@@ -119,23 +97,47 @@ object SparkEntry {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
-  /** Split `df` into three ts-range chunks on `tsCol` with increasing mtimes
-    * (one micro-batch each under maxFilesPerTrigger=1). Equal event times
-    * always share a chunk, so cross-chunk arrival respects event-time order —
-    * the invariant that keeps every real event ahead of the watermark in the
-    * windowed gates (it holds for ANY ts-range split, so the split points
-    * only need determinism, not exactness). Returns the EXACT max of `tsCol`
-    * (quantile 1.0 is exact in Spark's Greenwald-Khanna sketch; micros <
-    * 2^53 so the Double is lossless). `drop` strips the helper column before
-    * writing. One quantile job + one write job.
+  /** Checkpoint `df` with its ts-split quantiles RIDING the checkpoint job
+    * via observe() — the former `stat.approxQuantile` pass was a second full
+    * job over the just-checkpointed rows. Returns (checkpointed df,
+    * [q33, q66, max]). The sketch differs from approxQuantile's
+    * (percentile_approx vs Greenwald-Khanna), which can move the split
+    * points slightly — irrelevant by the same invariant that let the splits
+    * be approximate at all: ANY ts-range split keeps equal event times in
+    * one chunk and cross-chunk arrival in event-time order, and the max is
+    * only used to place the far-future sentinel.
+    */
+  private def checkpointWithTsSplits(df: DataFrame,
+      tsCol: String): (DataFrame, Array[Double]) = {
+    val obs = org.apache.spark.sql.Observation()
+    val ck = df.observe(obs, expr(
+      s"percentile_approx(cast($tsCol as double), array(0.33d, 0.66d, 1.0d), 10000)")
+      .as("qs")).localCheckpoint(true)
+    (ck, obs.get("qs").asInstanceOf[Seq[Double]].toArray)
+  }
+
+  /** Split `df` into three ts-range chunks on `tsCol` (split points `t1`/`t2`
+    * from [[checkpointWithTsSplits]]) with increasing mtimes (one micro-batch
+    * each under maxFilesPerTrigger=1). Equal event times always share a
+    * chunk, so cross-chunk arrival respects event-time order — the invariant
+    * that keeps every real event ahead of the watermark in the windowed
+    * gates (it holds for ANY ts-range split, so the split points only need
+    * determinism, not exactness). `extra` rows (the windowed gate's
+    * far-future sentinel) land as chunk 3 in the SAME single write job —
+    * formerly a separate per-file write job. `drop` strips the helper
+    * column. ONE Spark job total.
     */
   private def writeTsChunks(df: DataFrame, chunks: java.nio.file.Path,
-      tsCol: String, drop: Boolean): Long = {
-    val Array(t1, t2, mx) = df.stat.approxQuantile(tsCol, Array(0.33, 0.66, 1.0), 0.001)
+      tsCol: String, drop: Boolean, t1: Double, t2: Double,
+      extra: Option[DataFrame] = None): Unit = {
     val idx = when(col(tsCol) <= t1, 0).when(col(tsCol) <= t2, 1).otherwise(2)
-    writeChunksOneJob(df, idx, 3, chunks,
-      dropCols = if (drop) Seq(tsCol) else Nil)
-    mx.toLong
+    val (all, n) = extra match {
+      case Some(e) => (df.withColumn("__idx", idx).unionByName(
+        e.withColumn("__idx", lit(3)), allowMissingColumns = true), 4)
+      case None => (df.withColumn("__idx", idx), 3)
+    }
+    writeChunksOneJob(all, col("__idx"), n, chunks,
+      dropCols = "__idx" +: (if (drop) Seq(tsCol) else Nil))
   }
 
   /** Run `f` with the session's shuffle-partition count temporarily set to
@@ -527,14 +529,15 @@ object SparkEntry {
       val steps = Seq("signup", "view", "click", "purchase")
       // testdata ts is TIMESTAMP_NTZ; unix_micros needs LTZ — under the UTC
       // session the cast is wall-clock identity
-      val ev = table(s, dir, "events").filter(col("event_type").isin(steps: _*))
-        .select(col("user_id").cast("string").as("key"),
-          unix_micros(col("ts").cast("timestamp")).as("tsMicros"),
-          col("event_type").as("step"))
-        .localCheckpoint(true)
+      val (ev, qs) = checkpointWithTsSplits(
+        table(s, dir, "events").filter(col("event_type").isin(steps: _*))
+          .select(col("user_id").cast("string").as("key"),
+            unix_micros(col("ts").cast("timestamp")).as("tsMicros"),
+            col("event_type").as("step")),
+        "tsMicros")
       val base = gateDir("q_funnel_stream")
       val chunks = java.nio.file.Files.createDirectories(base.resolve("chunks"))
-      writeTsChunks(ev, chunks, "tsMicros", drop = false)
+      writeTsChunks(ev, chunks, "tsMicros", drop = false, qs(0), qs(1))
       val sdf = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(chunks.toString)
       implicit val evEnc = org.apache.spark.sql.Encoders.product[StatefulFunnel.FunnelEvent]
@@ -632,17 +635,19 @@ object SparkEntry {
     // by op). Chunks are ts-range partitioned, so no real event is ever
     // late — the oracle is the plain tumbling GROUP BY over the changelog.
     "cdc_windowed_counts" -> ((s, dir) => {
-      val cl = changelog(s, dir)
-        .select(col("conv_id"), col("op"), col("ts").cast("timestamp").as("ts"))
-        .withColumn("tsMicros", unix_micros(col("ts")))
-        .localCheckpoint(true)
+      val (cl, qs) = checkpointWithTsSplits(
+        changelog(s, dir)
+          .select(col("conv_id"), col("op"), col("ts").cast("timestamp").as("ts"))
+          .withColumn("tsMicros", unix_micros(col("ts"))),
+        "tsMicros")
       val base = gateDir("cdc_windowed_counts")
       val chunks = java.nio.file.Files.createDirectories(base.resolve("chunks"))
-      val mx = writeTsChunks(cl, chunks, "tsMicros", drop = true)
+      val mx = qs(2).toLong // exact: the sketch retains the max; micros < 2^53
       val sentinel = s.range(1).select(lit("zz").as("conv_id"),
         lit("sentinel").as("op"),
         timestamp_micros(lit(mx + 365L * 24 * 3600 * 1000000L)).as("ts"))
-      writeChunk(sentinel, chunks, "c4.parquet", 4000000L)
+      writeTsChunks(cl, chunks, "tsMicros", drop = true, qs(0), qs(1),
+        extra = Some(sentinel))
       // the sentinel's watermark advance only flushes the real windows if a
       // post-sentinel no-data micro-batch runs — pin the default explicitly
       // so a session-level override cannot silently starve the gate

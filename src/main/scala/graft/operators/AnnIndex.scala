@@ -295,26 +295,34 @@ object AnnIndex {
     recoverInflight(root)
     val meta = readMeta(root)
     val gen = meta.gen + 1
+    // every per-row count — including the dimension check, which the old
+    // code paid a separate requireDim scan for — rides the batch's
+    // checkpoint job via observe(); only the distinct-id tie check (observe
+    // cannot carry DISTINCT aggregates) stays a second (single) job
+    val chObs = org.apache.spark.sql.Observation()
     val ch = changes.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
-      col(typeCol).as("ct")).localCheckpoint(true)
-    val n = ch.agg(
-      count(when(col("ct") === "insert" && col("cv").isNotNull, 1)).as("iLive"),
-      count(when(col("ct") === "update", 1)).as("u"),
-      count(when(col("ct") === "update" && col("cv").isNull, 1)).as("uNull"),
-      count(when(col("ct") === "delete", 1)).as("d"),
-      // isNull checked explicitly: `!isin(...)` is NULL (not true) for a
-      // null change type, which would let the row slip past this guard and
-      // then vanish from both the tombstone and append filters silently
-      count(when(col("ct").isNull ||
-        !col("ct").isin("insert", "update", "delete"), 1)).as("x"),
-      count(lit(1)).as("tot"),
-      countDistinct(col("vec_id")).as("ids"))
-      .first()
-    val (nInsLive, nUpd, nUpdNull, nDel, nOther, nTot, nIds) =
-      (n.getLong(0), n.getLong(1), n.getLong(2), n.getLong(3), n.getLong(4),
-        n.getLong(5), n.getLong(6))
+      col(typeCol).as("ct"))
+      .observe(chObs,
+        count(when(col("ct") === "insert" && col("cv").isNotNull, 1)).as("iLive"),
+        count(when(col("ct") === "update", 1)).as("u"),
+        count(when(col("ct") === "update" && col("cv").isNull, 1)).as("uNull"),
+        count(when(col("ct") === "delete", 1)).as("d"),
+        // isNull checked explicitly: `!isin(...)` is NULL (not true) for a
+        // null change type, which would let the row slip past this guard and
+        // then vanish from both the tombstone and append filters silently
+        count(when(col("ct").isNull ||
+          !col("ct").isin("insert", "update", "delete"), 1)).as("x"),
+        count(lit(1)).as("tot"),
+        count(when(col("ct").isin("insert", "update") && col("cv").isNotNull &&
+          size(col("cv")) =!= meta.dim, 1)).as("badDim"))
+      .localCheckpoint(true)
+    def long(name: String): Long = chObs.get(name).asInstanceOf[Long]
+    val (nInsLive, nUpd, nUpdNull, nDel, nOther, nTot, nBadDim) =
+      (long("iLive"), long("u"), long("uNull"), long("d"), long("x"),
+        long("tot"), long("badDim"))
     require(nOther == 0L,
       s"applyChanges: $nOther row(s) with change type outside insert|update|delete")
+    val nIds = ch.agg(countDistinct(col("vec_id")).as("ids")).first().getLong(0)
     if (nTot != nIds) {
       val dups = ch.groupBy("vec_id").count().filter(col("count") > 1)
         .limit(5).collect().map(_.get(0)).mkString(", ")
@@ -327,11 +335,13 @@ object AnnIndex {
     }
     val adds = ch.filter(col("ct").isin("insert", "update") && col("cv").isNotNull)
       .select(col("vec_id"), col("cv"))
-    // validate BEFORE the first write: requireDim is read-only, and a
-    // failure after the tombstones land would leave a half-applied
-    // generation that hides the mutated ids from every search (searches
-    // never run recoverInflight) until the next mutation call rolls it back
-    if (nInsLive + (nUpd - nUpdNull) > 0) requireDim(adds, meta.dim)
+    // validated BEFORE the first write (the observation completes with the
+    // checkpoint): a failure after the tombstones land would leave a
+    // half-applied generation that hides the mutated ids from every search
+    // (searches never run recoverInflight) until the next mutation call
+    // rolls it back
+    require(nBadDim == 0L,
+      s"append batch has $nBadDim vector(s) whose dimension != the index's ${meta.dim}")
     beginInflight(root, meta)
     if (nUpd + nDel > 0)
       ch.filter(col("ct").isin("update", "delete"))

@@ -161,13 +161,31 @@ object Similarity {
     searchIvfCore(indexed, probeListsCos(q, centroids, nProbe), k)
   }
 
+  /** Run the eager driver-side collects of a Lloyd loop WITHOUT adaptive
+    * execution, restoring the session flag after. AQE materializes every
+    * exchange as its own Spark job; a training collect is a fixed-shape
+    * aggregation whose reduce side is k × dim rows — there is nothing to
+    * adapt (no skew, nothing to coalesce below the session partition count),
+    * so the extra per-exchange job is a pure scheduler round-trip, at any
+    * scale. Plans and values are bit-identical; only the job count changes
+    * (measured: 2 jobs → 1 per Lloyd iteration). The flag is thread-local
+    * session state restored in finally; the lazily-returned frames plan at
+    * their own action time under the caller's AQE setting.
+    */
+  private def withoutAqe[T](spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try f finally spark.conf.set(key, old)
+  }
+
   /** IVF coarse-quantizer training (deterministic k-means-lite over cosine)
     * — extracted so [[AnnIndex]] can persist the trained centroids. Input
     * `c` must be (vec_id, cv) and SHOULD be checkpointed (every Lloyd
     * iteration re-reads it). Returns (cid, centroid), nLists rows.
     */
   private[operators] def trainIvfCentroids(c: DataFrame, nLists: Int,
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame = withoutAqe(c.sparkSession) {
     // Deterministic seeding: rows with the nLists smallest xxhash64(id).
     // The centroid GENERATIONS are kept driver-local between iterations —
     // the exact bytes the assignment broadcast ships to every executor
@@ -308,7 +326,8 @@ object Similarity {
     * never plan literals; every step a distributed aggregation; empty
     * cells keep their previous centroid; deterministic hash seeding.
     */
-  private def trainCodebooksL2(rows: DataFrame, k: Int, iters: Int): DataFrame = {
+  private def trainCodebooksL2(rows: DataFrame, k: Int,
+      iters: Int): DataFrame = withoutAqe(rows.sparkSession) {
     import graft.functions.expressions.TextExprs.l2SqCol
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -118,13 +118,19 @@ object AnnMaintenance {
     // scratch is the only state we can prove) before touching anything
     ledger.inflight.foreach(inf => rollback(indexRoot, inf))
 
-    // one pass over the batch: row counts by change class (pre-images are
-    // metadata for OTHER consumers — never index content)
-    val counts = batch.agg(
-      count(when(col("change_type") === "insert", 1)).as("ins"),
-      count(when(col("change_type").isin("update", "delete"), 1)).as("mut"))
-      .first()
-    val (ins, mut) = (counts.getLong(0), counts.getLong(1))
+    // one pass over the batch: the change-class counts ride the feed's
+    // checkpoint job via observe() (pre-images are metadata for OTHER
+    // consumers — never index content). The checkpoint also keeps the
+    // downstream append/mutation path from re-reading the change feed's
+    // bucket-diff files a second time.
+    val obs = org.apache.spark.sql.Observation()
+    val b = batch
+      .observe(obs,
+        count(when(col("change_type") === "insert", 1)).as("ins"),
+        count(when(col("change_type").isin("update", "delete"), 1)).as("mut"))
+      .localCheckpoint(true)
+    val (ins, mut) = (obs.get("ins").asInstanceOf[Long],
+      obs.get("mut").asInstanceOf[Long])
     require(mut == 0 || mutations != "fail",
       s"ann maintenance batch $batchId carries $mut update/delete change(s): " +
         "the index is being maintained append-only — pass mutations=\"apply\" " +
@@ -142,10 +148,10 @@ object AnnMaintenance {
           meta.gen))))
       if (mutations == "apply") {
         AnnIndex.applyChanges(spark, indexRoot,
-          batch.filter(col("change_type").isin("insert", "update", "delete")),
+          b.filter(col("change_type").isin("insert", "update", "delete")),
           idCol, vecCol)
       } else {
-        val inserts = batch.filter(col("change_type") === "insert")
+        val inserts = b.filter(col("change_type") === "insert")
           .filter(col(vecCol).isNotNull)
           .select(col(idCol), col(vecCol))
         meta.variant match {
