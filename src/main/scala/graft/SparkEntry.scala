@@ -577,7 +577,8 @@ object SparkEntry {
         .filter(col("rn") <= 3)
         .withColumn("wm", col("ts").cast("timestamp"))
         .select("conv_id", "turn_idx", "ts", "wm", "seq", "dtext", "rn")
-        .localCheckpoint(true)
+      // no checkpoint: the chunk write is the feed's only consumer (schema
+      // access plans, never executes)
       val base = gateDir("text_dedup_stream")
       val chunks = java.nio.file.Files.createDirectories(base.resolve("chunks"))
       writeChunksOneJob(feed, col("rn") - 1, 3, chunks, dropCols = Seq("rn"))
@@ -609,10 +610,11 @@ object SparkEntry {
     // same filter.
     "cdc_stateful_lww" -> ((s, dir) => {
       import graft.model.{ChangeEvent, Model}
-      // NTZ → LTZ (UTC identity): the Dataset encoder's ts is TimestampType
+      // NTZ → LTZ (UTC identity): the Dataset encoder's ts is TimestampType.
+      // No checkpoint: the chunk write is the only consumer (schema access
+      // plans, never executes)
       val cl = changelog(s, dir)
         .withColumn("ts", col("ts").cast("timestamp"))
-        .localCheckpoint(true)
       val base = gateDir("cdc_stateful_lww")
       val chunks = java.nio.file.Files.createDirectories(base.resolve("chunks"))
       writeChunksOneJob(cl, pmod(col("seq"), lit(3)).cast("int"), 3, chunks)
